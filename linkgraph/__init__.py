@@ -1,0 +1,38 @@
+"""linkgraph — a PySpark-native link-graph analytics engine.
+
+A from-scratch Spark rebuild of the query/data-processing capabilities
+of sigmod/asterixdb-analytics (Pregelix): PageRank, connected
+components, label propagation, triangle counting, SSSP — expressed as
+co-partitioned DataFrame joins + groupBy aggregates over salted
+CSR-style adjacency, with per-superstep checkpoints (lineage + metrics)
+and resume. See SURVEY.md for the full reference mapping.
+"""
+
+from .session import get_spark
+from .derive import derive_edges, derive_files, derive_graph
+from .partitioning import build_adjacency, symmetrize
+from .checkpoint import CheckpointManager
+from .algorithms import (
+    connected_components,
+    label_propagation,
+    pagerank,
+    shortest_paths,
+    triangle_counts,
+    triangle_total,
+)
+
+__all__ = [
+    "get_spark",
+    "derive_edges",
+    "derive_files",
+    "derive_graph",
+    "build_adjacency",
+    "symmetrize",
+    "CheckpointManager",
+    "pagerank",
+    "connected_components",
+    "label_propagation",
+    "triangle_counts",
+    "triangle_total",
+    "shortest_paths",
+]

@@ -1,0 +1,108 @@
+"""Connected components — min-label propagation to fixpoint.
+
+Reference contract (ConnectedComponentsVertex.java:108-154):
+
+- superstep 1: each vertex lowers its label to the min of its own id and
+  its out-neighbor ids; ONLY vertices whose label changed broadcast it
+  (to out-neighbors with larger ids) — a vertex that is already the
+  local minimum never originates its own id;
+- supersteps 2..: take the min of incoming messages; if smaller than the
+  current label, update and re-broadcast to all out-edges; always
+  voteToHalt — a pure message-driven fixpoint with SimpleMinCombiner.
+
+On an undirected graph (both edge directions present — the reference's
+convention for its clique fixtures) this computes true connected
+components; ``symmetrize=True`` (default) gives that. With
+``symmetrize=False`` the directed semantics above are reproduced exactly
+(including the superstep-1 quirk), matching the reference's golden
+ConnectedComponentsReal output on the directed webmap where e.g. the
+chain 0->1 does NOT merge 0's label into 1 because vertex 0 never
+changes and therefore never sends.
+
+Execution: delta messaging (the reference's INNER_JOIN plan,
+JobGenInnerJoin.java:330-375) — only vertices whose label changed last
+superstep scatter; monotone min makes this exact. Messages combine via
+``groupBy(id).min`` (partial+final, map-side combine before shuffle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..checkpoint import CheckpointManager
+from ..graph import default_partitions, vertices_from_edges
+from ..partitioning import build_adjacency, symmetrize
+from ..superstep import LoopResult, StepResult, iterate
+
+
+def connected_components(
+    edges: DataFrame,
+    symmetrize_edges: bool = True,
+    vertices: DataFrame | None = None,
+    num_partitions: int | None = None,
+    chunk_size: int = 4096,
+    max_supersteps: int = 200,
+    ckpt: CheckpointManager | None = None,
+    resume: bool = True,
+) -> tuple[DataFrame, LoopResult]:
+    """Returns (DF(id, component), LoopResult)."""
+    p = num_partitions or default_partitions(edges)
+    if vertices is None:
+        vertices = vertices_from_edges(edges)
+    verts = vertices.select("id").repartition(p, "id")
+
+    e = symmetrize(edges) if symmetrize_edges else edges.select("src", "dst")
+    adj = build_adjacency(e, num_partitions=p, chunk_size=chunk_size).persist()
+    adj.count()
+
+    # Superstep 1 (reference): label = min(id, out-neighbors); a vertex
+    # is "changed" (and will broadcast) only if that lowered its label.
+    nbr_min = e.groupBy("src").agg(F.min("dst").alias("nmin")).withColumnRenamed("src", "id")
+    init = (
+        verts.join(nbr_min, "id", "left_outer")
+        .select(
+            "id",
+            F.least(F.col("id"), F.coalesce(F.col("nmin"), F.col("id"))).alias("component"),
+        )
+        .withColumn("changed", F.col("component") < F.col("id"))
+    )
+
+    def superstep(state: DataFrame, k: int) -> StepResult:
+        labels = state.select("id", "component", "changed")
+        senders = labels.filter(F.col("changed"))
+        msgs = (
+            adj.join(senders, adj["src"] == senders["id"])
+            .select(F.explode("dsts").alias("id"), F.col("component").alias("cand"))
+            .groupBy("id")
+            .agg(F.min("cand").alias("cand"))
+        )
+        new = (
+            labels.drop("changed")
+            .join(msgs, "id", "left_outer")
+            .select(
+                "id",
+                F.least(F.col("component"), F.coalesce(F.col("cand"), F.col("component"))).alias(
+                    "new_component"
+                ),
+                F.col("component").alias("_oldc"),
+            )
+            .select(
+                "id",
+                F.col("new_component").alias("component"),
+                (F.col("new_component") < F.col("_oldc")).alias("changed"),
+            )
+            .withColumn("_changed", F.col("changed"))
+        )
+        return StepResult(state=new, messages=msgs)
+
+    result = iterate(
+        init.withColumn("_changed", F.col("changed")),
+        superstep,
+        converged=lambda s: s.changed == 0,
+        max_supersteps=max_supersteps,
+        ckpt=ckpt,
+        resume=resume,
+    )
+    adj.unpersist()
+    return result.state.select("id", "component"), result

@@ -1,0 +1,115 @@
+"""PageRank — exact reference semantics, Spark-first execution.
+
+Reference contract (PageRankVertex.java:124-145, SURVEY.md SS4.1):
+
+- superstep 1: every vertex's rank is 1/N and it sends rank/outdeg to
+  each out-neighbor;
+- supersteps 2..: ``rank = 0.15/N + 0.85 * sum(messages)`` (damping 0.85
+  and uniform teleport are the reference's hard-coded constants; we
+  expose ``damping`` but default identically);
+- dangling vertices send nothing — their mass is NOT redistributed
+  (the reference only emits via sendMsgToAllEdges);
+- the reference stops after a fixed iteration count where
+  ``maxIter = m`` means m-1 rank updates (the last superstep updates
+  then halts without sending). ``fixed_updates=m-1`` reproduces its
+  golden outputs bit-for-bit within 1e-6; the north_rule's default mode
+  instead iterates to L1 convergence ``sum(abs(r_k - r_{k-1})) <= tol``.
+
+Execution shape per superstep (one Spark job): cached salted CSR
+adjacency ``(src, salt, dsts, outdeg)`` joins the current ranks on the
+co-partitioned id, scatters via ``explode`` (array unpack, no per-edge
+pre-shuffle), and message combining is ``groupBy(dst).sum`` — Spark's
+partial+final hash aggregate is exactly the reference's
+local-combine -> MToN shuffle -> final-combine (JobGen.java:1124-1215)
+with SimpleSumCombiner (PageRankVertex.java:64-116).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..checkpoint import CheckpointManager
+from ..graph import default_partitions, vertices_from_edges
+from ..partitioning import build_adjacency
+from ..superstep import LoopResult, StepResult, iterate
+
+
+def pagerank(
+    edges: DataFrame,
+    damping: float = 0.85,
+    tol: float = 1e-6,
+    max_supersteps: int = 100,
+    fixed_updates: int | None = None,
+    vertices: DataFrame | None = None,
+    num_partitions: int | None = None,
+    chunk_size: int = 4096,
+    ckpt: CheckpointManager | None = None,
+    resume: bool = True,
+) -> tuple[DataFrame, LoopResult]:
+    """Returns (ranks DF(id, rank), LoopResult with per-superstep metrics).
+
+    ``fixed_updates=k``: run exactly k rank updates (reference parity
+    mode; reference maxIter=m == fixed_updates=m-1). Otherwise iterate
+    until the L1 delta <= tol.
+    """
+    p = num_partitions or default_partitions(edges)
+    if vertices is None:
+        vertices = vertices_from_edges(edges)
+    verts = vertices.select("id").repartition(p, "id")
+    n = verts.count()
+    if n == 0:
+        empty = verts.withColumn("rank", F.lit(0.0))
+        return empty, LoopResult(empty, 0, [], True)
+
+    adj = build_adjacency(edges, num_partitions=p, chunk_size=chunk_size).persist()
+    adj.count()  # materialize once; reused every superstep
+
+    teleport = (1.0 - damping) / n
+    init = verts.withColumn("rank", F.lit(1.0 / n))
+
+    def superstep(state: DataFrame, k: int) -> StepResult:
+        ranks = state.select("id", "rank")
+        msgs = (
+            adj.join(ranks, adj["src"] == ranks["id"])
+            .select(
+                F.explode("dsts").alias("id"),
+                (F.col("rank") / F.col("outdeg")).alias("w"),
+            )
+            .groupBy("id")
+            .agg(F.sum("w").alias("msum"))
+        )
+        new = (
+            ranks.withColumnRenamed("rank", "_old")
+            .join(msgs, "id", "left_outer")
+            .select(
+                "id",
+                (F.lit(teleport) + F.lit(damping) * F.coalesce(F.col("msum"), F.lit(0.0))).alias(
+                    "rank"
+                ),
+                F.col("_old"),
+            )
+            .withColumn("_delta", F.abs(F.col("rank") - F.col("_old")))
+            .drop("_old")
+        )
+        return StepResult(state=new, messages=msgs)
+
+    if fixed_updates is not None:
+        max_iter = fixed_updates
+        def done(stats):
+            return False
+    else:
+        max_iter = max_supersteps
+        def done(stats):
+            return stats.delta is not None and stats.delta <= tol
+
+    result = iterate(
+        init,
+        superstep,
+        converged=done,
+        max_supersteps=max_iter,
+        ckpt=ckpt,
+        resume=resume,
+    )
+    adj.unpersist()
+    return result.state.select("id", "rank"), result

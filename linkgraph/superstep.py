@@ -1,0 +1,132 @@
+"""The generic gather-scatter superstep loop.
+
+This is the Spark rendition of Pregelix's per-superstep dataflow
+(JobGenOuterJoin.java:236-407): messages from the previous superstep are
+joined against the vertex state (outer join — every vertex visited, or
+inner — only messaged/live vertices), the compute kernel produces the new
+state and the next message relation, messages are combined
+partially-then-finally across the shuffle (JobGen.java:1124-1215), and
+the loop terminates on a driver-side convergence check (the reference's
+TerminationStateWriter + readTerminationState, Driver.java:342-344).
+
+Algorithms plug in a ``superstep_fn(state, k) -> StepResult`` built from
+DataFrame ops only; the loop owns persistence, metrics, checkpointing,
+resume, and convergence. Transient stat columns on the new state:
+
+- ``_delta``  (double) — per-vertex change magnitude; the loop sums it.
+- ``_changed`` (boolean) — per-vertex change flag; the loop counts it.
+
+Both are stripped before the state is checkpointed.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from .checkpoint import CheckpointManager
+from .metrics import SuperstepMetrics, partition_histogram, skew_from_histogram
+
+
+@dataclass
+class StepResult:
+    state: DataFrame                   # new vertex state (may carry _delta/_changed)
+    messages: DataFrame | None = None  # combined message relation (for metrics)
+
+
+@dataclass
+class LoopResult:
+    state: DataFrame
+    supersteps: int
+    history: list[SuperstepMetrics]
+    converged: bool
+
+
+def iterate(
+    init_state: DataFrame,
+    superstep_fn: Callable[[DataFrame, int], StepResult],
+    converged: Callable[[SuperstepMetrics], bool],
+    max_supersteps: int = 100,
+    ckpt: CheckpointManager | None = None,
+    resume: bool = True,
+    track_messages: bool = True,
+    storage_level: StorageLevel = StorageLevel.MEMORY_AND_DISK,
+) -> LoopResult:
+    """Run supersteps until ``converged(stats)`` or ``max_supersteps``.
+
+    With a CheckpointManager, each committed superstep snapshot both
+    truncates lineage and enables resume: if the checkpoint directory
+    already holds committed supersteps (and ``resume``), iteration
+    restarts from the latest snapshot instead of superstep 1.
+    """
+    history: list[SuperstepMetrics] = []
+    start_k = 1
+    state = init_state
+
+    if ckpt is not None and resume:
+        latest = ckpt.latest()
+        if latest is not None:
+            state, last = ckpt.load(latest)
+            history = ckpt.history()
+            if converged(last):
+                return LoopResult(state, latest, history, True)
+            start_k = latest + 1
+
+    state = state.persist(storage_level)
+    done = False
+    k = start_k - 1
+    for k in range(start_k, max_supersteps + 1):
+        t0 = time.monotonic()
+        res = superstep_fn(state, k)
+        # localCheckpoint (eager) both caches the new state AND truncates
+        # its logical plan — without this, every superstep's plan embeds
+        # all previous supersteps and the driver OOMs after ~10
+        # iterations. Durable fault tolerance comes from the
+        # CheckpointManager below; this is the in-memory lineage cut.
+        new_state = res.state.localCheckpoint(eager=True)
+
+        stats = SuperstepMetrics(superstep=k)
+        agg_exprs = [F.count(F.lit(1)).alias("rows")]
+        cols = set(new_state.columns)
+        if "_delta" in cols:
+            agg_exprs.append(F.sum("_delta").alias("delta"))
+        if "_changed" in cols:
+            agg_exprs.append(F.sum(F.col("_changed").cast("long")).alias("changed"))
+        row = new_state.agg(*agg_exprs).first()
+        stats.rows = int(row["rows"])
+        if "_delta" in cols:
+            stats.delta = float(row["delta"] or 0.0)
+        if "_changed" in cols:
+            stats.changed = int(row["changed"] or 0)
+
+        if res.messages is not None and track_messages:
+            msgs = res.messages.persist(storage_level)
+            stats.messages = msgs.count()
+            hist = partition_histogram(msgs)
+            stats.skew_ratio = skew_from_histogram(hist)
+            msgs.unpersist()
+
+        if ckpt is not None and ckpt.should_checkpoint(k):
+            committed = ckpt.save(k, new_state.drop("_delta", "_changed"), stats)
+            new_state.unpersist()
+            next_state = committed.persist(storage_level)
+        else:
+            # keep the cached frame as-is (transient cols and all); the
+            # next superstep_fn re-selects what it needs, and we avoid
+            # double-caching a dropped projection of the same rows.
+            next_state = new_state
+
+        state.unpersist()
+        state = next_state
+        stats.wall_sec = time.monotonic() - t0
+        history.append(stats)
+        if converged(stats):
+            done = True
+            break
+
+    return LoopResult(state.drop("_delta", "_changed"), k, history, done)
