@@ -1,0 +1,158 @@
+"""Golden-output tests mirroring the reference's e2e strategy
+(RunJobTestSuite/RunJobTestCase; order-insensitive compare with float
+tolerance — theirs 1e-7 on text, ours allclose 1e-6 per north_rule)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from linkgraph import (
+    connected_components,
+    label_propagation,
+    pagerank,
+    shortest_paths,
+    triangle_counts,
+    triangle_total,
+)
+from linkgraph.synth import CLIQUE, WEBMAP, adjacency_to_edges, edges_df
+
+from oracles import cc_oracle, lpa_oracle, pagerank_oracle, sssp_oracle, triangles_oracle
+
+# Reference golden PageRankReal output (expected/PageRankReal/part-*,
+# NUM_VERTICE=20, maxIter=10 == 9 rank updates, damping 0.85).
+GOLDEN_PR = {
+    0: 0.008290140026154316, 1: 0.15351528192471653, 2: 0.14646839195826478,
+    3: 0.08125113985998214, 4: 0.03976979906329426, 5: 0.0225041581462058,
+    6: 0.015736276824953852, 7: 0.012542224114863661, 8: 0.010628239626209894,
+    9: 0.009294348455354817, 10: 0.008290140026154316, 11: 0.15351528192471653,
+    12: 0.14646839195826478, 13: 0.08125113985998214, 14: 0.03976979906329426,
+    15: 0.0225041581462058, 16: 0.015736276824953852, 17: 0.012542224114863661,
+    18: 0.010628239626209894, 19: 0.009294348455354817,
+}
+
+# Reference golden ConnectedComponentsReal (directed webmap).
+GOLDEN_CC = {0: 0, **{i: 1 for i in range(1, 11)}, **{i: 0 for i in range(11, 20)}}
+
+# Reference golden TriangleCounting (clique fixture, adjacency as-given).
+GOLDEN_TRI = {1: 3, 2: 2, 3: 0, 4: 0, 5: 1, 6: 0, 7: 0}
+
+
+def _to_dict(df, k, v):
+    return {r[k]: r[v] for r in df.collect()}
+
+
+class TestPageRank:
+    def test_reference_golden(self, webmap_edges):
+        ranks, _ = pagerank(webmap_edges, fixed_updates=9)
+        got = _to_dict(ranks, "id", "rank")
+        assert set(got) == set(GOLDEN_PR)
+        for v, exp in GOLDEN_PR.items():
+            assert math.isclose(got[v], exp, abs_tol=1e-6)
+
+    def test_convergence_mode_matches_oracle(self, webmap_edges):
+        ranks, res = pagerank(webmap_edges, tol=1e-6)
+        assert res.converged
+        exp = pagerank_oracle(WEBMAP, set(range(20)), tol=1e-6)
+        got = _to_dict(ranks, "id", "rank")
+        for v in exp:
+            assert math.isclose(got[v], exp[v], abs_tol=1e-6)
+
+    def test_dangling_mass_not_redistributed(self, spark):
+        # 0 -> 1, 1 has no out-edges (dangling): reference semantics keep
+        # 1's mass out of circulation.
+        e = edges_df(spark, [(0, 1)])
+        ranks, _ = pagerank(e, fixed_updates=3)
+        exp = pagerank_oracle({0: [1]}, {0, 1}, updates=3)
+        got = _to_dict(ranks, "id", "rank")
+        for v in exp:
+            assert math.isclose(got[v], exp[v], abs_tol=1e-12)
+
+    def test_salting_preserves_ranks(self, webmap_edges):
+        base, _ = pagerank(webmap_edges, fixed_updates=5)
+        salted, _ = pagerank(webmap_edges, fixed_updates=5, chunk_size=2)
+        j = base.withColumnRenamed("rank", "r0").join(salted, "id")
+        mx = j.agg(F.max(F.abs(F.col("rank") - F.col("r0")))).first()[0]
+        assert mx < 1e-12
+
+    def test_delta_monotonically_reported(self, webmap_edges):
+        _, res = pagerank(webmap_edges, fixed_updates=4)
+        deltas = [m.delta for m in res.history]
+        assert len(deltas) == 4 and all(d is not None for d in deltas)
+
+
+class TestConnectedComponents:
+    def test_reference_golden_directed(self, webmap_edges):
+        comp, _ = connected_components(webmap_edges, symmetrize_edges=False)
+        assert _to_dict(comp, "id", "component") == GOLDEN_CC
+
+    def test_true_components_undirected(self, spark):
+        # two components + isolated-ish vertex via self-edge
+        edges = [(1, 2), (2, 3), (3, 1), (10, 11), (12, 12)]
+        e = edges_df(spark, edges)
+        comp, res = connected_components(e)
+        exp = cc_oracle(edges, {1, 2, 3, 10, 11, 12})
+        assert _to_dict(comp, "id", "component") == exp
+        assert res.converged
+
+    def test_clique_fixture(self, clique_edges):
+        comp, _ = connected_components(clique_edges)
+        exp = cc_oracle(adjacency_to_edges(CLIQUE), set(range(1, 8)))
+        assert _to_dict(comp, "id", "component") == exp
+
+
+class TestLabelPropagation:
+    def test_matches_synchronous_oracle(self, spark):
+        # two tight triangles bridged by one edge -> two communities
+        edges = [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)]
+        e = edges_df(spark, edges)
+        labels, _ = label_propagation(e, max_supersteps=10)
+        exp = lpa_oracle(edges, set(range(1, 7)), max_supersteps=10)
+        assert _to_dict(labels, "id", "label") == exp
+
+    def test_deterministic(self, webmap_edges):
+        a, _ = label_propagation(webmap_edges, max_supersteps=7)
+        b, _ = label_propagation(webmap_edges, max_supersteps=7)
+        assert _to_dict(a, "id", "label") == _to_dict(b, "id", "label")
+
+    def test_isolated_vertex_keeps_label(self, spark):
+        from linkgraph.graph import vertices_from_edges
+
+        e = edges_df(spark, [(1, 2), (3, 3)])
+        labels, _ = label_propagation(e, max_supersteps=5)
+        got = _to_dict(labels, "id", "label")
+        assert got[3] == 3
+
+
+class TestTriangles:
+    def test_reference_golden_asymmetric(self, clique_edges):
+        tri = triangle_counts(clique_edges, symmetrize_edges=False)
+        assert _to_dict(tri, "id", "triangles") == GOLDEN_TRI
+
+    def test_symmetrized_matches_oracle(self, clique_edges):
+        tri = triangle_counts(clique_edges, symmetrize_edges=True)
+        exp = triangles_oracle(adjacency_to_edges(CLIQUE), set(range(1, 8)))
+        assert _to_dict(tri, "id", "triangles") == exp
+
+    def test_global_total(self, clique_edges):
+        exp = triangles_oracle(adjacency_to_edges(CLIQUE), set(range(1, 8)))
+        assert triangle_total(clique_edges) == sum(exp.values())
+
+    def test_self_loops_ignored(self, spark):
+        e = edges_df(spark, [(1, 1), (1, 2), (2, 3), (1, 3)])
+        assert triangle_total(e) == 1
+
+
+class TestSSSP:
+    def test_webmap_distances(self, webmap_edges):
+        dist, res = shortest_paths(webmap_edges, source=0)
+        exp = sssp_oracle(adjacency_to_edges(WEBMAP), set(range(20)), 0)
+        got = _to_dict(dist, "id", "distance")
+        assert got == pytest.approx(exp)
+        assert res.converged
+
+    def test_unreachable_is_null(self, spark):
+        e = edges_df(spark, [(0, 1), (5, 6)])
+        dist, _ = shortest_paths(e, source=0)
+        got = _to_dict(dist, "id", "distance")
+        assert got[5] is None and got[6] is None and got[1] == 1.0
