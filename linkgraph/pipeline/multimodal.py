@@ -1,0 +1,109 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary
+columns with typed metadata.
+
+The Spark-side contract is real and tested — schema, partition-aware
+mapInPandas batching, Arrow round-trip of binary payloads; the actual
+media decode is STUBBED (this container ships no image/audio codecs):
+``decode_stub="fake"`` produces a deterministic fake feature vector from
+the bytes, ``decode_stub="raise"`` raises NotImplementedError where a
+real decoder (PIL/torchaudio/ffmpeg) would plug in.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),      # image|audio|video
+        T.StructField("mime", T.StringType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+        T.StructField("payload", T.BinaryType(), False),   # opaque bytes
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("n_bytes", T.LongType(), False),
+        T.StructField("feature", T.ArrayType(T.FloatType()), False),
+    ]
+)
+
+
+def synth_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
+    """Deterministic fake media table (payload = seeded bytes)."""
+    rows = []
+    for i in range(n):
+        kind = ["image", "audio", "video"][i % 3]
+        payload = hashlib.sha256(f"{seed}:{i}".encode()).digest() * (4 + i % 7)
+        rows.append(
+            (
+                i,
+                kind,
+                {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}[kind],
+                64 + i if kind != "audio" else None,
+                48 + i if kind != "audio" else None,
+                1000 * (i + 1) if kind != "image" else None,
+                bytearray(payload),
+            )
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def extract_features(
+    media: DataFrame, feat_dim: int = 8, decode_stub: str = "fake"
+) -> DataFrame:
+    """Decode/feature-extract via mapInPandas (Arrow-batched binary).
+
+    Real pipeline: decode payload -> resize/frame-sample -> embed.
+    Here the decode step is the stub; batching, schema and partitioning
+    are the real thing.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if decode_stub == "raise":
+                raise NotImplementedError(
+                    "media decode requires PIL/ffmpeg — not available in this container"
+                )
+            feats = []
+            for payload in pdf["payload"]:
+                b = np.frombuffer(bytes(payload), dtype=np.uint8)
+                # deterministic fake "embedding": moments of byte chunks
+                chunks = np.array_split(b.astype(np.float32), feat_dim)
+                feats.append(np.array([c.mean() / 255.0 for c in chunks], dtype=np.float32))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": pdf["payload"].map(len).astype("int64"),
+                    "feature": feats,
+                }
+            )
+
+    return media.mapInPandas(batches, FEATURE_SCHEMA)
+
+
+def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame-sampling plumbing: one row per planned frame
+    timestamp (JVM-side sequence; the actual frame grab is the stubbed
+    decode above)."""
+    vids = media.filter(F.col("kind") == "video")
+    return vids.select(
+        "media_id",
+        F.explode(
+            F.expr(f"sequence(0L, duration_ms, CAST({every_ms} AS LONG))")
+        ).alias("frame_ts_ms"),
+    )

@@ -1,0 +1,147 @@
+"""Similarity search over an embeddings table (vec_id, embedding
+array<float>, ...).
+
+- cosine_topk: brute-force top-k — the exactness baseline. Dot product
+  and norms are JVM-side fold expressions in double (deterministic
+  left-to-right accumulation, so any engine reproducing the fold gets
+  bit-identical sums).
+- lsh_cosine_topk: random-hyperplane LSH bucketing (signs of H fixed
+  seeded projections -> bucket key), candidates restricted to bucket
+  mates (multi-probe across bands). The scale path: candidate
+  generation is a co-grouped join on bucket, linear in corpus size.
+  Projections run as one numpy matmul per Arrow batch (pandas UDF).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+
+def _dot(a: str, b: str):
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+        f" CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def _norm(a: str):
+    return F.sqrt(
+        F.expr(
+            f"aggregate({a}, CAST(0.0 AS DOUBLE),"
+            f" (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
+        )
+    )
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    queries: DataFrame | None = None,
+    k: int = 10,
+    round_to: int = 4,
+) -> DataFrame:
+    """(qid, vec_id, sim) — exact cosine top-k of each query against the
+    corpus (self excluded). ``queries`` defaults to the corpus itself
+    (use a filtered subset for realistic fan-out).
+
+    Brute force by design: the correctness baseline the LSH variant is
+    measured against. The join broadcasts the (small) query side.
+    """
+    if queries is None:
+        queries = embeddings
+    q = queries.select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("q_emb")
+    )
+    c = embeddings.select("vec_id", F.col("embedding").alias("c_emb"))
+    sims = (
+        c.join(F.broadcast(q), q["qid"] != c["vec_id"])
+        .withColumn(
+            "sim",
+            F.round(
+                _dot("q_emb", "c_emb") / (_norm("q_emb") * _norm("c_emb")), round_to
+            ),
+        )
+        .select("qid", "vec_id", "sim")
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("vec_id").asc())
+    return sims.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k).drop("rn")
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.normal(size=(dim, n_planes)).astype(np.float64)
+
+
+def lsh_bucket_ids(
+    embeddings: DataFrame,
+    dim: int,
+    n_planes: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """(vec_id, band, bucket) — sign-LSH bucket per band. One matmul per
+    Arrow batch; deterministic seeded hyperplanes."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    per_band = n_planes // bands
+    weights = (1 << np.arange(per_band, dtype=np.int64))
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def buckets_udf(embs: pd.Series) -> pd.Series:
+        m = np.stack([np.asarray(e, dtype=np.float64) for e in embs])
+        signs = (m @ planes) > 0
+        out = []
+        for row in signs:
+            out.append(
+                [int(row[b * per_band : (b + 1) * per_band] @ weights) for b in range(bands)]
+            )
+        return pd.Series(out)
+
+    return embeddings.select(
+        "vec_id", F.posexplode(buckets_udf("embedding")).alias("band", "bucket")
+    )
+
+
+def lsh_cosine_topk(
+    embeddings: DataFrame,
+    dim: int,
+    queries: DataFrame | None = None,
+    k: int = 10,
+    n_planes: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+    round_to: int = 4,
+) -> DataFrame:
+    """Approximate cosine top-k: only candidates sharing >=1 LSH band
+    bucket with the query are scored. Same output shape as cosine_topk."""
+    if queries is None:
+        queries = embeddings
+    all_buckets = lsh_bucket_ids(embeddings, dim, n_planes, bands, seed)
+    q_ids = queries.select(F.col("vec_id").alias("qid"))
+    q_buckets = all_buckets.join(
+        q_ids, all_buckets["vec_id"] == q_ids["qid"]
+    ).select("qid", "band", "bucket")
+    cands = (
+        all_buckets.join(q_buckets, ["band", "bucket"])
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id")
+        .distinct()
+    )
+    q = queries.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("q_emb"))
+    c = embeddings.select("vec_id", F.col("embedding").alias("c_emb"))
+    sims = (
+        cands.join(q, "qid")
+        .join(c, "vec_id")
+        .withColumn(
+            "sim",
+            F.round(
+                _dot("q_emb", "c_emb") / (_norm("q_emb") * _norm("c_emb")), round_to
+            ),
+        )
+        .select("qid", "vec_id", "sim")
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("vec_id").asc())
+    return sims.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k).drop("rn")

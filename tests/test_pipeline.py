@@ -1,0 +1,171 @@
+"""Training-data pipeline operators: dedup, text stats, similarity,
+multimodal plumbing."""
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from linkgraph.pipeline import (
+    cosine_topk,
+    exact_duplicates,
+    lsh_cosine_topk,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash64,
+    token_count,
+)
+from linkgraph.pipeline.dedup import minhash_signatures
+
+
+DOC_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("text", T.StringType(), False),
+    ]
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog near the old river bank"
+    near = "the quick brown fox jumps over the lazy dog near the old river bend"
+    rows = [
+        (0, base),
+        (1, base),                      # exact dup of 0
+        (2, near),                      # near dup of 0
+        (3, "completely different words about spark shuffle partitions and joins"),
+        (4, "another unrelated document mentioning adaptive query execution"),
+    ]
+    return spark.createDataFrame(rows, DOC_SCHEMA).cache()
+
+
+class TestDedup:
+    def test_exact_duplicates(self, docs):
+        got = {r["min_doc_id"]: r["n_docs"] for r in exact_duplicates(docs).collect()}
+        assert got[0] == 2  # docs 0 and 1 identical
+        assert got[2] == 1 and got[3] == 1
+
+    def test_ngram_jaccard_finds_near_dup(self, docs):
+        pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in
+                 ngram_jaccard_pairs(docs, threshold=0.4).collect()}
+        assert pairs[(0, 1)] == 1.0      # exact dup
+        assert 0.5 < pairs[(0, 2)] < 1.0  # near dup
+        assert (0, 3) not in pairs
+
+    def test_jaccard_matches_pure_python(self, docs):
+        rows = docs.collect()
+        def shingles(t):
+            w = t.split(" ")
+            return {" ".join(w[i:i+3]) for i in range(len(w) - 2)}
+        s0, s2 = shingles(rows[0]["text"]), shingles(rows[2]["text"])
+        exp = len(s0 & s2) / len(s0 | s2)
+        got = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in
+               ngram_jaccard_pairs(docs, threshold=0.1).collect()}
+        assert got[(0, 2)] == pytest.approx(exp, abs=1e-6)
+
+    def test_minhash_lsh_candidates(self, docs):
+        pairs = {(r["doc_a"], r["doc_b"]): r["est_jaccard"] for r in
+                 minhash_lsh_pairs(docs, threshold=0.3).collect()}
+        assert pairs[(0, 1)] == 1.0
+        assert (0, 2) in pairs and pairs[(0, 2)] > 0.3
+        assert (0, 3) not in pairs and (3, 4) not in pairs
+
+    def test_minhash_estimates_jaccard(self, spark):
+        # two docs with known 50%-ish overlap; 128 hashes -> est within 0.15
+        a = " ".join(f"tok{i}" for i in range(40))
+        b = " ".join(f"tok{i}" for i in range(20, 60))
+        d = spark.createDataFrame([(0, a), (1, b)], DOC_SCHEMA)
+        sigs = {r["doc_id"]: r["sig"] for r in minhash_signatures(d, num_hashes=128).collect()}
+        est = sum(x == y for x, y in zip(sigs[0], sigs[1])) / 128
+        def shingles(t):
+            w = t.split(" ")
+            return {" ".join(w[i:i+3]) for i in range(len(w) - 2)}
+        true_j = len(shingles(a) & shingles(b)) / len(shingles(a) | shingles(b))
+        assert abs(est - true_j) < 0.15
+
+    def test_simhash_near_dups_close(self, docs):
+        h = {r["doc_id"]: r["simhash"] for r in simhash64(docs).collect()}
+        def ham(x, y):
+            return bin((x ^ y) & ((1 << 64) - 1)).count("1")
+        assert ham(h[0], h[1]) == 0          # identical
+        assert ham(h[0], h[2]) <= 16         # near dup (1 word of 14 changed)
+        assert ham(h[0], h[3]) > ham(h[0], h[2])  # unrelated doc is farther
+
+    def test_deterministic_across_runs(self, docs):
+        a = simhash64(docs).collect()
+        b = simhash64(docs).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+class TestSimilarity:
+    @pytest.fixture(scope="class")
+    def emb(self, spark):
+        import numpy as np
+
+        rng = np.random.RandomState(7)
+        base = rng.normal(size=(20, 16)).astype("float32")
+        base[1] = base[0] + rng.normal(scale=0.01, size=16).astype("float32")  # 1 ~ 0
+        rows = [(i, [float(x) for x in base[i]], 0) for i in range(20)]
+        schema = T.StructType(
+            [
+                T.StructField("vec_id", T.LongType(), False),
+                T.StructField("embedding", T.ArrayType(T.FloatType()), False),
+                T.StructField("label", T.IntegerType(), False),
+            ]
+        )
+        return spark.createDataFrame(rows, schema).cache()
+
+    def test_bruteforce_topk_matches_numpy(self, emb):
+        import numpy as np
+
+        got = cosine_topk(emb, emb.filter("vec_id = 0"), k=5).collect()
+        m = np.array([r["embedding"] for r in emb.orderBy("vec_id").collect()])
+        sims = (m @ m[0]) / (np.linalg.norm(m, axis=1) * np.linalg.norm(m[0]))
+        exp_top = np.argsort(np.round(sims, 4) - 1e-9 * np.arange(len(sims)))[::-1]
+        exp_top = [i for i in exp_top if i != 0][:5]
+        assert [r["vec_id"] for r in sorted(got, key=lambda r: -r["sim"])][0] == exp_top[0] == 1
+
+    def test_lsh_topk_recalls_nearest(self, emb):
+        got = lsh_cosine_topk(emb, dim=16, queries=emb.filter("vec_id = 0"), k=5).collect()
+        # the almost-identical vector must share every band bucket
+        assert 1 in [r["vec_id"] for r in got]
+
+    def test_lsh_is_subset_of_bruteforce_universe(self, emb):
+        lsh = lsh_cosine_topk(emb, dim=16, k=50)
+        assert lsh.count() <= 20 * 19
+
+
+class TestMultimodal:
+    def test_feature_extraction_shapes(self, spark):
+        from linkgraph.pipeline.multimodal import extract_features, synth_media
+
+        media = synth_media(spark, n=30)
+        feats = extract_features(media, feat_dim=8).collect()
+        assert len(feats) == 30
+        assert all(len(r["feature"]) == 8 for r in feats)
+        assert all(r["n_bytes"] > 0 for r in feats)
+
+    def test_decode_stub_raises(self, spark):
+        from linkgraph.pipeline.multimodal import extract_features, synth_media
+        from py4j.protocol import Py4JJavaError
+
+        media = synth_media(spark, n=3)
+        with pytest.raises(Exception) as exc:
+            extract_features(media, decode_stub="raise").collect()
+        assert "NotImplementedError" in str(exc.value) or "decode" in str(exc.value)
+
+    def test_frame_sample_plan(self, spark):
+        from linkgraph.pipeline.multimodal import frame_sample_plan, synth_media
+
+        media = synth_media(spark, n=9)
+        plan = frame_sample_plan(media, every_ms=1000)
+        rows = plan.collect()
+        vids = media.filter("kind = 'video'").collect()
+        exp = sum(r["duration_ms"] // 1000 + 1 for r in vids)
+        assert len(rows) == exp
+
+
+class TestTextStats:
+    def test_token_count(self, docs):
+        got = {r["doc_id"]: r["n_tokens"] for r in token_count(docs).collect()}
+        assert got[0] == len("the quick brown fox jumps over the lazy dog near the old river bank".split())
