@@ -1,0 +1,116 @@
+#!/usr/bin/env python3
+"""Benchmark harness (driver contract, SURVEY.md §8 / BASELINE.md).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line::
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+The headline value is the north-rule metric: total wall-time to PageRank
+L1-convergence (tol 1e-6, damping 0.85) on the edge graph derived from
+the documents table. Extras carried alongside: edges/sec per superstep
+for the convergence run, per-query seconds for every driver-contract
+query, and — when ``tools/bench_scaling.py`` has produced
+``BENCH/scaling.json`` — the two-parallelism scaling evidence
+(local[8] vs local[32] throughput + efficiency, standing in for N vs 4N
+executors in this single-machine sandbox).
+
+Each query is forced end-to-end with a noop-format write (computes every
+column, no driver collect, no output IO skew).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+PAGERANK_TOL = 1e-6
+PAGERANK_MAX_SUPERSTEPS = 200
+
+
+def force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    import __spark_entry__ as entry
+    from linkgraph import get_spark, pagerank
+    from linkgraph.docgraph import document_edges, document_vertices
+
+    spark = get_spark(
+        app_name="linkgraph-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else 0.0
+
+    timings: dict[str, float] = {}
+
+    # -- headline: PageRank to L1 convergence (north-rule metric) -------
+    edges = document_edges(spark, sf_dir).persist()
+    n_edges = edges.count()
+    t0 = time.monotonic()
+    ranks, res = pagerank(
+        edges,
+        tol=PAGERANK_TOL,
+        max_supersteps=PAGERANK_MAX_SUPERSTEPS,
+        vertices=document_vertices(spark, sf_dir),
+        track_messages=False,
+    )
+    force(ranks)
+    pr_wall = time.monotonic() - t0
+    timings["pagerank_converge"] = round(pr_wall, 3)
+    edges.unpersist()
+    supersteps = res.supersteps
+    edges_per_sec = (n_edges * supersteps / pr_wall) if pr_wall > 0 else 0.0
+
+    # -- every driver-contract query, timed end-to-end ------------------
+    for name, fn in entry.queries().items():
+        t0 = time.monotonic()
+        try:
+            force(fn(spark, sf_dir))
+            timings[name] = round(time.monotonic() - t0, 3)
+        except Exception as exc:  # keep the bench line emitting no matter what
+            timings[name] = -1.0
+            print(f"bench: {name} failed: {type(exc).__name__}: {exc}", file=sys.stderr)
+
+    out = {
+        "metric": "pagerank_l1_1e-6_convergence_wall_sec",
+        "value": round(pr_wall, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": cpus,
+        "pagerank_supersteps": supersteps,
+        "pagerank_converged": res.converged,
+        "n_edges": n_edges,
+        "edges_per_sec_per_superstep": round(edges_per_sec, 1),
+        "total_sec": round(sum(v for v in timings.values() if v > 0), 3),
+    }
+
+    scaling_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH", "scaling.json")
+    if os.path.exists(scaling_path):
+        try:
+            with open(scaling_path) as f:
+                out["scaling"] = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            pass
+
+    spark.stop()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

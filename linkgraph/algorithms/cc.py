@@ -45,6 +45,7 @@ def connected_components(
     max_supersteps: int = 200,
     ckpt: CheckpointManager | None = None,
     resume: bool = True,
+    track_messages: bool = True,
 ) -> tuple[DataFrame, LoopResult]:
     """Returns (DF(id, component), LoopResult)."""
     p = num_partitions or default_partitions(edges)
@@ -103,6 +104,7 @@ def connected_components(
         max_supersteps=max_supersteps,
         ckpt=ckpt,
         resume=resume,
+        track_messages=track_messages,
     )
     adj.unpersist()
     return result.state.select("id", "component"), result

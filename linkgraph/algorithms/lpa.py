@@ -38,6 +38,7 @@ def label_propagation(
     chunk_size: int = 4096,
     ckpt: CheckpointManager | None = None,
     resume: bool = True,
+    track_messages: bool = True,
 ) -> tuple[DataFrame, LoopResult]:
     """Returns (DF(id, label), LoopResult)."""
     p = num_partitions or default_partitions(edges)
@@ -86,6 +87,7 @@ def label_propagation(
         max_supersteps=max_supersteps,
         ckpt=ckpt,
         resume=resume,
+        track_messages=track_messages,
     )
     adj.unpersist()
     return result.state.select("id", "label"), result

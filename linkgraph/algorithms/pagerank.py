@@ -46,8 +46,12 @@ def pagerank(
     chunk_size: int = 4096,
     ckpt: CheckpointManager | None = None,
     resume: bool = True,
+    track_messages: bool = True,
 ) -> tuple[DataFrame, LoopResult]:
     """Returns (ranks DF(id, rank), LoopResult with per-superstep metrics).
+
+    ``track_messages=False`` skips the per-superstep message count /
+    skew histogram jobs (pure-throughput benchmark mode).
 
     ``fixed_updates=k``: run exactly k rank updates (reference parity
     mode; reference maxIter=m == fixed_updates=m-1). Otherwise iterate
@@ -110,6 +114,7 @@ def pagerank(
         max_supersteps=max_iter,
         ckpt=ckpt,
         resume=resume,
+        track_messages=track_messages,
     )
     adj.unpersist()
     return result.state.select("id", "rank"), result

@@ -32,6 +32,7 @@ def shortest_paths(
     max_supersteps: int = 200,
     ckpt: CheckpointManager | None = None,
     resume: bool = True,
+    track_messages: bool = True,
 ) -> tuple[DataFrame, LoopResult]:
     """Returns (DF(id, distance), LoopResult); distance NULL if unreachable."""
     p = num_partitions or default_partitions(edges)
@@ -83,6 +84,7 @@ def shortest_paths(
         max_supersteps=max_supersteps,
         ckpt=ckpt,
         resume=resume,
+        track_messages=track_messages,
     )
     wedges.unpersist()
     out = result.state.select(

@@ -1,0 +1,162 @@
+"""spark-submit entry point for the link-graph engine.
+
+North-rule launch mode (BASELINE.json): the job runs via
+
+    spark-submit --py-files linkgraph.zip -m linkgraph.cli ...
+    # or: spark-submit --py-files linkgraph.zip cli.py ...
+
+on a multi-executor cluster; in this sandbox the same entry runs under
+``--master local[k]``. The reference's analogue is Client.main ->
+Driver.runJob (pregelix-example Client.java:82-86, Driver.java:88-135):
+parse CLI, pick the algorithm, run the iteration loop, write results.
+
+No ``master`` is set here — spark-submit owns cluster placement; the
+session factory only applies engine tuning (AQE, Arrow, shuffle
+partitions).
+
+Examples
+--------
+Derive a graph from a source-code table and run PageRank to 1e-6::
+
+    spark-submit --py-files linkgraph.zip -m linkgraph.cli \
+      pagerank --code-table /data/code_files --output /out/ranks \
+      --tol 1e-6 --checkpoint /ckpt/pr
+
+Run connected components over an existing edge table::
+
+    spark-submit ... -m linkgraph.cli cc --edges /data/edges --output /out/cc
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="linkgraph", description=__doc__)
+    p.add_argument("algorithm", choices=["pagerank", "cc", "lpa", "triangles", "sssp", "derive"])
+    src = p.add_argument_group("input (exactly one)")
+    src.add_argument("--edges", help="path/table of edges(src BIGINT, dst BIGINT)")
+    src.add_argument(
+        "--code-table",
+        help="path/table of source code rows (repo, path, commit, lang, content); "
+        "edges are derived from cross-repo import references",
+    )
+    p.add_argument("--output", required=True, help="output path (parquet)")
+    p.add_argument("--format", default="parquet", help="spark output format (default parquet)")
+    p.add_argument("--checkpoint", help="checkpoint dir for resumable iteration")
+    p.add_argument("--checkpoint-every", type=int, default=1)
+    p.add_argument("--no-resume", action="store_true")
+    p.add_argument("--num-partitions", type=int, default=None)
+    p.add_argument("--max-supersteps", type=int, default=100)
+    p.add_argument("--tol", type=float, default=1e-6, help="pagerank L1 stop")
+    p.add_argument("--damping", type=float, default=0.85)
+    p.add_argument("--fixed-updates", type=int, default=None,
+                   help="pagerank reference-parity mode: exactly k rank updates")
+    p.add_argument("--source", type=int, default=0, help="sssp source vertex")
+    p.add_argument("--directed", action="store_true",
+                   help="cc/lpa/triangles: consume edges as-given instead of symmetrizing")
+    p.add_argument("--metrics-output", help="write per-superstep metrics JSON lines here")
+    return p
+
+
+def _load_edges(spark: SparkSession, args) -> DataFrame:
+    if bool(args.edges) == bool(args.code_table):
+        raise SystemExit("exactly one of --edges / --code-table is required")
+    if args.edges:
+        return spark.read.load(args.edges).select(
+            F.col("src").cast("long"), F.col("dst").cast("long")
+        )
+    from .derive import derive_graph
+
+    code = spark.read.load(args.code_table)
+    _, edges = derive_graph(code)
+    return edges
+
+
+def main(argv: list[str] | None = None) -> None:
+    args = _build_parser().parse_args(argv)
+
+    from .session import get_spark
+
+    spark = get_spark(app_name=f"linkgraph-{args.algorithm}")
+
+    ckpt = None
+    if args.checkpoint:
+        from .checkpoint import CheckpointManager
+
+        ckpt = CheckpointManager(spark, args.checkpoint, every=args.checkpoint_every)
+
+    edges = _load_edges(spark, args)
+    common = dict(
+        num_partitions=args.num_partitions,
+        ckpt=ckpt,
+        resume=not args.no_resume,
+    )
+
+    res = None
+    if args.algorithm == "derive":
+        out = edges
+    elif args.algorithm == "pagerank":
+        from .algorithms.pagerank import pagerank
+
+        out, res = pagerank(
+            edges,
+            damping=args.damping,
+            tol=args.tol,
+            max_supersteps=args.max_supersteps,
+            fixed_updates=args.fixed_updates,
+            **common,
+        )
+    elif args.algorithm == "cc":
+        from .algorithms.cc import connected_components
+
+        out, res = connected_components(
+            edges,
+            symmetrize_edges=not args.directed,
+            max_supersteps=args.max_supersteps,
+            **common,
+        )
+    elif args.algorithm == "lpa":
+        from .algorithms.lpa import label_propagation
+
+        out, res = label_propagation(
+            edges,
+            symmetrize_edges=not args.directed,
+            max_supersteps=args.max_supersteps,
+            **common,
+        )
+    elif args.algorithm == "sssp":
+        from .algorithms.sssp import shortest_paths
+
+        out, res = shortest_paths(
+            edges, source=args.source, max_supersteps=args.max_supersteps, **common
+        )
+    else:  # triangles — non-iterative
+        from .algorithms.triangles import triangle_counts
+
+        out = triangle_counts(edges, symmetrize_edges=not args.directed)
+
+    out.write.format(args.format).mode("overwrite").save(args.output)
+
+    if res is not None:
+        lines = [h.to_json() for h in res.history]
+        if args.metrics_output:
+            with open(args.metrics_output, "w") as f:
+                f.write("\n".join(lines) + "\n")
+        summary = {
+            "algorithm": args.algorithm,
+            "supersteps": res.supersteps,
+            "converged": res.converged,
+            "total_wall_sec": round(sum(h.wall_sec for h in res.history), 3),
+        }
+        print(json.dumps(summary), file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

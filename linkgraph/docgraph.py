@@ -31,19 +31,20 @@ def document_vertices(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_documents(spark, sf_dir).select(F.col("doc_id").alias("id"))
 
 
-def document_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """edges(src BIGINT, dst BIGINT) via the arithmetic rule above."""
-    docs = load_documents(spark, sf_dir)
-    n = docs.count()
-    deg = docs.select(
-        F.col("doc_id").alias("src"),
+def arithmetic_edges(ids: DataFrame, n: int) -> DataFrame:
+    """Apply the arithmetic edge rule to DF(src BIGINT) with modulus n.
+
+    Shared by the oracle-checkable documents graph below and the
+    at-scale benchmark graph (``scaled_edges``)."""
+    deg = ids.select(
+        "src",
         (
             F.lit(1)
-            + F.col("doc_id") % 7
-            + F.when(F.col("doc_id") % 101 == 0, F.lit(30)).otherwise(F.lit(0))
+            + F.col("src") % 7
+            + F.when(F.col("src") % 101 == 0, F.lit(30)).otherwise(F.lit(0))
         ).cast("long").alias("k"),
     )
-    edges = (
+    return (
         deg.select("src", F.explode(F.expr("sequence(1, k)")).alias("j"))
         .select(
             "src",
@@ -52,7 +53,23 @@ def document_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("src") != F.col("dst"))
         .distinct()
     )
-    return edges
+
+
+def document_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """edges(src BIGINT, dst BIGINT) via the arithmetic rule above."""
+    docs = load_documents(spark, sf_dir)
+    n = docs.count()
+    return arithmetic_edges(docs.select(F.col("doc_id").alias("src")), n)
+
+
+def scaled_edges(spark: SparkSession, n: int, num_partitions: int | None = None) -> DataFrame:
+    """The same graph shape at arbitrary vertex count ``n`` generated
+    from ``spark.range`` — fully distributed synthesis (no driver-side
+    data), used by the throughput/scaling benchmarks."""
+    ids = spark.range(n).select(F.col("id").alias("src"))
+    if num_partitions:
+        ids = ids.repartition(num_partitions)
+    return arithmetic_edges(ids, n)
 
 
 # ---- DuckDB-dialect SQL building blocks for the oracle side ----------

