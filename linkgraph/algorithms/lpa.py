@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 from ..checkpoint import CheckpointManager
 from ..graph import default_partitions, vertices_from_edges
 from ..partitioning import build_adjacency, symmetrize
-from ..superstep import LoopResult, StepResult, iterate
+from ..superstep import LoopResult, StepResult, aqe_disabled, iterate
 
 
 def label_propagation(
@@ -47,8 +47,9 @@ def label_propagation(
     verts = vertices.select("id").repartition(p, "id")
 
     e = symmetrize(edges) if symmetrize_edges else edges.select("src", "dst")
-    adj = build_adjacency(e, num_partitions=p, chunk_size=chunk_size).persist()
-    adj.count()
+    with aqe_disabled(edges.sparkSession):
+        adj = build_adjacency(e, num_partitions=p, chunk_size=chunk_size).persist()
+        adj.count()
 
     init = verts.withColumn("label", F.col("id"))
 

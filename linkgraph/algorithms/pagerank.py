@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 from ..checkpoint import CheckpointManager
 from ..graph import default_partitions, vertices_from_edges
 from ..partitioning import build_adjacency
-from ..superstep import LoopResult, StepResult, iterate
+from ..superstep import LoopResult, StepResult, aqe_disabled, iterate
 
 
 def pagerank(
@@ -66,8 +66,11 @@ def pagerank(
         empty = verts.withColumn("rank", F.lit(0.0))
         return empty, LoopResult(empty, 0, [], True)
 
-    adj = build_adjacency(edges, num_partitions=p, chunk_size=chunk_size).persist()
-    adj.count()  # materialize once; reused every superstep
+    # materialize once under AQE-off so the cached plan keeps
+    # hashpartitioning(src, p) — see superstep.aqe_disabled
+    with aqe_disabled(edges.sparkSession):
+        adj = build_adjacency(edges, num_partitions=p, chunk_size=chunk_size).persist()
+        adj.count()  # reused every superstep
 
     teleport = (1.0 - damping) / n
     init = verts.withColumn("rank", F.lit(1.0 / n))

@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 
 from ..checkpoint import CheckpointManager
 from ..graph import default_partitions, vertices_from_edges
-from ..superstep import LoopResult, StepResult, iterate
+from ..superstep import LoopResult, StepResult, aqe_disabled, iterate
 
 _INF = float("inf")
 
@@ -43,8 +43,9 @@ def shortest_paths(
     w = F.col(weight_col).cast("double") if weight_col else F.lit(1.0)
     # weighted adjacency rows (src, dst, w); kept row-per-edge (the
     # scatter needs per-edge weights, so array packing buys nothing)
-    wedges = edges.select("src", "dst", w.alias("w")).repartition(p, "src").persist()
-    wedges.count()
+    with aqe_disabled(edges.sparkSession):
+        wedges = edges.select("src", "dst", w.alias("w")).repartition(p, "src").persist()
+        wedges.count()
 
     init = verts.select(
         "id",

@@ -49,6 +49,11 @@ def get_spark(
         "spark.sql.shuffle.partitions": str(shuffle_partitions),
         # All Python UDF traffic is Arrow-batched (pandas UDFs only).
         "spark.sql.execution.arrow.pyspark.enabled": "true",
+        # Gather-scatter joins are large-vs-large equi-joins on the
+        # vertex id with no exploitable ordering: shuffled-hash beats
+        # sort-merge (no per-superstep sort of the vertex state).
+        # Partition sizing keeps build sides bounded (~rows/partitions).
+        "spark.sql.join.preferSortMergeJoin": "false",
         # Iterative loops re-reference the same cached adjacency; don't
         # let broadcast timeouts kill long supersteps.
         "spark.sql.broadcastTimeout": "1200",

@@ -22,6 +22,7 @@ Both are stripped before the state is checkpointed.
 from __future__ import annotations
 
 import time
+from contextlib import contextmanager
 from dataclasses import dataclass
 from typing import Callable
 
@@ -31,6 +32,28 @@ from pyspark.storagelevel import StorageLevel
 
 from .checkpoint import CheckpointManager
 from .metrics import SuperstepMetrics, partition_histogram, skew_from_histogram
+
+
+@contextmanager
+def aqe_disabled(spark):
+    """Disable AQE for the scope of an iterative build+loop.
+
+    Two AQE interactions break fixed co-partitioning in iteration:
+    (1) a localCheckpoint'ed DataFrame planned under AQE reports
+    UnknownPartitioning, so every superstep re-Exchanges the vertex
+    state; (2) a DataFrame persisted under AQE caches an
+    AdaptiveSparkPlan whose InMemoryTableScan likewise reports
+    UnknownPartitioning, so the cached adjacency is re-shuffled every
+    superstep. Both measured ~2x per-superstep cost at 20M vertices.
+    AQE stays on outside the loop (scans, derivation, non-iterative
+    analytics); in-loop skew is handled by explicit hub salting.
+    """
+    before = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", before)
 
 
 @dataclass
@@ -67,66 +90,73 @@ def iterate(
     history: list[SuperstepMetrics] = []
     start_k = 1
     state = init_state
+    spark = init_state.sparkSession
 
-    if ckpt is not None and resume:
-        latest = ckpt.latest()
-        if latest is not None:
-            state, last = ckpt.load(latest)
-            history = ckpt.history()
-            if converged(last):
-                return LoopResult(state, latest, history, True)
-            start_k = latest + 1
+    # See aqe_disabled: the loop must run with AQE off so the
+    # checkpointed state keeps its hashpartitioning(id, p) and the only
+    # per-superstep shuffle is the unavoidable message combine.
+    with aqe_disabled(spark):
+        if ckpt is not None and resume:
+            latest = ckpt.latest()
+            if latest is not None:
+                state, last = ckpt.load(latest)
+                history = ckpt.history()
+                if converged(last):
+                    return LoopResult(state, latest, history, True)
+                start_k = latest + 1
 
-    state = state.persist(storage_level)
-    done = False
-    k = start_k - 1
-    for k in range(start_k, max_supersteps + 1):
-        t0 = time.monotonic()
-        res = superstep_fn(state, k)
-        # localCheckpoint (eager) both caches the new state AND truncates
-        # its logical plan — without this, every superstep's plan embeds
-        # all previous supersteps and the driver OOMs after ~10
-        # iterations. Durable fault tolerance comes from the
-        # CheckpointManager below; this is the in-memory lineage cut.
-        new_state = res.state.localCheckpoint(eager=True)
+        state = state.persist(storage_level)
+        done = False
+        k = start_k - 1
+        for k in range(start_k, max_supersteps + 1):
+            t0 = time.monotonic()
+            res = superstep_fn(state, k)
+            # localCheckpoint (eager) both caches the new state AND
+            # truncates its logical plan — without this, every
+            # superstep's plan embeds all previous supersteps and the
+            # driver OOMs after ~10 iterations. Durable fault tolerance
+            # comes from the CheckpointManager below; this is the
+            # in-memory lineage cut. (AQE must stay off here or the
+            # checkpointed frame loses its partitioning — see above.)
+            new_state = res.state.localCheckpoint(eager=True)
 
-        stats = SuperstepMetrics(superstep=k)
-        agg_exprs = [F.count(F.lit(1)).alias("rows")]
-        cols = set(new_state.columns)
-        if "_delta" in cols:
-            agg_exprs.append(F.sum("_delta").alias("delta"))
-        if "_changed" in cols:
-            agg_exprs.append(F.sum(F.col("_changed").cast("long")).alias("changed"))
-        row = new_state.agg(*agg_exprs).first()
-        stats.rows = int(row["rows"])
-        if "_delta" in cols:
-            stats.delta = float(row["delta"] or 0.0)
-        if "_changed" in cols:
-            stats.changed = int(row["changed"] or 0)
+            stats = SuperstepMetrics(superstep=k)
+            agg_exprs = [F.count(F.lit(1)).alias("rows")]
+            cols = set(new_state.columns)
+            if "_delta" in cols:
+                agg_exprs.append(F.sum("_delta").alias("delta"))
+            if "_changed" in cols:
+                agg_exprs.append(F.sum(F.col("_changed").cast("long")).alias("changed"))
+            row = new_state.agg(*agg_exprs).first()
+            stats.rows = int(row["rows"])
+            if "_delta" in cols:
+                stats.delta = float(row["delta"] or 0.0)
+            if "_changed" in cols:
+                stats.changed = int(row["changed"] or 0)
 
-        if res.messages is not None and track_messages:
-            msgs = res.messages.persist(storage_level)
-            stats.messages = msgs.count()
-            hist = partition_histogram(msgs)
-            stats.skew_ratio = skew_from_histogram(hist)
-            msgs.unpersist()
+            if res.messages is not None and track_messages:
+                msgs = res.messages.persist(storage_level)
+                stats.messages = msgs.count()
+                hist = partition_histogram(msgs)
+                stats.skew_ratio = skew_from_histogram(hist)
+                msgs.unpersist()
 
-        if ckpt is not None and ckpt.should_checkpoint(k):
-            committed = ckpt.save(k, new_state.drop("_delta", "_changed"), stats)
-            new_state.unpersist()
-            next_state = committed.persist(storage_level)
-        else:
-            # keep the cached frame as-is (transient cols and all); the
-            # next superstep_fn re-selects what it needs, and we avoid
-            # double-caching a dropped projection of the same rows.
-            next_state = new_state
+            if ckpt is not None and ckpt.should_checkpoint(k):
+                committed = ckpt.save(k, new_state.drop("_delta", "_changed"), stats)
+                new_state.unpersist()
+                next_state = committed.persist(storage_level)
+            else:
+                # keep the cached frame as-is (transient cols and all);
+                # the next superstep_fn re-selects what it needs, and we
+                # avoid double-caching a dropped projection of the rows.
+                next_state = new_state
 
-        state.unpersist()
-        state = next_state
-        stats.wall_sec = time.monotonic() - t0
-        history.append(stats)
-        if converged(stats):
-            done = True
-            break
+            state.unpersist()
+            state = next_state
+            stats.wall_sec = time.monotonic() - t0
+            history.append(stats)
+            if converged(stats):
+                done = True
+                break
 
-    return LoopResult(state.drop("_delta", "_changed"), k, history, done)
+        return LoopResult(state.drop("_delta", "_changed"), k, history, done)

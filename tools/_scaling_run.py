@@ -37,12 +37,8 @@ def main() -> None:
             # One consistent config across parallelism levels. ParallelGC:
             # the iterative loop's object-agg adjacency build + per-step
             # materialization thrash G1 in a many-threaded single JVM.
-            # Shuffled-hash join beats sort-merge for the per-superstep
-            # ranks-vs-messages join (both sides already co-partitioned
-            # on the vertex id; no ordering to exploit).
             "spark.driver.memory": "48g",
             "spark.driver.extraJavaOptions": "-XX:+UseParallelGC",
-            "spark.sql.join.preferSortMergeJoin": "false",
         },
     )
     spark.sparkContext.setLogLevel("ERROR")
