@@ -25,6 +25,7 @@ from linkgraph import (
     connected_components,
     label_propagation,
     pagerank,
+    reachability,
     shortest_paths,
     triangle_counts,
 )
@@ -126,6 +127,18 @@ def _q_sssp(spark, sf):
     return dist
 
 
+def _q_reachability(spark, sf):
+    edges = document_edges(spark, sf)
+    states, _, _ = reachability(
+        edges,
+        source=0,
+        dest=1,
+        early_terminate=False,
+        vertices=document_vertices(spark, sf),
+    )
+    return states
+
+
 def _q_exact_dedup(spark, sf):
     return exact_duplicates(load_documents(spark, sf))
 
@@ -198,6 +211,29 @@ def _q_lsh_topk(spark, sf):
     return lsh_cosine_topk(emb, dim, queries, k=TOPK)
 
 
+def _q_graph_sample(spark, sf):
+    from linkgraph import graph_sample
+
+    edges = document_edges(spark, sf)
+    sel, _ = graph_sample(
+        edges, target_rate=0.3, seed=7, vertices=document_vertices(spark, sf)
+    )
+    return sel
+
+
+def _q_kmeans(spark, sf):
+    from linkgraph import kmeans
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("features")
+    )
+    res = kmeans(emb, k=5, max_iterations=5)
+    return spark.createDataFrame(
+        [(i, [round(float(x), 6) for x in c]) for i, c in enumerate(res.model)],
+        "cluster INT, center ARRAY<DOUBLE>",
+    )
+
+
 def _q_multimodal(spark, sf):
     from linkgraph.pipeline.multimodal import extract_features, synth_media
 
@@ -216,6 +252,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangles_per_vertex": _q_triangles,
         "triangle_total": _q_triangle_total,
         "sssp_hops": _q_sssp,
+        "reachability": _q_reachability,
         "exact_dedup": _q_exact_dedup,
         "token_count": _q_token_count,
         "quality_score": _q_quality,
@@ -230,6 +267,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash64": _q_simhash,
         "embedding_lsh_topk": _q_lsh_topk,
         "multimodal_features": _q_multimodal,
+        "graph_sample": _q_graph_sample,
+        "kmeans_centers": _q_kmeans,
     }
 
 
@@ -345,6 +384,25 @@ def oracle_sql() -> dict[str, str]:
             " SELECT doc.doc_id AS id, CAST(MIN(w.d) AS DOUBLE) AS distance"
             " FROM documents doc LEFT JOIN walk w ON w.id = doc.doc_id"
             " GROUP BY doc.doc_id"
+        ),
+        "reachability": (
+            "WITH RECURSIVE "
+            + EDGES_CTES.strip()
+            + ", rs(id) AS ("
+            "   SELECT CAST(0 AS BIGINT)"
+            "   UNION"
+            "   SELECT e.dst FROM rs JOIN edges e ON e.src = rs.id"
+            " ), rd(id) AS ("
+            "   SELECT CAST(1 AS BIGINT)"
+            "   UNION"
+            "   SELECT e.dst FROM rd JOIN edges e ON e.src = rd.id"
+            " )"
+            " SELECT d.doc_id AS id,"
+            "  (CASE WHEN rs.id IS NOT NULL THEN 1 ELSE 0 END"
+            "   + CASE WHEN rd.id IS NOT NULL THEN 2 ELSE 0 END) AS state"
+            " FROM documents d"
+            " LEFT JOIN (SELECT DISTINCT id FROM rs) rs ON rs.id = d.doc_id"
+            " LEFT JOIN (SELECT DISTINCT id FROM rd) rd ON rd.id = d.doc_id"
         ),
         "exact_dedup": (
             "SELECT md5(text) AS text_hash, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc_id"

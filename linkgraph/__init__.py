@@ -14,12 +14,16 @@ from .partitioning import build_adjacency, symmetrize
 from .checkpoint import CheckpointManager
 from .algorithms import (
     connected_components,
+    graph_sample,
     label_propagation,
     pagerank,
+    reachability,
     shortest_paths,
     triangle_counts,
     triangle_total,
 )
+from .imru import batch_gradient_descent, imru_run, kmeans
+from .mutation import add_vertices, delete_edges_of, delete_vertices
 
 __all__ = [
     "get_spark",
@@ -35,4 +39,12 @@ __all__ = [
     "triangle_counts",
     "triangle_total",
     "shortest_paths",
+    "reachability",
+    "graph_sample",
+    "imru_run",
+    "kmeans",
+    "batch_gradient_descent",
+    "add_vertices",
+    "delete_vertices",
+    "delete_edges_of",
 ]

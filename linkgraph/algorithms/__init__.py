@@ -3,12 +3,16 @@ from .cc import connected_components
 from .lpa import label_propagation
 from .triangles import triangle_counts, triangle_total
 from .sssp import shortest_paths
+from .reachability import reachability
+from .sampling import graph_sample
 
 __all__ = [
+    "graph_sample",
     "pagerank",
     "connected_components",
     "label_propagation",
     "triangle_counts",
     "triangle_total",
     "shortest_paths",
+    "reachability",
 ]

@@ -39,7 +39,10 @@ from pyspark.sql import functions as F
 
 def _build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="linkgraph", description=__doc__)
-    p.add_argument("algorithm", choices=["pagerank", "cc", "lpa", "triangles", "sssp", "derive"])
+    p.add_argument(
+        "algorithm",
+        choices=["pagerank", "cc", "lpa", "triangles", "sssp", "reachability", "sample", "derive"],
+    )
     src = p.add_argument_group("input (exactly one)")
     src.add_argument("--edges", help="path/table of edges(src BIGINT, dst BIGINT)")
     src.add_argument(
@@ -58,7 +61,10 @@ def _build_parser() -> argparse.ArgumentParser:
     p.add_argument("--damping", type=float, default=0.85)
     p.add_argument("--fixed-updates", type=int, default=None,
                    help="pagerank reference-parity mode: exactly k rank updates")
-    p.add_argument("--source", type=int, default=0, help="sssp source vertex")
+    p.add_argument("--source", type=int, default=0, help="sssp/reachability source vertex")
+    p.add_argument("--dest", type=int, default=1, help="reachability dest vertex")
+    p.add_argument("--target-rate", type=float, default=0.5, help="sample fill rate")
+    p.add_argument("--seed", type=int, default=42, help="sample determinism seed")
     p.add_argument("--directed", action="store_true",
                    help="cc/lpa/triangles: consume edges as-given instead of symmetrizing")
     p.add_argument("--metrics-output", help="write per-superstep metrics JSON lines here")
@@ -136,6 +142,28 @@ def main(argv: list[str] | None = None) -> None:
 
         out, res = shortest_paths(
             edges, source=args.source, max_supersteps=args.max_supersteps, **common
+        )
+    elif args.algorithm == "reachability":
+        from .algorithms.reachability import reachability
+
+        out, reachable, res = reachability(
+            edges,
+            source=args.source,
+            dest=args.dest,
+            symmetrize_edges=not args.directed,
+            max_supersteps=args.max_supersteps,
+            **common,
+        )
+        print(json.dumps({"reachable": reachable}), file=sys.stderr)
+    elif args.algorithm == "sample":
+        from .algorithms.sampling import graph_sample
+
+        out, res = graph_sample(
+            edges,
+            target_rate=args.target_rate,
+            seed=args.seed,
+            max_supersteps=args.max_supersteps,
+            **common,
         )
     else:  # triangles — non-iterative
         from .algorithms.triangles import triangle_counts

@@ -132,6 +132,36 @@ WEBMAP = {
     19: [0] + list(range(11, 20)),
 }
 
+# pregelix-example/data/webmapcomplex: webmap plus dangling refs (50,
+# 99, 101 appear only as edge targets; 22-24 only as 21's targets; 25
+# and 27 are isolated vertex lines). Used by the *RealComplex golden
+# tests, incl. reachability src=1 dst=10 / dst=25.
+WEBMAPCOMPLEX = {
+    0: [1, 50],
+    1: [1, 2],
+    2: [1, 2, 3],
+    3: [1, 2, 3, 4],
+    4: list(range(1, 6)),
+    5: list(range(1, 7)),
+    6: list(range(1, 8)),
+    7: list(range(1, 9)),
+    8: list(range(1, 10)),
+    9: list(range(1, 11)),
+    10: [11, 99],
+    11: [11, 12, 101],
+    12: [11, 12, 13],
+    13: list(range(11, 15)),
+    14: list(range(11, 16)),
+    15: list(range(11, 17)),
+    16: list(range(11, 18)),
+    17: list(range(11, 19)),
+    18: list(range(11, 20)),
+    19: [0] + list(range(11, 20)),
+    21: [22, 23, 24],
+    25: [],
+    27: [],
+}
+
 # pregelix-example/data/clique/clique.txt (adjacency as given; note the
 # asymmetry: 2 lists 5 but 5 does not list 2 — the reference's triangle
 # counter consumes adjacency as-given, TriangleCountingVertex.java:52-97).

@@ -64,11 +64,13 @@ def test_every_query_has_oracle_or_is_documented(spark):
 
     qs, os_ = entrymod.queries(), entrymod.oracle_sql()
     rows_only = set(qs) - set(os_)
-    # only the seeded-hash/numpy ops are allowed to skip the SQL oracle
+    # only seeded-hash/numpy/iterative-driver ops may skip the SQL oracle
     assert rows_only == {
         "minhash_lsh_pairs",
         "simhash64",
         "embedding_lsh_topk",
         "multimodal_features",
+        "graph_sample",
+        "kmeans_centers",
     }
     assert set(os_) <= set(qs)
