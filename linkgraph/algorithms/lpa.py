@@ -24,9 +24,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..checkpoint import CheckpointManager
-from ..graph import default_partitions, vertices_from_edges
+from ..graph import choose_partitions, vertices_from_edges
 from ..partitioning import build_adjacency, symmetrize
-from ..superstep import LoopResult, StepResult, aqe_disabled, iterate
+from ..superstep import LoopResult, StepResult, iterate, iteration_conf
 
 
 def label_propagation(
@@ -41,13 +41,14 @@ def label_propagation(
     track_messages: bool = True,
 ) -> tuple[DataFrame, LoopResult]:
     """Returns (DF(id, label), LoopResult)."""
-    p = num_partitions or default_partitions(edges)
+    scale = 2 if symmetrize_edges else 1
+    p = choose_partitions(edges, scale * edges.count(), num_partitions)
     if vertices is None:
         vertices = vertices_from_edges(edges)
     verts = vertices.select("id").repartition(p, "id")
 
     e = symmetrize(edges) if symmetrize_edges else edges.select("src", "dst")
-    with aqe_disabled(edges.sparkSession):
+    with iteration_conf(edges.sparkSession, p):
         adj = build_adjacency(e, num_partitions=p, chunk_size=chunk_size).persist()
         adj.count()
 
@@ -89,6 +90,7 @@ def label_propagation(
         ckpt=ckpt,
         resume=resume,
         track_messages=track_messages,
+        num_partitions=p,
     )
     adj.unpersist()
     return result.state.select("id", "label"), result

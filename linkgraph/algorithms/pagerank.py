@@ -30,9 +30,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..checkpoint import CheckpointManager
-from ..graph import default_partitions, vertices_from_edges
+from ..graph import choose_partitions, vertices_from_edges
 from ..partitioning import build_adjacency
-from ..superstep import LoopResult, StepResult, aqe_disabled, iterate
+from ..superstep import LoopResult, StepResult, iterate, iteration_conf
 
 
 def pagerank(
@@ -57,7 +57,7 @@ def pagerank(
     mode; reference maxIter=m == fixed_updates=m-1). Otherwise iterate
     until the L1 delta <= tol.
     """
-    p = num_partitions or default_partitions(edges)
+    p = choose_partitions(edges, edges.count(), num_partitions)
     if vertices is None:
         vertices = vertices_from_edges(edges)
     verts = vertices.select("id").repartition(p, "id")
@@ -66,9 +66,9 @@ def pagerank(
         empty = verts.withColumn("rank", F.lit(0.0))
         return empty, LoopResult(empty, 0, [], True)
 
-    # materialize once under AQE-off so the cached plan keeps
-    # hashpartitioning(src, p) — see superstep.aqe_disabled
-    with aqe_disabled(edges.sparkSession):
+    # materialize once under the loop conf (AQE off) so the cached plan
+    # keeps hashpartitioning(src, p) — see superstep.iteration_conf
+    with iteration_conf(edges.sparkSession, p):
         adj = build_adjacency(edges, num_partitions=p, chunk_size=chunk_size).persist()
         adj.count()  # reused every superstep
 
@@ -118,6 +118,7 @@ def pagerank(
         ckpt=ckpt,
         resume=resume,
         track_messages=track_messages,
+        num_partitions=p,
     )
     adj.unpersist()
     return result.state.select("id", "rank"), result

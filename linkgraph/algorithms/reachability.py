@@ -27,9 +27,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..checkpoint import CheckpointManager
-from ..graph import default_partitions, vertices_from_edges
+from ..graph import choose_partitions, vertices_from_edges
 from ..partitioning import symmetrize
-from ..superstep import LoopResult, StepResult, aqe_disabled, iterate
+from ..superstep import LoopResult, StepResult, iterate, iteration_conf
 
 
 def reachability(
@@ -50,13 +50,14 @@ def reachability(
     ``state``: 0 unmarked, 1 reached-from-source, 2 reached-from-dest,
     3 both (the searches met through this vertex).
     """
-    p = num_partitions or default_partitions(edges)
+    scale = 2 if symmetrize_edges else 1
+    p = choose_partitions(edges, scale * edges.count(), num_partitions)
     if vertices is None:
         vertices = vertices_from_edges(edges)
     verts = vertices.select("id").repartition(p, "id")
 
     e = symmetrize(edges) if symmetrize_edges else edges.select("src", "dst")
-    with aqe_disabled(edges.sparkSession):
+    with iteration_conf(edges.sparkSession, p):
         adj = (
             e.groupBy("src").agg(F.collect_list("dst").alias("dsts"))
             .repartition(p, "src")
@@ -123,6 +124,7 @@ def reachability(
         ckpt=ckpt,
         resume=resume,
         track_messages=track_messages,
+        num_partitions=p,
     )
     adj.unpersist()
     states = result.state.select("id", "state")

@@ -22,9 +22,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..checkpoint import CheckpointManager
-from ..graph import default_partitions, vertices_from_edges
+from ..graph import choose_partitions, vertices_from_edges
 from ..partitioning import build_adjacency
-from ..superstep import LoopResult, StepResult, aqe_disabled, iterate
+from ..superstep import LoopResult, StepResult, iterate, iteration_conf
 
 
 def graph_sample(
@@ -42,12 +42,12 @@ def graph_sample(
 ) -> tuple[DataFrame, LoopResult]:
     """Returns (DF(id, selected BOOLEAN), LoopResult); the selected set
     reaches ``target_rate`` of all vertices (or max_supersteps)."""
-    p = num_partitions or default_partitions(edges)
+    p = choose_partitions(edges, edges.count(), num_partitions)
     if vertices is None:
         vertices = vertices_from_edges(edges)
     verts = vertices.select("id").repartition(p, "id")
 
-    with aqe_disabled(edges.sparkSession):
+    with iteration_conf(edges.sparkSession, p):
         adj = build_adjacency(edges, num_partitions=p).persist()
         adj.count()
 
@@ -103,6 +103,7 @@ def graph_sample(
         ckpt=ckpt,
         resume=resume,
         track_messages=track_messages,
+        num_partitions=p,
     )
     adj.unpersist()
     return result.state.select("id", "selected"), result

@@ -17,8 +17,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..checkpoint import CheckpointManager
-from ..graph import default_partitions, vertices_from_edges
-from ..superstep import LoopResult, StepResult, aqe_disabled, iterate
+from ..graph import choose_partitions, vertices_from_edges
+from ..superstep import LoopResult, StepResult, iterate, iteration_conf
 
 _INF = float("inf")
 
@@ -35,7 +35,7 @@ def shortest_paths(
     track_messages: bool = True,
 ) -> tuple[DataFrame, LoopResult]:
     """Returns (DF(id, distance), LoopResult); distance NULL if unreachable."""
-    p = num_partitions or default_partitions(edges)
+    p = choose_partitions(edges, edges.count(), num_partitions)
     if vertices is None:
         vertices = vertices_from_edges(edges)
     verts = vertices.select("id").repartition(p, "id")
@@ -43,7 +43,7 @@ def shortest_paths(
     w = F.col(weight_col).cast("double") if weight_col else F.lit(1.0)
     # weighted adjacency rows (src, dst, w); kept row-per-edge (the
     # scatter needs per-edge weights, so array packing buys nothing)
-    with aqe_disabled(edges.sparkSession):
+    with iteration_conf(edges.sparkSession, p):
         wedges = edges.select("src", "dst", w.alias("w")).repartition(p, "src").persist()
         wedges.count()
 
@@ -86,6 +86,7 @@ def shortest_paths(
         ckpt=ckpt,
         resume=resume,
         track_messages=track_messages,
+        num_partitions=p,
     )
     wedges.unpersist()
     out = result.state.select(

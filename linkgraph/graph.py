@@ -19,3 +19,19 @@ def vertices_from_edges(edges: DataFrame) -> DataFrame:
 
 def default_partitions(df: DataFrame) -> int:
     return int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+
+
+# Per-superstep shuffle traffic is proportional to the edge count, so
+# in-loop parallelism is sized from it: enough partitions to keep each
+# under ~TARGET edges (bounded task state), capped by the session's
+# shuffle-partition setting (the cluster-size knob). AQE would coalesce
+# toy-scale shuffles the same way at runtime, but it must stay off
+# inside the loop (superstep.iteration_conf), so the sizing is explicit.
+TARGET_EDGES_PER_PARTITION = 250_000
+
+
+def choose_partitions(df: DataFrame, n_rows: int, explicit: int | None = None) -> int:
+    if explicit:
+        return explicit
+    cap = default_partitions(df)
+    return max(1, min(cap, -(-n_rows // TARGET_EDGES_PER_PARTITION)))

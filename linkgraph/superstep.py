@@ -35,8 +35,9 @@ from .metrics import SuperstepMetrics, partition_histogram, skew_from_histogram
 
 
 @contextmanager
-def aqe_disabled(spark):
-    """Disable AQE for the scope of an iterative build+loop.
+def iteration_conf(spark, num_partitions: int | None = None):
+    """Session conf for the scope of an iterative build+loop: AQE off,
+    shuffle partitions pinned to the loop's partition count.
 
     Two AQE interactions break fixed co-partitioning in iteration:
     (1) a localCheckpoint'ed DataFrame planned under AQE reports
@@ -47,13 +48,29 @@ def aqe_disabled(spark):
     superstep. Both measured ~2x per-superstep cost at 20M vertices.
     AQE stays on outside the loop (scans, derivation, non-iterative
     analytics); in-loop skew is handled by explicit hub salting.
+
+    Pinning ``spark.sql.shuffle.partitions`` to the loop's partition
+    count keeps the in-loop ENSURE_REQUIREMENTS exchanges (the message
+    combine) on the same partitioning as the cached adjacency and
+    checkpointed state — and replaces AQE's small-shuffle coalescing
+    with the explicit capacity-aware sizing from
+    ``graph.choose_partitions`` (a 5k-vertex toy graph runs the loop on
+    1 partition instead of 32 tiny tasks per superstep).
     """
-    before = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    before_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    before_sp = spark.conf.get("spark.sql.shuffle.partitions", "32")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
+    if num_partitions:
+        spark.conf.set("spark.sql.shuffle.partitions", str(num_partitions))
     try:
         yield
     finally:
-        spark.conf.set("spark.sql.adaptive.enabled", before)
+        spark.conf.set("spark.sql.adaptive.enabled", before_aqe)
+        spark.conf.set("spark.sql.shuffle.partitions", before_sp)
+
+
+# Backwards-compatible alias (adjacency builds predating iteration_conf).
+aqe_disabled = iteration_conf
 
 
 @dataclass
@@ -79,6 +96,7 @@ def iterate(
     resume: bool = True,
     track_messages: bool = True,
     storage_level: StorageLevel = StorageLevel.MEMORY_AND_DISK,
+    num_partitions: int | None = None,
 ) -> LoopResult:
     """Run supersteps until ``converged(stats)`` or ``max_supersteps``.
 
@@ -92,10 +110,11 @@ def iterate(
     state = init_state
     spark = init_state.sparkSession
 
-    # See aqe_disabled: the loop must run with AQE off so the
-    # checkpointed state keeps its hashpartitioning(id, p) and the only
-    # per-superstep shuffle is the unavoidable message combine.
-    with aqe_disabled(spark):
+    # See iteration_conf: the loop must run with AQE off (and shuffle
+    # partitions pinned to p) so the checkpointed state keeps its
+    # hashpartitioning(id, p) and the only per-superstep shuffle is the
+    # unavoidable message combine.
+    with iteration_conf(spark, num_partitions):
         if ckpt is not None and resume:
             latest = ckpt.latest()
             if latest is not None:
