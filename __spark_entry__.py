@@ -211,6 +211,16 @@ def _q_lsh_topk(spark, sf):
     return lsh_cosine_topk(emb, dim, queries, k=TOPK)
 
 
+def _q_maximum_cliques(spark, sf):
+    from linkgraph import maximum_cliques
+
+    edges = document_edges(spark, sf)
+    return maximum_cliques(edges).select(
+        F.col("clique").cast("array<long>").alias("clique"),
+        F.col("size").cast("int").alias("size"),
+    )
+
+
 def _q_graph_sample(spark, sf):
     from linkgraph import graph_sample
 
@@ -269,6 +279,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": _q_multimodal,
         "graph_sample": _q_graph_sample,
         "kmeans_centers": _q_kmeans,
+        "maximum_cliques": _q_maximum_cliques,
     }
 
 

@@ -16,6 +16,8 @@ from .algorithms import (
     connected_components,
     graph_sample,
     label_propagation,
+    local_maximal_cliques,
+    maximum_cliques,
     pagerank,
     reachability,
     shortest_paths,
@@ -41,6 +43,8 @@ __all__ = [
     "shortest_paths",
     "reachability",
     "graph_sample",
+    "local_maximal_cliques",
+    "maximum_cliques",
     "imru_run",
     "kmeans",
     "batch_gradient_descent",

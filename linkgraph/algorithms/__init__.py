@@ -5,9 +5,12 @@ from .triangles import triangle_counts, triangle_total
 from .sssp import shortest_paths
 from .reachability import reachability
 from .sampling import graph_sample
+from .cliques import local_maximal_cliques, maximum_cliques
 
 __all__ = [
     "graph_sample",
+    "local_maximal_cliques",
+    "maximum_cliques",
     "pagerank",
     "connected_components",
     "label_propagation",

@@ -47,6 +47,7 @@ def pagerank(
     ckpt: CheckpointManager | None = None,
     resume: bool = True,
     track_messages: bool = True,
+    num_vertices: int | None = None,
 ) -> tuple[DataFrame, LoopResult]:
     """Returns (ranks DF(id, rank), LoopResult with per-superstep metrics).
 
@@ -61,7 +62,12 @@ def pagerank(
     if vertices is None:
         vertices = vertices_from_edges(edges)
     verts = vertices.select("id").repartition(p, "id")
-    n = verts.count()
+    # num_vertices overrides the teleport/init denominator — the
+    # reference takes N from job conf (PregelixJob.NUM_VERTICE), which
+    # counts only input vertices even when message targets materialize
+    # extra ones (PageRankRealComplex: N=23, 29 output vertices). Also
+    # skips the count job at scale when N is known.
+    n = num_vertices if num_vertices is not None else verts.count()
     if n == 0:
         empty = verts.withColumn("rank", F.lit(0.0))
         return empty, LoopResult(empty, 0, [], True)

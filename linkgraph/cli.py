@@ -41,7 +41,10 @@ def _build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="linkgraph", description=__doc__)
     p.add_argument(
         "algorithm",
-        choices=["pagerank", "cc", "lpa", "triangles", "sssp", "reachability", "sample", "derive"],
+        choices=[
+            "pagerank", "cc", "lpa", "triangles", "sssp",
+            "reachability", "sample", "cliques", "derive",
+        ],
     )
     src = p.add_argument_group("input (exactly one)")
     src.add_argument("--edges", help="path/table of edges(src BIGINT, dst BIGINT)")
@@ -165,6 +168,10 @@ def main(argv: list[str] | None = None) -> None:
             max_supersteps=args.max_supersteps,
             **common,
         )
+    elif args.algorithm == "cliques":
+        from .algorithms.cliques import maximum_cliques
+
+        out = maximum_cliques(edges)
     else:  # triangles — non-iterative
         from .algorithms.triangles import triangle_counts
 

@@ -175,6 +175,28 @@ CLIQUE = {
     7: [5, 6],
 }
 
+# pregelix-example/data/clique2/clique.txt
+CLIQUE2 = {
+    1: [2, 3, 4],
+    2: [1, 3],
+    3: [1, 2, 4, 5],
+    4: [1, 3],
+    5: [3, 6],
+    6: [5],
+}
+
+# pregelix-example/data/clique3/clique.txt — two K9s bridged via 0/10/19
+CLIQUE3 = {
+    0: [1, 19],
+    **{i: [j for j in range(1, 10) if j != i] for i in range(1, 9)},
+    9: [1, 2, 3, 4, 5, 6, 7, 8, 10],
+    10: [9, 11],
+    11: [10] + list(range(12, 20)),
+    **{i: [j for j in range(11, 20) if j != i] for i in range(12, 19)},
+    19: [0] + list(range(11, 19)),
+}
+
+
 def edges_df(spark: SparkSession, edges: list[tuple[int, int]]) -> DataFrame:
     schema = T.StructType(
         [T.StructField("src", T.LongType(), False), T.StructField("dst", T.LongType(), False)]

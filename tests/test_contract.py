@@ -72,5 +72,6 @@ def test_every_query_has_oracle_or_is_documented(spark):
         "multimodal_features",
         "graph_sample",
         "kmeans_centers",
+        "maximum_cliques",
     }
     assert set(os_) <= set(qs)
