@@ -179,6 +179,57 @@ def _q_topk(spark, sf):
     return cosine_topk(emb, queries, k=TOPK)
 
 
+# Relational join/agg parity — the reference exercises its equi-join
+# strategies on TPC-H-style customer/orders inputs (pregelix-core
+# JoinTest.java:625); Spark's broadcast/shuffled-hash/sort-merge
+# selection via Catalyst is the engine analogue. Money sums aggregate in
+# DECIMAL so both engines produce bit-identical results regardless of
+# per-partition accumulation order.
+
+
+def _q_customer_orders(spark, sf):
+    c = spark.read.parquet(f"{sf}/customer.parquet")
+    o = spark.read.parquet(f"{sf}/orders.parquet")
+    n = spark.read.parquet(f"{sf}/nation.parquet")
+    return (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("revenue"),
+        )
+    )
+
+
+def _q_pricing_summary(spark, sf):
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("sum_base_price"),
+        F.sum(
+            (F.col("l_extendedprice").cast("decimal(18,2)") * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)")))
+        ).cast("double").alias("sum_disc_price"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+def _q_big_spenders_semi(spark, sf):
+    c = spark.read.parquet(f"{sf}/customer.parquet")
+    o = spark.read.parquet(f"{sf}/orders.parquet").filter(F.col("o_totalprice") > 100000)
+    return c.join(o, c["c_custkey"] == o["o_custkey"], "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+def _q_customers_without_orders(spark, sf):
+    c = spark.read.parquet(f"{sf}/customer.parquet")
+    o = spark.read.parquet(f"{sf}/orders.parquet")
+    return c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
 def _q_events_per_type(spark, sf):
     ev = spark.read.parquet(f"{sf}/events.parquet")
     return ev.groupBy("event_type").agg(
@@ -270,6 +321,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": _q_fingerprint,
         "ngram_jaccard_pairs": _q_jaccard,
         "embedding_cosine_topk": _q_topk,
+        "customer_orders_by_nation": _q_customer_orders,
+        "pricing_summary": _q_pricing_summary,
+        "big_spenders_semi": _q_big_spenders_semi,
+        "customers_without_orders": _q_customers_without_orders,
         "events_per_type": _q_events_per_type,
         "events_hourly": _q_events_hourly,
         # rows-only checks (non-SQL-expressible internals)
@@ -476,6 +531,31 @@ def oracle_sql() -> dict[str, str]:
             " SELECT qid, vec_id, sim FROM ("
             "   SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rn"
             f"   FROM scored) WHERE rn <= {TOPK}"
+        ),
+        "customer_orders_by_nation": (
+            "SELECT n.n_name AS nation, COUNT(*) AS n_orders,"
+            " CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue"
+            " FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey"
+            " JOIN nation n ON c.c_nationkey = n.n_nationkey"
+            " GROUP BY n.n_name"
+        ),
+        "pricing_summary": (
+            "SELECT l_returnflag, l_linestatus,"
+            " CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,"
+            " CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,"
+            " CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))"
+            "   * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)"
+            "   AS sum_disc_price,"
+            " COUNT(*) AS count_order"
+            " FROM lineitem GROUP BY l_returnflag, l_linestatus"
+        ),
+        "big_spenders_semi": (
+            "SELECT c_custkey, c_name FROM customer"
+            " WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 100000)"
+        ),
+        "customers_without_orders": (
+            "SELECT c_custkey, c_name FROM customer"
+            " WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)"
         ),
         "events_per_type": (
             "SELECT event_type, COUNT(*) AS n_events, ROUND(AVG(value), 6) AS avg_value"

@@ -26,7 +26,7 @@ from contextlib import contextmanager
 from dataclasses import dataclass
 from typing import Callable
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
@@ -130,6 +130,18 @@ def iterate(
         for k in range(start_k, max_supersteps + 1):
             t0 = time.monotonic()
             res = superstep_fn(state, k)
+            # Convergence stats ride the materialization job as observed
+            # metrics (no separate pass over the state) — the Spark
+            # rendition of the reference's always-on global aggregators
+            # computed inside the superstep dataflow
+            # (FinalAggregateOperatorDescriptor, SURVEY.md §3.4).
+            cols = set(res.state.columns)
+            obs = Observation(f"superstep-{k}")
+            agg_exprs = [F.count(F.lit(1)).alias("rows")]
+            if "_delta" in cols:
+                agg_exprs.append(F.sum("_delta").alias("delta"))
+            if "_changed" in cols:
+                agg_exprs.append(F.sum(F.col("_changed").cast("long")).alias("changed"))
             # localCheckpoint (eager) both caches the new state AND
             # truncates its logical plan — without this, every
             # superstep's plan embeds all previous supersteps and the
@@ -137,16 +149,10 @@ def iterate(
             # comes from the CheckpointManager below; this is the
             # in-memory lineage cut. (AQE must stay off here or the
             # checkpointed frame loses its partitioning — see above.)
-            new_state = res.state.localCheckpoint(eager=True)
+            new_state = res.state.observe(obs, *agg_exprs).localCheckpoint(eager=True)
 
             stats = SuperstepMetrics(superstep=k)
-            agg_exprs = [F.count(F.lit(1)).alias("rows")]
-            cols = set(new_state.columns)
-            if "_delta" in cols:
-                agg_exprs.append(F.sum("_delta").alias("delta"))
-            if "_changed" in cols:
-                agg_exprs.append(F.sum(F.col("_changed").cast("long")).alias("changed"))
-            row = new_state.agg(*agg_exprs).first()
+            row = obs.get
             stats.rows = int(row["rows"])
             if "_delta" in cols:
                 stats.delta = float(row["delta"] or 0.0)
