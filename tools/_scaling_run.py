@@ -29,16 +29,23 @@ def main() -> None:
     from linkgraph import get_spark, pagerank
     from linkgraph.docgraph import scaled_edges
 
+    # Fixed per-core resources — the cluster-faithful model of "N vs 4N
+    # executors": each executor brings a constant (cores, memory) slice,
+    # so local[k] gets heap and GC threads proportional to k. Giving
+    # every level the full machine's heap would over-provision the
+    # small configs relative to a real N-executor cluster. ParallelGC:
+    # the loop's object-agg adjacency build + per-step materialization
+    # thrash G1 in a many-threaded single JVM.
+    heap_gb = max(3, int(cores * 1.5))
     spark = get_spark(
         app_name=f"linkgraph-scaling-{cores}",
         master=f"local[{cores}]",
         shuffle_partitions=shuffle,
         extra_conf={
-            # One consistent config across parallelism levels. ParallelGC:
-            # the iterative loop's object-agg adjacency build + per-step
-            # materialization thrash G1 in a many-threaded single JVM.
-            "spark.driver.memory": "48g",
-            "spark.driver.extraJavaOptions": "-XX:+UseParallelGC",
+            "spark.driver.memory": f"{heap_gb}g",
+            "spark.driver.extraJavaOptions": (
+                f"-XX:+UseParallelGC -XX:ParallelGCThreads={max(2, cores)}"
+            ),
         },
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -75,10 +82,14 @@ def main() -> None:
                 "n_vertices": n,
                 "n_edges": n_edges,
                 "updates": updates,
+                "heap_gb": heap_gb,
                 "build_sec": round(build_sec, 3),
                 "total_sec": round(total_sec, 3),
                 "loop_sec": round(loop_sec, 3),
                 "per_step_sec": [round(h.wall_sec, 2) for h in res.history],
+                "median_step_sec": round(
+                    sorted(h.wall_sec for h in res.history)[len(res.history) // 2], 2
+                ),
                 "edges_per_sec_per_superstep": round(n_edges * updates / loop_sec, 1),
                 "rank_sum": chk,
             }

