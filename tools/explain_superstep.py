@@ -61,11 +61,23 @@ def main() -> None:
             spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
         )
 
-    n_exchanges = plan.count("Exchange")
+    print("# Per-superstep physical plan (PageRank)")
+    print()
+    print("How to read: the `InMemoryRelation` block is the cached adjacency's")
+    print("ONE-TIME build plan (its internal Exchanges executed once, before the")
+    print("loop). The executed per-superstep tree is everything outside it:")
+    print("`Scan ExistingRDD` (the localCheckpoint'ed rank state) reports its")
+    print("preserved `hashpartitioning(id, p)` so the outer join needs no")
+    print("exchange, and the only shuffle `Exchange` is the message combine")
+    print("between partial and final HashAggregate — the reference's")
+    print("local-combine -> MToN -> final-combine (JobGen.java:1124-1215). At toy")
+    print("sizes Spark additionally broadcasts the small rank side into the")
+    print("adjacency join (BroadcastExchange); at scale that join is a")
+    print("co-partitioned zip with no exchange.")
+    print()
     print("```")
     print(plan)
     print("```")
-    print(f"\nExchange operators in the superstep plan: {n_exchanges}")
     spark.stop()
 
 
