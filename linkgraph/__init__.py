@@ -26,6 +26,7 @@ from .algorithms import (
 )
 from .imru import batch_gradient_descent, imru_run, kmeans
 from .mutation import add_vertices, delete_edges_of, delete_vertices
+from .sources import adjacency_text_graph, ring_graph, write_vertex_text
 
 __all__ = [
     "get_spark",
@@ -51,4 +52,7 @@ __all__ = [
     "add_vertices",
     "delete_vertices",
     "delete_edges_of",
+    "adjacency_text_graph",
+    "ring_graph",
+    "write_vertex_text",
 ]

@@ -53,6 +53,11 @@ def _build_parser() -> argparse.ArgumentParser:
         help="path/table of source code rows (repo, path, commit, lang, content); "
         "edges are derived from cross-repo import references",
     )
+    src.add_argument(
+        "--adjacency-text",
+        help="text file(s) of 'src dst1 dst2 ...' lines (the reference's "
+        "TextVertexInputFormat)",
+    )
     p.add_argument("--output", required=True, help="output path (parquet)")
     p.add_argument("--format", default="parquet", help="spark output format (default parquet)")
     p.add_argument("--checkpoint", help="checkpoint dir for resumable iteration")
@@ -75,12 +80,20 @@ def _build_parser() -> argparse.ArgumentParser:
 
 
 def _load_edges(spark: SparkSession, args) -> DataFrame:
-    if bool(args.edges) == bool(args.code_table):
-        raise SystemExit("exactly one of --edges / --code-table is required")
+    given = [x for x in (args.edges, args.code_table, args.adjacency_text) if x]
+    if len(given) != 1:
+        raise SystemExit(
+            "exactly one of --edges / --code-table / --adjacency-text is required"
+        )
     if args.edges:
         return spark.read.load(args.edges).select(
             F.col("src").cast("long"), F.col("dst").cast("long")
         )
+    if args.adjacency_text:
+        from .sources import adjacency_text_graph
+
+        _, edges = adjacency_text_graph(spark, args.adjacency_text)
+        return edges
     from .derive import derive_graph
 
     code = spark.read.load(args.code_table)
