@@ -1,0 +1,72 @@
+"""Resume equivalence for the remaining iterative algorithms (the
+reference's FailureRecovery suite applies to every job type, not just
+PageRank — FailureRecoveryTest runs PageRank, FailureVertexTest etc.)."""
+
+from linkgraph import (
+    connected_components,
+    label_propagation,
+    reachability,
+    shortest_paths,
+)
+from linkgraph.checkpoint import CheckpointManager
+from linkgraph.synth import WEBMAPCOMPLEX, adjacency_to_edges, edges_df
+
+
+def _labels(df, col):
+    return {r["id"]: r[col] for r in df.collect()}
+
+
+class TestResumeAllAlgorithms:
+    def test_cc_resume_equals_fresh(self, spark, tmp_path):
+        edges = edges_df(spark, adjacency_to_edges(WEBMAPCOMPLEX))
+        ck = CheckpointManager(spark, str(tmp_path / "cc"), every=1)
+        _, partial = connected_components(edges, max_supersteps=2, ckpt=ck)
+        assert not partial.converged
+        resumed, res = connected_components(
+            edges, ckpt=CheckpointManager(spark, str(tmp_path / "cc"), every=1)
+        )
+        assert res.converged and res.history[0].superstep == 1
+        fresh, _ = connected_components(edges)
+        assert _labels(resumed, "component") == _labels(fresh, "component")
+
+    def test_lpa_resume_equals_fresh(self, spark, tmp_path):
+        edges = edges_df(spark, adjacency_to_edges(WEBMAPCOMPLEX))
+        ck = CheckpointManager(spark, str(tmp_path / "lpa"), every=1)
+        label_propagation(edges, max_supersteps=2, ckpt=ck)
+        resumed, _ = label_propagation(
+            edges,
+            max_supersteps=4,
+            ckpt=CheckpointManager(spark, str(tmp_path / "lpa"), every=1),
+        )
+        fresh, _ = label_propagation(edges, max_supersteps=4)
+        assert _labels(resumed, "label") == _labels(fresh, "label")
+
+    def test_sssp_resume_equals_fresh(self, spark, tmp_path):
+        edges = edges_df(spark, adjacency_to_edges(WEBMAPCOMPLEX))
+        ck = CheckpointManager(spark, str(tmp_path / "sssp"), every=1)
+        _, partial = shortest_paths(edges, source=1, max_supersteps=2, ckpt=ck)
+        assert not partial.converged
+        resumed, res = shortest_paths(
+            edges, source=1, ckpt=CheckpointManager(spark, str(tmp_path / "sssp"), every=1)
+        )
+        assert res.converged
+        fresh, _ = shortest_paths(edges, source=1)
+        assert _labels(resumed, "distance") == _labels(fresh, "distance")
+
+    def test_reachability_resume_equals_fresh(self, spark, tmp_path):
+        edges = edges_df(spark, adjacency_to_edges(WEBMAPCOMPLEX))
+        ck = CheckpointManager(spark, str(tmp_path / "re"), every=1)
+        _, _, partial = reachability(
+            edges, source=1, dest=25, early_terminate=False, max_supersteps=2, ckpt=ck
+        )
+        assert not partial.converged
+        resumed, reach, res = reachability(
+            edges,
+            source=1,
+            dest=25,
+            early_terminate=False,
+            ckpt=CheckpointManager(spark, str(tmp_path / "re"), every=1),
+        )
+        assert res.converged and not reach
+        fresh, _, _ = reachability(edges, source=1, dest=25, early_terminate=False)
+        assert _labels(resumed, "state") == _labels(fresh, "state")
