@@ -48,6 +48,7 @@ def pagerank(
     resume: bool = True,
     track_messages: bool = True,
     num_vertices: int | None = None,
+    global_aggs: dict | None = None,
 ) -> tuple[DataFrame, LoopResult]:
     """Returns (ranks DF(id, rank), LoopResult with per-superstep metrics).
 
@@ -125,6 +126,7 @@ def pagerank(
         resume=resume,
         track_messages=track_messages,
         num_partitions=p,
+        global_aggs=global_aggs,
     )
     adj.unpersist()
     return result.state.select("id", "rank"), result

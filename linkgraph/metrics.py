@@ -24,6 +24,9 @@ class SuperstepMetrics:
     skew_ratio: float = 1.0
     rows_per_partition: dict[int, int] = field(default_factory=dict)
     wall_sec: float = 0.0
+    # user GlobalAggregator values for this superstep (reference:
+    # GlobalAggregator.java:42-78, read per-iteration by the driver)
+    extras: dict[str, float] = field(default_factory=dict)
 
     def to_json(self) -> str:
         d = asdict(self)

@@ -97,6 +97,7 @@ def iterate(
     track_messages: bool = True,
     storage_level: StorageLevel = StorageLevel.MEMORY_AND_DISK,
     num_partitions: int | None = None,
+    global_aggs: dict[str, "F.Column"] | None = None,
 ) -> LoopResult:
     """Run supersteps until ``converged(stats)`` or ``max_supersteps``.
 
@@ -142,6 +143,13 @@ def iterate(
                 agg_exprs.append(F.sum("_delta").alias("delta"))
             if "_changed" in cols:
                 agg_exprs.append(F.sum(F.col("_changed").cast("long")).alias("changed"))
+            # user global aggregates over the new vertex state — the
+            # reference's per-superstep GlobalAggregator, computed inside
+            # the same job (GlobalAggregator.java:42-78,
+            # FinalAggregateOperatorDescriptor.java:47-139)
+            if global_aggs:
+                for name, expr in global_aggs.items():
+                    agg_exprs.append(expr.alias(f"_ga_{name}"))
             # localCheckpoint (eager) both caches the new state AND
             # truncates its logical plan — without this, every
             # superstep's plan embeds all previous supersteps and the
@@ -158,6 +166,10 @@ def iterate(
                 stats.delta = float(row["delta"] or 0.0)
             if "_changed" in cols:
                 stats.changed = int(row["changed"] or 0)
+            if global_aggs:
+                stats.extras = {
+                    name: row[f"_ga_{name}"] for name in global_aggs
+                }
 
             if res.messages is not None and track_messages:
                 msgs = res.messages.persist(storage_level)

@@ -156,3 +156,25 @@ class TestSSSP:
         dist, _ = shortest_paths(e, source=0)
         got = _to_dict(dist, "id", "distance")
         assert got[5] is None and got[6] is None and got[1] == 1.0
+
+
+class TestGlobalAggregators:
+    def test_user_global_agg_per_superstep(self, webmap_edges):
+        """Reference GlobalAggregator parity: a user aggregate evaluated
+        over the vertex state every superstep (the AQL validation's
+        count/sum checks, pagerank.3.query.aql:1-6)."""
+        from pyspark.sql import functions as F
+
+        ranks, res = pagerank(
+            webmap_edges,
+            fixed_updates=5,
+            global_aggs={
+                "total_rank": F.sum("rank"),
+                "n_vertices": F.count(F.lit(1)),
+            },
+        )
+        assert len(res.history) == 5
+        for m in res.history:
+            assert m.extras["n_vertices"] == 20
+            # webmap has no dangling vertices: total mass conserved
+            assert abs(m.extras["total_rank"] - 1.0) < 1e-9
