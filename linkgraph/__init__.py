@@ -27,6 +27,13 @@ from .algorithms import (
 from .imru import batch_gradient_descent, imru_run, kmeans
 from .mutation import add_vertices, delete_edges_of, delete_vertices
 from .sources import adjacency_text_graph, ring_graph, write_vertex_text
+from .streaming import (
+    document_stats_stream,
+    events_hourly_stream,
+    run_available_now,
+    stream_documents,
+    stream_events,
+)
 
 __all__ = [
     "get_spark",
@@ -55,4 +62,9 @@ __all__ = [
     "adjacency_text_graph",
     "ring_graph",
     "write_vertex_text",
+    "stream_documents",
+    "stream_events",
+    "document_stats_stream",
+    "events_hourly_stream",
+    "run_available_now",
 ]
