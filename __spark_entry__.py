@@ -34,6 +34,7 @@ from linkgraph.pipeline import (
     cosine_topk,
     doc_fingerprint,
     exact_duplicates,
+    ivf_cosine_topk,
     language_id,
     lsh_cosine_topk,
     minhash_lsh_pairs,
@@ -295,6 +296,12 @@ def _q_kmeans(spark, sf):
     )
 
 
+def _q_ivf_topk(spark, sf):
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < N_QUERY_VECS)
+    return ivf_cosine_topk(emb, queries, k=TOPK, n_clusters=8, n_probe=4)
+
+
 def _q_multimodal(spark, sf):
     from linkgraph.pipeline.multimodal import extract_features, synth_media
 
@@ -331,6 +338,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": _q_minhash_lsh,
         "simhash64": _q_simhash,
         "embedding_lsh_topk": _q_lsh_topk,
+        "embedding_ivf_topk": _q_ivf_topk,
         "multimodal_features": _q_multimodal,
         "graph_sample": _q_graph_sample,
         "kmeans_centers": _q_kmeans,

@@ -4,7 +4,7 @@ search, multimodal plumbing."""
 
 from .dedup import exact_duplicates, minhash_lsh_pairs, ngram_jaccard_pairs, simhash64
 from .textstats import doc_fingerprint, language_id, quality_score, token_count
-from .similarity import cosine_topk, lsh_cosine_topk
+from .similarity import cosine_topk, ivf_cosine_topk, lsh_cosine_topk
 
 __all__ = [
     "exact_duplicates",

@@ -105,6 +105,80 @@ def lsh_bucket_ids(
     )
 
 
+def ivf_cosine_topk(
+    embeddings: DataFrame,
+    queries: DataFrame | None = None,
+    k: int = 10,
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    kmeans_iterations: int = 5,
+    round_to: int = 4,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: centroids trained with the
+    IMRU k-means, each corpus vector assigned to its nearest centroid
+    (one numpy matmul per Arrow batch), and each query scored only
+    against the vectors of its ``n_probe`` nearest clusters.
+
+    The 100 TB shape: the assignment is a linear pass, the probe join is
+    an equi-join on cluster id (candidates ~= n_probe/n_clusters of the
+    corpus), and the centroid table is broadcast. Deterministic:
+    k-means init is the k lowest-id vectors; ties break to the lowest
+    cluster index / vec_id.
+    """
+    from ..imru import kmeans
+
+    if queries is None:
+        queries = embeddings
+    spark = embeddings.sparkSession
+
+    corpus = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("features")
+    )
+    res = kmeans(corpus, k=n_clusters, max_iterations=kmeans_iterations)
+    centroids = np.asarray(res.model, dtype=np.float64)
+    cnorm = np.linalg.norm(centroids, axis=1)
+    cnorm[cnorm == 0] = 1.0
+
+    @pandas_udf(T.IntegerType())
+    def assign_udf(embs: pd.Series) -> pd.Series:
+        m = np.stack([np.asarray(e, dtype=np.float64) for e in embs])
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        sims = (m / norms) @ (centroids / cnorm[:, None]).T
+        return pd.Series(sims.argmax(axis=1).astype("int32"))
+
+    assigned = embeddings.select(
+        "vec_id", F.col("embedding").alias("c_emb"), assign_udf("embedding").alias("cid")
+    )
+
+    @pandas_udf(T.ArrayType(T.IntegerType()))
+    def probe_udf(embs: pd.Series) -> pd.Series:
+        m = np.stack([np.asarray(e, dtype=np.float64) for e in embs])
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        sims = (m / norms) @ (centroids / cnorm[:, None]).T
+        order = np.argsort(-sims, axis=1, kind="stable")[:, :n_probe]
+        return pd.Series([row.astype("int32").tolist() for row in order])
+
+    probes = queries.select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("q_emb"),
+        F.explode(probe_udf("embedding")).alias("cid"),
+    )
+    sims = (
+        probes.join(assigned, "cid")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .withColumn(
+            "sim",
+            F.round(_dot("q_emb", "c_emb") / (_norm("q_emb") * _norm("c_emb")), round_to),
+        )
+        .select("qid", "vec_id", "sim")
+        .dropDuplicates(["qid", "vec_id"])
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("vec_id").asc())
+    return sims.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k).drop("rn")
+
+
 def lsh_cosine_topk(
     embeddings: DataFrame,
     dim: int,

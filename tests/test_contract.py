@@ -73,5 +73,6 @@ def test_every_query_has_oracle_or_is_documented(spark):
         "graph_sample",
         "kmeans_centers",
         "maximum_cliques",
+        "embedding_ivf_topk",
     }
     assert set(os_) <= set(qs)

@@ -169,3 +169,58 @@ class TestTextStats:
     def test_token_count(self, docs):
         got = {r["doc_id"]: r["n_tokens"] for r in token_count(docs).collect()}
         assert got[0] == len("the quick brown fox jumps over the lazy dog near the old river bank".split())
+
+
+class TestIVFTopK:
+    @pytest.fixture(scope="class")
+    def emb(self, spark):
+        import numpy as np
+
+        rng = np.random.RandomState(11)
+        # 4 well-separated clusters of 10 vectors each
+        centers = rng.normal(scale=5.0, size=(4, 16))
+        base = np.vstack(
+            [centers[c] + rng.normal(scale=0.5, size=(10, 16)) for c in range(4)]
+        ).astype("float32")
+        rows = [(i, [float(x) for x in base[i]], 0) for i in range(40)]
+        schema = T.StructType(
+            [
+                T.StructField("vec_id", T.LongType(), False),
+                T.StructField("embedding", T.ArrayType(T.FloatType()), False),
+                T.StructField("label", T.IntegerType(), False),
+            ]
+        )
+        return spark.createDataFrame(rows, schema).cache()
+
+    def test_ivf_properties_and_recall(self, spark, emb):
+        from linkgraph.pipeline import cosine_topk, ivf_cosine_topk
+        from pyspark.sql import functions as F
+
+        queries = emb.filter(F.col("vec_id") < 5)
+        ivf = ivf_cosine_topk(emb, queries, k=10, n_clusters=8, n_probe=4)
+        rows = ivf.collect()
+        per_q = {}
+        for r in rows:
+            per_q.setdefault(r["qid"], []).append((r["vec_id"], r["sim"]))
+        assert set(per_q) == {0, 1, 2, 3, 4}
+        # IVF may return < k when the probed cells hold fewer candidates
+        assert all(1 <= len(v) <= 10 for v in per_q.values())
+        # recall vs brute force: with half the clusters probed the true
+        # top-10 is mostly recovered
+        bf = cosine_topk(emb, queries, k=10)
+        bf_sets = {}
+        for r in bf.collect():
+            bf_sets.setdefault(r["qid"], set()).add(r["vec_id"])
+        recalls = [
+            len(bf_sets[q] & {v for v, _ in per_q[q]}) / 10 for q in bf_sets
+        ]
+        assert sum(recalls) / len(recalls) >= 0.5
+
+    def test_ivf_deterministic(self, spark, emb):
+        from linkgraph.pipeline import ivf_cosine_topk
+        from pyspark.sql import functions as F
+
+        queries = emb.filter(F.col("vec_id") < 3)
+        a = sorted(map(tuple, ivf_cosine_topk(emb, queries, k=5).collect()))
+        b = sorted(map(tuple, ivf_cosine_topk(emb, queries, k=5).collect()))
+        assert a == b
