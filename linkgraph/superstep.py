@@ -157,7 +157,14 @@ def iterate(
             # comes from the CheckpointManager below; this is the
             # in-memory lineage cut. (AQE must stay off here or the
             # checkpointed frame loses its partitioning — see above.)
-            new_state = res.state.observe(obs, *agg_exprs).localCheckpoint(eager=True)
+            # transient stat columns are dropped BEFORE materialization —
+            # the observe node sits below the projection so the metrics
+            # still fire, and the cached state carries only real columns
+            new_state = (
+                res.state.observe(obs, *agg_exprs)
+                .drop("_delta", "_changed")
+                .localCheckpoint(eager=True)
+            )
 
             stats = SuperstepMetrics(superstep=k)
             row = obs.get
@@ -179,13 +186,10 @@ def iterate(
                 msgs.unpersist()
 
             if ckpt is not None and ckpt.should_checkpoint(k):
-                committed = ckpt.save(k, new_state.drop("_delta", "_changed"), stats)
+                committed = ckpt.save(k, new_state, stats)
                 new_state.unpersist()
                 next_state = committed.persist(storage_level)
             else:
-                # keep the cached frame as-is (transient cols and all);
-                # the next superstep_fn re-selects what it needs, and we
-                # avoid double-caching a dropped projection of the rows.
                 next_state = new_state
 
             state.unpersist()
@@ -196,4 +200,4 @@ def iterate(
                 done = True
                 break
 
-        return LoopResult(state.drop("_delta", "_changed"), k, history, done)
+        return LoopResult(state, k, history, done)
