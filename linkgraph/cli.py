@@ -2,8 +2,9 @@
 
 North-rule launch mode (BASELINE.json): the job runs via
 
-    spark-submit --py-files linkgraph.zip -m linkgraph.cli ...
-    # or: spark-submit --py-files linkgraph.zip cli.py ...
+    spark-submit --py-files linkgraph.zip /path/to/linkgraph/cli.py ...
+    # or locally: python -m linkgraph.cli ...
+    # (spark-submit takes a script path, not a -m module flag)
 
 on a multi-executor cluster; in this sandbox the same entry runs under
 ``--master local[k]``. The reference's analogue is Client.main ->
@@ -18,13 +19,13 @@ Examples
 --------
 Derive a graph from a source-code table and run PageRank to 1e-6::
 
-    spark-submit --py-files linkgraph.zip -m linkgraph.cli \
+    spark-submit --py-files linkgraph.zip linkgraph/cli.py \
       pagerank --code-table /data/code_files --output /out/ranks \
       --tol 1e-6 --checkpoint /ckpt/pr
 
 Run connected components over an existing edge table::
 
-    spark-submit ... -m linkgraph.cli cc --edges /data/edges --output /out/cc
+    spark-submit ... linkgraph/cli.py cc --edges /data/edges --output /out/cc
 """
 
 from __future__ import annotations

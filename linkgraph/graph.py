@@ -30,8 +30,13 @@ def default_partitions(df: DataFrame) -> int:
 TARGET_EDGES_PER_PARTITION = 250_000
 
 
-def choose_partitions(df: DataFrame, n_rows: int, explicit: int | None = None) -> int:
-    if explicit:
-        return explicit
+def choose_partitions(df, n_rows, explicit: int | None = None) -> int:
+    """Pick the loop partition count. ``n_rows`` may be an int or a
+    zero-arg callable (e.g. ``lambda: edges.count()``) so the count job
+    is skipped entirely when ``explicit`` is supplied."""
+    if explicit is not None:
+        return max(1, explicit)
+    if callable(n_rows):
+        n_rows = n_rows()
     cap = default_partitions(df)
     return max(1, min(cap, -(-n_rows // TARGET_EDGES_PER_PARTITION)))

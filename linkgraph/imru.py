@@ -76,9 +76,13 @@ def imru_run(
         partials = data.mapInPandas(map_partials, schema=partial_schema)
         # aggregation tree over per-batch partials (reference: the IMRU
         # reduce tree); partials are O(model) so depth-2 is plenty.
-        reduced_bytes = (
-            partials.rdd.map(lambda r: r["partial"])
-            .treeReduce(lambda a, b: pickle.dumps(reduce_fn(pickle.loads(a), pickle.loads(b))), depth=2)
+        partials_rdd = partials.rdd.map(lambda r: r["partial"])
+        if partials_rdd.isEmpty():
+            raise ValueError(
+                "imru_run: empty input — no Arrow batches produced any partial"
+            )
+        reduced_bytes = partials_rdd.treeReduce(
+            lambda a, b: pickle.dumps(reduce_fn(pickle.loads(a), pickle.loads(b))), depth=2
         )
         reduced = pickle.loads(reduced_bytes)
         new_model = update_fn(model, reduced)

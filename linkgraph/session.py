@@ -59,6 +59,11 @@ def get_spark(
         "spark.sql.broadcastTimeout": "1200",
         # Keep plans from growing unboundedly across supersteps.
         "spark.cleaner.referenceTracking.cleanCheckpoints": "true",
+        # A convergence run is hundreds of supersteps = hundreds of SQL
+        # executions; the status store retains plan-description strings
+        # per execution (default 1000) which accumulate to real driver
+        # heap on deep iterative plans. Keep a bounded window.
+        "spark.sql.ui.retainedExecutions": "100",
         "spark.ui.enabled": "false",
         "spark.driver.host": "127.0.0.1",
     }

@@ -10,7 +10,14 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 def spark():
     from linkgraph import get_spark
 
-    s = get_spark(app_name="linkgraph-tests", master="local[4]", shuffle_partitions=8)
+    # one JVM hosts the whole suite (117+ tests, thousands of superstep
+    # executions) — Spark's 1g driver default is marginal for that
+    s = get_spark(
+        app_name="linkgraph-tests",
+        master="local[4]",
+        shuffle_partitions=8,
+        extra_conf={"spark.driver.memory": "4g"},
+    )
     s.sparkContext.setLogLevel("ERROR")
     yield s
     s.stop()
