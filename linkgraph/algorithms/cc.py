@@ -49,7 +49,7 @@ def connected_components(
 ) -> tuple[DataFrame, LoopResult]:
     """Returns (DF(id, component), LoopResult)."""
     scale = 2 if symmetrize_edges else 1
-    p = choose_partitions(edges, scale * edges.count(), num_partitions)
+    p = choose_partitions(edges, lambda: scale * edges.count(), num_partitions)
     if vertices is None:
         vertices = vertices_from_edges(edges)
     verts = vertices.select("id").repartition(p, "id")
@@ -89,11 +89,13 @@ def connected_components(
                     "new_component"
                 ),
                 F.col("component").alias("_oldc"),
+                F.col("cand").isNotNull().cast("long").alias("_msgs"),
             )
             .select(
                 "id",
                 F.col("new_component").alias("component"),
                 (F.col("new_component") < F.col("_oldc")).alias("changed"),
+                "_msgs",
             )
             .withColumn("_changed", F.col("changed"))
         )

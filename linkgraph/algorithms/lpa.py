@@ -42,7 +42,7 @@ def label_propagation(
 ) -> tuple[DataFrame, LoopResult]:
     """Returns (DF(id, label), LoopResult)."""
     scale = 2 if symmetrize_edges else 1
-    p = choose_partitions(edges, scale * edges.count(), num_partitions)
+    p = choose_partitions(edges, lambda: scale * edges.count(), num_partitions)
     if vertices is None:
         vertices = vertices_from_edges(edges)
     verts = vertices.select("id").repartition(p, "id")
@@ -76,6 +76,7 @@ def label_propagation(
                 "id",
                 F.coalesce(F.col("mode_lbl"), F.col("_old")).alias("label"),
                 F.col("_old"),
+                F.col("mode_lbl").isNotNull().cast("long").alias("_msgs"),
             )
             .withColumn("_changed", F.col("label") != F.col("_old"))
             .drop("_old")

@@ -59,7 +59,7 @@ def pagerank(
     mode; reference maxIter=m == fixed_updates=m-1). Otherwise iterate
     until the L1 delta <= tol.
     """
-    p = choose_partitions(edges, edges.count(), num_partitions)
+    p = choose_partitions(edges, lambda: edges.count(), num_partitions)
     if vertices is None:
         vertices = vertices_from_edges(edges)
     verts = vertices.select("id").repartition(p, "id")
@@ -102,6 +102,8 @@ def pagerank(
                     "rank"
                 ),
                 F.col("_old"),
+                # combined-message count rides the state observation
+                F.col("msum").isNotNull().cast("long").alias("_msgs"),
             )
             .withColumn("_delta", F.abs(F.col("rank") - F.col("_old")))
             .drop("_old")

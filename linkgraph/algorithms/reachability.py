@@ -51,7 +51,7 @@ def reachability(
     3 both (the searches met through this vertex).
     """
     scale = 2 if symmetrize_edges else 1
-    p = choose_partitions(edges, scale * edges.count(), num_partitions)
+    p = choose_partitions(edges, lambda: scale * edges.count(), num_partitions)
     if vertices is None:
         vertices = vertices_from_edges(edges)
     verts = vertices.select("id").repartition(p, "id")
@@ -99,6 +99,7 @@ def reachability(
                 "id",
                 F.col("state").alias("_old"),
                 F.col("state").bitwiseOR(F.coalesce(F.col("m"), F.lit(0))).alias("state"),
+                F.col("m").isNotNull().cast("long").alias("_msgs"),
             )
             .select(
                 "id",
@@ -107,6 +108,7 @@ def reachability(
                 # _delta carries the meet signal: >0 iff some vertex is
                 # now marked from both sides.
                 F.when(F.col("state") == 3, F.lit(1.0)).otherwise(F.lit(0.0)).alias("_delta"),
+                "_msgs",
             )
             .withColumn("_changed", F.col("changed"))
         )

@@ -42,7 +42,7 @@ def graph_sample(
 ) -> tuple[DataFrame, LoopResult]:
     """Returns (DF(id, selected BOOLEAN), LoopResult); the selected set
     reaches ``target_rate`` of all vertices (or max_supersteps)."""
-    p = choose_partitions(edges, edges.count(), num_partitions)
+    p = choose_partitions(edges, lambda: edges.count(), num_partitions)
     if vertices is None:
         vertices = vertices_from_edges(edges)
     verts = vertices.select("id").repartition(p, "id")
@@ -79,11 +79,13 @@ def graph_sample(
                     | F.coalesce(F.col("_m"), F.lit(False))
                     | (F.pmod(F.xxhash64("id", F.lit(seed), F.lit(k)), F.lit(seed_interval)) == 0)
                 ).alias("selected"),
+                F.col("_m").isNotNull().cast("long").alias("_msgs"),
             )
             .select(
                 "id",
                 "selected",
                 (F.col("selected") & ~F.col("_old")).alias("newly"),
+                "_msgs",
             )
             .withColumn("_changed", F.col("newly"))
             # _delta carries the global fill count for the stop check

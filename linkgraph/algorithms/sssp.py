@@ -35,7 +35,7 @@ def shortest_paths(
     track_messages: bool = True,
 ) -> tuple[DataFrame, LoopResult]:
     """Returns (DF(id, distance), LoopResult); distance NULL if unreachable."""
-    p = choose_partitions(edges, edges.count(), num_partitions)
+    p = choose_partitions(edges, lambda: edges.count(), num_partitions)
     if vertices is None:
         vertices = vertices_from_edges(edges)
     verts = vertices.select("id").repartition(p, "id")
@@ -68,11 +68,13 @@ def shortest_paths(
                 "id",
                 F.least(F.col("dist"), F.coalesce(F.col("cand"), F.col("dist"))).alias("ndist"),
                 F.col("dist").alias("_oldd"),
+                F.col("cand").isNotNull().cast("long").alias("_msgs"),
             )
             .select(
                 "id",
                 F.col("ndist").alias("dist"),
                 (F.col("ndist") < F.col("_oldd")).alias("changed"),
+                "_msgs",
             )
             .withColumn("_changed", F.col("changed"))
         )

@@ -21,7 +21,10 @@ class SuperstepMetrics:
     delta: float | None = None
     changed: int | None = None
     rows: int = 0
-    skew_ratio: float = 1.0
+    # None = not sampled this superstep (the skew histogram is a grouped
+    # pass over the message frame, computed every skew_sample_every-th
+    # superstep only — see superstep.iterate)
+    skew_ratio: float | None = None
     rows_per_partition: dict[int, int] = field(default_factory=dict)
     wall_sec: float = 0.0
     # user GlobalAggregator values for this superstep (reference:

@@ -56,6 +56,15 @@ def iteration_conf(spark, num_partitions: int | None = None):
     with the explicit capacity-aware sizing from
     ``graph.choose_partitions`` (a 5k-vertex toy graph runs the loop on
     1 partition instead of 32 tiny tasks per superstep).
+
+    NOTE: this mutates session-global SQL conf for the scope of the
+    loop, so run ONE iterate() loop at a time per SparkSession. A
+    concurrent job on another thread of the same session (e.g. a
+    streaming query) would silently run under the loop's conf, and
+    nested loops would restore the wrong values on exit. For concurrent
+    iterative jobs, use separate SparkSessions
+    (``spark.newSession()`` gives an isolated SQL conf over the same
+    SparkContext).
     """
     before_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
     before_sp = spark.conf.get("spark.sql.shuffle.partitions", "32")
@@ -75,8 +84,20 @@ aqe_disabled = iteration_conf
 
 @dataclass
 class StepResult:
-    state: DataFrame                   # new vertex state (may carry _delta/_changed)
-    messages: DataFrame | None = None  # combined message relation (for metrics)
+    state: DataFrame                   # new vertex state (may carry _delta/_changed/_msgs)
+    messages: DataFrame | None = None  # combined message relation (for sampled skew)
+
+
+# Message counts ride the state observation via the transient ``_msgs``
+# column (per-vertex received count, summed by the loop like _delta /
+# _changed) rather than a second Observation on the message frame: a
+# CollectMetrics node in the middle of the superstep plan blocks the
+# optimizer rewrite that keeps the checkpointed state's inherited
+# sizeInBytes stats linear, so the stats grow MULTIPLICATIVELY per
+# superstep (state appears twice per join tree) and Catalyst ends up
+# doing BigInteger arithmetic on 2^k-bit numbers — measured: driver
+# wedged ~superstep 17 on a 12-vertex graph. One observation per
+# superstep, on the state only, is both the fast and the safe shape.
 
 
 @dataclass
@@ -98,6 +119,7 @@ def iterate(
     storage_level: StorageLevel = StorageLevel.MEMORY_AND_DISK,
     num_partitions: int | None = None,
     global_aggs: dict[str, "F.Column"] | None = None,
+    skew_sample_every: int = 8,
 ) -> LoopResult:
     """Run supersteps until ``converged(stats)`` or ``max_supersteps``.
 
@@ -105,6 +127,16 @@ def iterate(
     truncates lineage and enables resume: if the checkpoint directory
     already holds committed supersteps (and ``resume``), iteration
     restarts from the latest snapshot instead of superstep 1.
+
+    Message metrics: when the new state carries a transient ``_msgs``
+    column (per-vertex received-message count), its sum rides the same
+    materialization job as delta/changed — the default-config superstep
+    runs exactly ONE SQL execution (one pass over the data; asserted in
+    tests/test_superstep_jobs.py). The partition-skew histogram needs a
+    grouped pass over the message frame, so it is *sampled*: computed
+    only every ``skew_sample_every``-th superstep (0 disables). A
+    superstep that returns ``messages`` without ``_msgs`` falls back to
+    the legacy extra count job.
     """
     history: list[SuperstepMetrics] = []
     start_k = 1
@@ -143,6 +175,8 @@ def iterate(
                 agg_exprs.append(F.sum("_delta").alias("delta"))
             if "_changed" in cols:
                 agg_exprs.append(F.sum(F.col("_changed").cast("long")).alias("changed"))
+            if "_msgs" in cols:
+                agg_exprs.append(F.sum(F.col("_msgs").cast("long")).alias("messages"))
             # user global aggregates over the new vertex state — the
             # reference's per-superstep GlobalAggregator, computed inside
             # the same job (GlobalAggregator.java:42-78,
@@ -162,7 +196,7 @@ def iterate(
             # still fire, and the cached state carries only real columns
             new_state = (
                 res.state.observe(obs, *agg_exprs)
-                .drop("_delta", "_changed")
+                .drop("_delta", "_changed", "_msgs")
                 .localCheckpoint(eager=True)
             )
 
@@ -178,12 +212,27 @@ def iterate(
                     name: row[f"_ga_{name}"] for name in global_aggs
                 }
 
-            if res.messages is not None and track_messages:
-                msgs = res.messages.persist(storage_level)
-                stats.messages = msgs.count()
-                hist = partition_histogram(msgs)
-                stats.skew_ratio = skew_from_histogram(hist)
-                msgs.unpersist()
+            if track_messages:
+                sample_skew = (
+                    skew_sample_every > 0
+                    and res.messages is not None
+                    and k % skew_sample_every == 0
+                )
+                if "_msgs" in cols:
+                    # free: the count rode the materialization job above
+                    stats.messages = int(row["messages"] or 0)
+                    if sample_skew:
+                        hist = partition_histogram(res.messages)
+                        stats.skew_ratio = skew_from_histogram(hist)
+                elif res.messages is not None:
+                    # legacy path (superstep_fn without a _msgs column):
+                    # one extra job for the count, skew still sampled
+                    msgs = res.messages.persist(storage_level)
+                    stats.messages = msgs.count()
+                    if sample_skew:
+                        hist = partition_histogram(msgs)
+                        stats.skew_ratio = skew_from_histogram(hist)
+                    msgs.unpersist()
 
             if ckpt is not None and ckpt.should_checkpoint(k):
                 committed = ckpt.save(k, new_state, stats)
