@@ -11,15 +11,23 @@ superstep's metrics and per-partition row counts, so a killed run
 resumes mid-convergence (north_rule).
 
 Storage: snapshot-per-superstep directories in any Hadoop-compatible
-path. When an Iceberg catalog is configured on the session
-(``spark.sql.catalog.*`` with the iceberg-spark runtime on the
-classpath) the same manager writes through ``df.writeTo(table)``
-snapshots instead; this sandbox has no Iceberg jars, so the default is
-the parquet-directory layout with the same atomicity contract:
-``superstep=K/`` parquet is written first, then ``_meta/K.json`` — a
-superstep counts as committed only once its meta record exists, so a
-crash mid-write never yields a half-readable snapshot (rename-free, same
-idea as Iceberg's metadata-pointer commit).
+path. The atomicity contract: ``superstep=K/`` parquet is written
+first, then ``_meta/K.json`` — a superstep counts as committed only
+once its meta record exists, so a crash mid-write never yields a
+half-readable snapshot (rename-free, same idea as Iceberg's
+metadata-pointer commit).
+
+Iceberg mode (north_rule names Iceberg as the checkpoint format): pass
+``table="catalog.db.name"`` and, when the session has that catalog
+configured AND its implementation class on the classpath
+(``iceberg_capability``), snapshots append to the table via
+``df.writeTo(...)`` with a ``_superstep`` partition column — each
+append is one atomic Iceberg snapshot commit; resume reads back the
+latest committed ``_superstep`` slice. Meta records stay in the
+``_meta/`` sidecar (same commit protocol in both modes, so resume
+logic is storage-agnostic). This sandbox ships no Iceberg runtime jars,
+so the capability check reports unavailable here and the dedicated test
+skips; the parquet layout is the default either way.
 """
 
 from __future__ import annotations
@@ -32,6 +40,29 @@ from pyspark.sql import DataFrame, SparkSession
 from .metrics import SuperstepMetrics, partition_histogram, skew_from_histogram
 
 
+def iceberg_capability(spark: SparkSession, table: str) -> tuple[bool, str]:
+    """Can ``table`` ("catalog.db.name") take writeTo() appends on this
+    session? Checks (1) the catalog is configured and (2) its
+    implementation class loads (i.e. the iceberg-spark runtime jar is
+    actually on the classpath). Returns (ok, reason-if-not)."""
+    cat = (
+        table.split(".", 1)[0]
+        if "." in table
+        else spark.conf.get("spark.sql.defaultCatalog", "spark_catalog")
+    )
+    try:
+        impl = spark.conf.get(f"spark.sql.catalog.{cat}")
+    except Exception:
+        impl = None
+    if not impl:
+        return False, f"no spark.sql.catalog.{cat} configured on the session"
+    try:
+        spark._jvm.java.lang.Class.forName(impl)  # noqa: SLF001
+    except Exception:
+        return False, f"catalog class {impl} not on the classpath"
+    return True, ""
+
+
 class CheckpointManager:
     def __init__(
         self,
@@ -39,11 +70,24 @@ class CheckpointManager:
         path: str,
         every: int = 1,
         keep: int | None = None,
+        table: str | None = None,
     ):
+        """``path`` holds the ``_meta/`` commit records always; state
+        snapshots go to ``path/superstep=K/`` parquet, or — when
+        ``table`` is given and :func:`iceberg_capability` holds — to
+        Iceberg appends partitioned by ``_superstep``."""
         self.spark = spark
         self.path = path
         self.every = max(1, int(every))
         self.keep = keep
+        self.table = table
+        if table is not None:
+            ok, reason = iceberg_capability(spark, table)
+            if not ok:
+                raise ValueError(
+                    f"CheckpointManager(table={table!r}): {reason}; "
+                    "omit `table` for the parquet-directory layout"
+                )
         os.makedirs(os.path.join(path, "_meta"), exist_ok=True)
 
     # -- write ---------------------------------------------------------
@@ -57,11 +101,12 @@ class CheckpointManager:
         truncates the logical-plan lineage, which otherwise grows one
         join+agg per superstep).
         """
-        data_dir = self._data_dir(superstep)
-        state.write.mode("overwrite").parquet(data_dir)
-        reloaded = self.spark.read.parquet(data_dir)
+        reloaded = self._write_snapshot(superstep, state)
         metrics.rows_per_partition = partition_histogram(reloaded)
-        if metrics.skew_ratio == 1.0:
+        # backfill skew from the snapshot's own histogram when the loop
+        # didn't sample it this superstep — checkpoint lineage always
+        # carries a skew ratio even though the in-loop metric is sampled
+        if metrics.skew_ratio is None or metrics.skew_ratio == 1.0:
             metrics.skew_ratio = skew_from_histogram(metrics.rows_per_partition)
         tmp = self._meta_path(superstep) + ".tmp"
         with open(tmp, "w") as f:
@@ -90,7 +135,7 @@ class CheckpointManager:
     def load(self, superstep: int) -> tuple[DataFrame, SuperstepMetrics]:
         with open(self._meta_path(superstep)) as f:
             metrics = SuperstepMetrics.from_json(f.read())
-        return self.spark.read.parquet(self._data_dir(superstep)), metrics
+        return self._read_snapshot(superstep), metrics
 
     def history(self) -> list[SuperstepMetrics]:
         out = []
@@ -100,6 +145,34 @@ class CheckpointManager:
         return out
 
     # -- internals -------------------------------------------------------
+    def _write_snapshot(self, superstep: int, state: DataFrame) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        if self.table is not None:
+            # one atomic Iceberg snapshot commit per superstep append
+            writer = state.withColumn("_superstep", F.lit(superstep)).writeTo(
+                self.table
+            )
+            if self.spark.catalog.tableExists(self.table):
+                writer.append()
+            else:
+                writer.partitionedBy(F.col("_superstep")).create()
+            return self._read_snapshot(superstep)
+        data_dir = self._data_dir(superstep)
+        state.write.mode("overwrite").parquet(data_dir)
+        return self.spark.read.parquet(data_dir)
+
+    def _read_snapshot(self, superstep: int) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        if self.table is not None:
+            return (
+                self.spark.read.table(self.table)
+                .filter(F.col("_superstep") == superstep)
+                .drop("_superstep")
+            )
+        return self.spark.read.parquet(self._data_dir(superstep))
+
     def _data_dir(self, superstep: int) -> str:
         return os.path.join(self.path, f"superstep={superstep}")
 
@@ -111,7 +184,12 @@ class CheckpointManager:
 
         for k in self.committed_supersteps():
             if k <= current - self.keep * self.every:
-                shutil.rmtree(self._data_dir(k), ignore_errors=True)
+                if self.table is not None:
+                    self.spark.sql(
+                        f"DELETE FROM {self.table} WHERE _superstep = {k}"
+                    )
+                else:
+                    shutil.rmtree(self._data_dir(k), ignore_errors=True)
                 try:
                     os.remove(self._meta_path(k))
                 except OSError:
