@@ -25,6 +25,16 @@ from .algorithms import (
     triangle_total,
 )
 from .imru import batch_gradient_descent, imru_run, kmeans
+from .vertex_program import VertexProgram, run_vertex_program
+from .examples import (
+    degree_weighted_pagerank,
+    early_termination_demo,
+    message_overflow_demo,
+    pagerank_struct_demo,
+    pagerank_struct_program,
+    shortest_paths_vp,
+    sssp_program,
+)
 from .mutation import add_vertices, delete_edges_of, delete_vertices
 from .sources import adjacency_text_graph, ring_graph, write_vertex_text
 from .streaming import (
@@ -53,6 +63,15 @@ __all__ = [
     "graph_sample",
     "local_maximal_cliques",
     "maximum_cliques",
+    "VertexProgram",
+    "run_vertex_program",
+    "sssp_program",
+    "shortest_paths_vp",
+    "degree_weighted_pagerank",
+    "early_termination_demo",
+    "message_overflow_demo",
+    "pagerank_struct_demo",
+    "pagerank_struct_program",
     "imru_run",
     "kmeans",
     "batch_gradient_descent",

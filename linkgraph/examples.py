@@ -1,0 +1,297 @@
+"""Algorithms written against the PUBLIC VertexProgram API only.
+
+These are the "user programs" of the engine — the analogue of the
+reference's pregelix-example directory, where every algorithm is a
+``Vertex`` subclass against the public API (e.g.
+ShortestPathsVertex.java:125-145) and never touches runtime internals.
+Nothing here imports from ``linkgraph.algorithms`` or builds raw
+superstep DataFrames: each is a :class:`~linkgraph.vertex_program.
+VertexProgram` spec (message expr + combiner agg + update expr) that
+the engine assembles into the iteration.
+
+``sssp_program`` mirrors the shipped ShortestPathsVertex contract and is
+tested for equality against the engine-internal implementation AND the
+driver's DuckDB oracle; ``degree_weighted_pagerank`` is a genuinely new
+user-defined analytic (degree-prior teleport — not in the reference)
+demonstrating that new algorithms need zero engine edits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .graph import vertices_from_edges
+from .partitioning import out_degrees
+from .superstep import LoopResult, StepResult, iterate
+from .vertex_program import VertexProgram, run_vertex_program
+
+_INF = float("inf")
+
+
+def sssp_program(source: int, weight_col: str | None = None) -> VertexProgram:
+    """Single-source shortest paths as a declarative vertex program.
+
+    Reference semantics (ShortestPathsVertex.java:125-145): min-distance
+    relaxation with SimpleMinCombiner, delta messaging (only improved
+    vertices re-send), source from conf, default edge weight 1.0.
+    """
+    w = F.col(weight_col) if weight_col else F.lit(1.0)
+    return VertexProgram(
+        init_expr=F.when(F.col("id") == source, F.lit(0.0)).otherwise(F.lit(_INF)),
+        message_expr=F.col("value") + w,
+        combine_agg=F.min("msg"),
+        update_expr=F.least(F.col("value"), F.coalesce(F.col("msg"), F.col("value"))),
+        changed_expr=F.col("_new") < F.col("value"),
+        plan="delta",
+        initial_active_expr=F.col("id") == source,
+        weight_col=weight_col or "_w1",
+    )
+
+
+def shortest_paths_vp(
+    edges: DataFrame,
+    source: int,
+    weight_col: str | None = None,
+    **kwargs,
+) -> tuple[DataFrame, LoopResult]:
+    """Run :func:`sssp_program`; returns (DF(id, distance), LoopResult)
+    with distance NULL when unreachable (same surface as the built-in)."""
+    prog = sssp_program(source, weight_col)
+    e = edges if weight_col else edges.withColumn("_w1", F.lit(1.0))
+    state, res = run_vertex_program(e, prog, **kwargs)
+    out = state.select(
+        "id",
+        F.when(F.col("value") == _INF, F.lit(None))
+        .otherwise(F.col("value"))
+        .alias("distance"),
+    )
+    return out, res
+
+
+def pagerank_struct_program(n: int, damping: float = 0.85) -> VertexProgram:
+    """PageRank with a COMPOSITE vertex value — struct<rank double,
+    identifier string>.
+
+    Reference: PageRankVertex2's StateWritable carries a double + Text
+    identifier through the iteration (PageRankVertex2.java:139-171,
+    golden expected/PageRankReal2 — same ranks as PageRankReal). The
+    Spark rendition is simply a struct column flowing through the same
+    declarative program: expressions address the fields
+    (``value.rank``), the update rebuilds the struct and the identifier
+    rides along unchanged. No engine support needed — any Spark SQL
+    type works as the vertex value.
+    """
+    teleport = (1.0 - damping) / n
+    return VertexProgram(
+        init_expr=F.struct(
+            F.lit(1.0 / n).alias("rank"),
+            F.concat(F.lit("vertex-"), F.col("id")).alias("identifier"),
+        ),
+        message_expr=F.col("value.rank") / F.col("outdeg"),
+        combine_agg=F.sum("msg"),
+        update_expr=F.struct(
+            (
+                F.lit(teleport)
+                + F.lit(damping) * F.coalesce(F.col("msg"), F.lit(0.0))
+            ).alias("rank"),
+            F.col("value.identifier").alias("identifier"),
+        ),
+        delta_expr=F.abs(F.col("_new.rank") - F.col("value.rank")),
+        plan="outer",
+    )
+
+
+def pagerank_struct_demo(
+    edges: DataFrame,
+    fixed_updates: int = 9,
+    vertices: DataFrame | None = None,
+    **kwargs,
+) -> tuple[DataFrame, LoopResult]:
+    """Run :func:`pagerank_struct_program`; returns
+    (DF(id, rank, identifier), LoopResult). ``fixed_updates=9``
+    reproduces the reference's maxIter=10 goldens (PageRankReal2)."""
+    if vertices is None:
+        vertices = vertices_from_edges(edges)
+    n = vertices.count()
+    prog = pagerank_struct_program(n)
+    state, res = run_vertex_program(
+        edges,
+        prog,
+        vertices=vertices,
+        max_supersteps=fixed_updates,
+        stop_when=lambda s: False,
+        **kwargs,
+    )
+    return (
+        state.select(
+            "id",
+            F.col("value.rank").alias("rank"),
+            F.col("value.identifier").alias("identifier"),
+        ),
+        res,
+    )
+
+
+def early_termination_demo(
+    spark, num_vertices: int = 20, num_partitions: int = 4
+) -> DataFrame:
+    """``terminatePartition()`` fixture parity — DF(id, value).
+
+    Reference (EarlyTerminationVertex.java:42-60, golden
+    expected/EarlyTermination over the 20-vertex webmap): superstep 1,
+    vertices with id%4==2 call terminatePartition() — their whole
+    partition freezes BEFORE the value update, so they keep value 0 —
+    while everyone else sets value 1; superstep 2, id%4==3 freezes (at
+    value 1) and the rest set value 2 and halt. The fixture's hash
+    partitioner is id % numPartitions (VLongWritable hash), so the
+    frozen "partition" is exactly the id%4 residue class; the Spark
+    rendition models partition termination as a frozen flag carried in
+    the vertex state and applied before the update expression.
+    """
+    init = (
+        spark.range(num_vertices)
+        .select(
+            F.col("id"),
+            F.lit(0).alias("value"),
+            F.lit(False).alias("frozen"),
+        )
+        .repartition(num_partitions, "id")
+    )
+
+    def superstep(state: DataFrame, k: int) -> StepResult:
+        residue = 2 if k == 1 else 3
+        term = F.pmod(F.col("id"), F.lit(num_partitions)) == residue
+        frozen = F.col("frozen") | term
+        new = state.select(
+            "id",
+            F.when(frozen, F.col("value")).otherwise(F.lit(k)).alias("value"),
+            frozen.alias("frozen"),
+        )
+        return StepResult(state=new)
+
+    res = iterate(
+        init,
+        superstep,
+        converged=lambda s: False,
+        max_supersteps=2,
+        num_partitions=num_partitions,
+        track_messages=False,
+    )
+    return res.state.select("id", "value")
+
+
+def message_overflow_demo(
+    edges: DataFrame,
+    clones: int = 10_000,
+    vertices: DataFrame | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """No-combiner (collect) message path on the overflow fixtures —
+    DF(id, value) with value = number of incoming messages.
+
+    Reference (MessageOverflowVertex.java:54-79 and the Fixedsize/LSM
+    variants, goldens expected/MessageOverflow*): superstep 1 every
+    vertex sends ``clones`` messages per out-edge (values random and
+    ignored); superstep 2 every vertex's value = its incoming message
+    COUNT, i.e. clones * indegree. The reference exercises Hyracks
+    frame segmentation with the default collect combiner; the Spark
+    rendition carries the uncombined message multiset through
+    ``collect_list`` (the engine's Default/collect combiner path,
+    SURVEY.md §3.4) and counts it — frame segmentation itself is a
+    Hyracks buffer artifact with no Spark analogue (documented
+    non-goal, SURVEY.md §9).
+    """
+    if vertices is None:
+        vertices = vertices_from_edges(edges)
+    init = vertices.select("id", F.lit(0).alias("value"))
+
+    def superstep(state: DataFrame, k: int) -> StepResult:
+        senders = state
+        msgs = (
+            edges.join(senders, edges["src"] == senders["id"])
+            .select(
+                F.col("dst").alias("id"),
+                F.explode(F.sequence(F.lit(1), F.lit(clones))).alias("msg"),
+            )
+            .groupBy("id")
+            # the Default (collect) combiner: the full message multiset
+            .agg(F.collect_list("msg").alias("msgs"))
+        )
+        new = (
+            state.drop("value")
+            .join(msgs, "id", "left_outer")
+            .select(
+                "id",
+                F.coalesce(F.size("msgs"), F.lit(0)).cast("long").alias("value"),
+                F.col("msgs").isNotNull().cast("long").alias("_msgs"),
+            )
+        )
+        return StepResult(state=new, messages=msgs)
+
+    res = iterate(
+        init,
+        superstep,
+        converged=lambda s: False,
+        max_supersteps=1,
+        num_partitions=num_partitions,
+    )
+    return res.state.select("id", "value")
+
+
+def degree_weighted_pagerank(
+    edges: DataFrame,
+    damping: float = 0.85,
+    fixed_updates: int | None = None,
+    tol: float = 1e-6,
+    max_supersteps: int = 60,
+    vertices: DataFrame | None = None,
+    **kwargs,
+) -> tuple[DataFrame, LoopResult]:
+    """PageRank with a degree-proportional teleport prior — a
+    user-defined variant (NOT shipped by the reference):
+
+        r_v = (1-d) * outdeg(v)/|E|  +  d * sum_{u->v} r_u / outdeg(u)
+
+    Dangling vertices get zero teleport mass (their prior is 0) and, as
+    in the standard algorithm, send nothing. Initial value = the prior.
+    Demonstrates vertex attributes: each vertex carries its out-degree
+    as a static attr column used by the update expression.
+    """
+    if vertices is None:
+        vertices = vertices_from_edges(edges)
+    total_edges = edges.count()
+    deg = out_degrees(edges).withColumnRenamed("src", "id").select(
+        "id", F.col("outdeg").alias("deg")
+    )
+    prior = F.coalesce(F.col("deg"), F.lit(0)).cast("double") / F.lit(float(total_edges))
+
+    prog = VertexProgram(
+        init_expr=prior,
+        # sender's value spread over its out-edges; outdeg comes from
+        # the engine's CSR adjacency (total degree, salt-safe)
+        message_expr=F.col("value") / F.col("outdeg"),
+        combine_agg=F.sum("msg"),
+        update_expr=(
+            F.lit(1.0 - damping) * prior
+            + F.lit(damping) * F.coalesce(F.col("msg"), F.lit(0.0))
+        ),
+        delta_expr=F.abs(F.col("_new") - F.col("value")),
+        plan="outer",
+    )
+    if fixed_updates is not None:
+        stop = lambda s: False  # noqa: E731
+        max_iter = fixed_updates
+    else:
+        stop = lambda s: s.delta is not None and s.delta <= tol  # noqa: E731
+        max_iter = max_supersteps
+    state, res = run_vertex_program(
+        edges,
+        prog,
+        vertices=vertices,
+        vertex_attrs=deg,
+        max_supersteps=max_iter,
+        stop_when=stop,
+        **kwargs,
+    )
+    return state.select("id", F.col("value").alias("rank")), res

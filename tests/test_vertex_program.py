@@ -1,0 +1,196 @@
+"""VertexProgram — the declarative user compute() surface.
+
+Verifies VERDICT r1 "Next round #3": new algorithms are definable
+against the public API alone (no linkgraph.algorithms edits), with
+parity against the engine-internal implementations and independent
+numpy oracles.
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+def _rows(df, *cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+class TestSsspViaVertexProgram:
+    def test_matches_builtin_sssp(self, spark, webmap_edges):
+        from linkgraph import shortest_paths, shortest_paths_vp
+
+        got, _ = shortest_paths_vp(webmap_edges, source=0)
+        want, _ = shortest_paths(webmap_edges, source=0)
+        assert _rows(got, "id", "distance") == _rows(want, "id", "distance")
+
+    def test_weighted(self, spark):
+        from linkgraph import shortest_paths_vp
+
+        edges = spark.createDataFrame(
+            [(0, 1, 5.0), (0, 2, 1.0), (2, 1, 1.0), (1, 3, 1.0)],
+            "src long, dst long, w double",
+        )
+        got, _ = shortest_paths_vp(edges, source=0, weight_col="w")
+        d = dict(_rows(got, "id", "distance"))
+        assert d == {0: 0.0, 1: 2.0, 2: 1.0, 3: 3.0}
+
+    def test_unreachable_is_null(self, spark):
+        from linkgraph import shortest_paths_vp
+
+        edges = spark.createDataFrame([(0, 1), (2, 3)], "src long, dst long")
+        got, _ = shortest_paths_vp(edges, source=0)
+        d = dict(_rows(got, "id", "distance"))
+        assert d[0] == 0.0 and d[1] == 1.0
+        assert d[2] is None and d[3] is None
+
+
+class TestDegreeWeightedPageRank:
+    def test_matches_numpy_oracle(self, spark, webmap_edges):
+        from linkgraph import degree_weighted_pagerank
+
+        got, res = degree_weighted_pagerank(webmap_edges, fixed_updates=10)
+        ranks = dict(_rows(got, "id", "rank"))
+
+        # independent numpy oracle
+        pairs = [(r["src"], r["dst"]) for r in webmap_edges.collect()]
+        ids = sorted({v for e in pairs for v in e})
+        idx = {v: i for i, v in enumerate(ids)}
+        n, m = len(ids), len(pairs)
+        outdeg = np.zeros(n)
+        for s, _ in pairs:
+            outdeg[idx[s]] += 1
+        prior = outdeg / m
+        r = prior.copy()
+        for _ in range(10):
+            msum = np.zeros(n)
+            for s, d in pairs:
+                msum[idx[d]] += r[idx[s]] / outdeg[idx[s]]
+            r = 0.15 * prior + 0.85 * msum
+        for v in ids:
+            assert ranks[v] == pytest.approx(r[idx[v]], abs=1e-9)
+
+    def test_no_engine_internals_needed(self):
+        # the example module must not import the built-in algorithms
+        import linkgraph.examples as ex
+
+        src = open(ex.__file__).read()
+        assert "from .algorithms" not in src and "algorithms." not in src
+
+
+class TestUserDefinedPrograms:
+    def test_cc_via_vertex_program(self, spark, webmap_edges):
+        """Min-label propagation defined by a user, compared with the
+        built-in connected components on the undirected graph."""
+        from linkgraph import VertexProgram, connected_components, run_vertex_program
+
+        prog = VertexProgram(
+            init_expr=F.col("id").cast("double"),
+            message_expr=F.col("value"),
+            combine_agg=F.min("msg"),
+            update_expr=F.least(
+                F.col("value"), F.coalesce(F.col("msg"), F.col("value"))
+            ),
+            changed_expr=F.col("_new") < F.col("value"),
+            plan="delta",
+            symmetrize_edges=True,
+        )
+        got, _ = run_vertex_program(webmap_edges, prog, max_supersteps=50)
+        want, _ = connected_components(webmap_edges)
+        got_d = {r["id"]: int(r["value"]) for r in got.collect()}
+        want_d = {r["id"]: int(r["component"]) for r in want.collect()}
+        assert got_d == want_d
+
+    def test_pandas_update_kernel(self, spark, webmap_edges):
+        """update_kernel path: same SSSP update written as a vectorized
+        pandas kernel instead of a column expression."""
+        from linkgraph import VertexProgram, run_vertex_program, shortest_paths
+
+        def kernel(pdf):
+            import numpy as np
+
+            msg = pdf["msg"].to_numpy(dtype="float64")  # NaN when null
+            val = pdf["value"].to_numpy(dtype="float64")
+            return __import__("pandas").Series(np.fmin(val, np.nan_to_num(msg, nan=np.inf)))
+
+        prog = VertexProgram(
+            init_expr=F.when(F.col("id") == 0, 0.0).otherwise(float("inf")),
+            message_expr=F.col("value") + F.lit(1.0),
+            combine_agg=F.min("msg"),
+            update_expr=F.lit(None),  # unused: kernel takes precedence
+            changed_expr=F.col("_new") < F.col("value"),
+            plan="delta",
+            initial_active_expr=F.col("id") == 0,
+            update_kernel=kernel,
+        )
+        got, _ = run_vertex_program(webmap_edges, prog, max_supersteps=50)
+        want, _ = shortest_paths(webmap_edges, source=0)
+        got_d = {
+            r["id"]: (None if r["value"] == float("inf") else r["value"])
+            for r in got.collect()
+        }
+        want_d = {r["id"]: r["distance"] for r in want.collect()}
+        assert got_d == want_d
+
+    def test_metrics_and_checkpoint(self, spark, webmap_edges, tmp_path):
+        from linkgraph import CheckpointManager, shortest_paths_vp
+
+        ck = CheckpointManager(spark, str(tmp_path / "vp"), every=1)
+        _, res = shortest_paths_vp(webmap_edges, source=0, ckpt=ck)
+        assert res.supersteps >= 1
+        assert all(m.messages is not None for m in res.history)
+        assert ck.committed_supersteps()
+
+
+class TestAutoPlanSwitch:
+    """plan="auto" — the reference's runtime OUTER->INNER switch
+    (JobGen.switchPlan): outer scatter until the changed fraction drops
+    below switch_threshold, then permanent delta scatter."""
+
+    def _cc_prog(self, plan, threshold=0.5):
+        from linkgraph import VertexProgram
+
+        return VertexProgram(
+            init_expr=F.col("id").cast("double"),
+            message_expr=F.col("value"),
+            combine_agg=F.min("msg"),
+            update_expr=F.least(
+                F.col("value"), F.coalesce(F.col("msg"), F.col("value"))
+            ),
+            changed_expr=F.col("_new") < F.col("value"),
+            plan=plan,
+            switch_threshold=threshold,
+            symmetrize_edges=True,
+        )
+
+    def test_auto_matches_outer_and_delta(self, spark, webmap_edges):
+        from linkgraph import run_vertex_program
+
+        results = {}
+        for plan in ("outer", "delta", "auto"):
+            got, res = run_vertex_program(
+                webmap_edges, self._cc_prog(plan), max_supersteps=50
+            )
+            results[plan] = {r["id"]: r["value"] for r in got.collect()}
+        assert results["auto"] == results["outer"] == results["delta"]
+
+    def test_switch_fires_and_is_permanent(self, spark, webmap_edges):
+        from linkgraph import run_vertex_program
+
+        # threshold 1.1: every superstep qualifies -> switches at k=2
+        _, res = run_vertex_program(
+            webmap_edges, self._cc_prog("auto", threshold=1.1), max_supersteps=50
+        )
+        assert res.plan_switched_at == 2
+        # threshold 0: never switches -> stays outer
+        _, res0 = run_vertex_program(
+            webmap_edges, self._cc_prog("auto", threshold=0.0), max_supersteps=50
+        )
+        assert res0.plan_switched_at is None
+
+    def test_non_auto_has_no_switch(self, spark, webmap_edges):
+        from linkgraph import run_vertex_program
+
+        _, res = run_vertex_program(
+            webmap_edges, self._cc_prog("delta"), max_supersteps=50
+        )
+        assert res.plan_switched_at is None
