@@ -21,14 +21,31 @@ Bron-Kerbosch with pivoting on its (small) neighborhood graph. Work is
 proportional to Sum_v |E(N+(v))| (the triangle-join volume); hub cost is
 bounded by forward-degree, exactly the reference's ascending-order
 pruning.
+
+Hub bound: a center with forward-degree d materializes an O(d^2)-edge
+group in ONE task, so centers above ``hub_split_degree`` are decomposed
+one level further — group key (v, u) for each u in N+(v), over the
+intersection subgraph G[N+(v) ∩ N+(u)] (always the far smaller common
+neighborhood). Every maximal clique C of G[N+(v)] with |C| >= 2 and
+min(C)=u is a maximal clique of that intersection graph, so the split
+path emits a SUPERSET of the per-center maximal cliques (a clique
+maximal in the intersection may still be extendable by some w < u
+inside N+(v)); any spurious extra is strictly contained in a larger
+emitted clique, so ``maximum_cliques``' global answer stays EXACT.
 """
 
 from __future__ import annotations
+
+import logging
 
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+log = logging.getLogger(__name__)
+
+DEFAULT_HUB_SPLIT_DEGREE = 1024
 
 
 def _bron_kerbosch(adj: dict) -> list:
@@ -58,50 +75,119 @@ _CLIQUE_SCHEMA = T.StructType(
 )
 
 
-def local_maximal_cliques(edges: DataFrame) -> DataFrame:
+def _enumerate(pdf: pd.DataFrame, prefix_cols: list[str]) -> pd.DataFrame:
+    """BK over one group's induced subgraph. Node rows have y NULL;
+    edge rows carry (x, y). The clique prefix (the group key vertices)
+    is prepended to every result."""
+    prefix = [int(pdf[c].iloc[0]) for c in prefix_cols]
+    node_set = set(pdf["x"].dropna().astype("int64"))
+    adj = {u: set() for u in node_set}
+    ee = pdf.dropna(subset=["x", "y"])
+    for x, y in zip(ee["x"].astype("int64"), ee["y"].astype("int64")):
+        adj[x].add(y)
+        adj[y].add(x)
+    out = [prefix + c for c in _bron_kerbosch(adj)]
+    if not out and len(prefix) > 1:
+        # empty intersection: the prefix itself is the clique {v, u}
+        out = [prefix]
+    return pd.DataFrame(
+        {"clique": out, "size": [len(c) for c in out]}
+    ).astype({"size": "int32"})
+
+
+def local_maximal_cliques(
+    edges: DataFrame, hub_split_degree: int = DEFAULT_HUB_SPLIT_DEGREE
+) -> DataFrame:
     """DF(clique array<long>, size): for every vertex v, the maximal
     cliques of {v} ∪ N+(v) with v as the minimum member (ascending
     order by construction). Every globally maximal clique of size >= 2
     appears (as a maximal clique of its minimum vertex's neighborhood).
+
+    Centers whose forward-degree exceeds ``hub_split_degree`` take the
+    two-level (v, u) split (see module docstring): per-task group size
+    stays bounded by the common-neighborhood size instead of the hub
+    degree, at the cost of possibly emitting non-maximal extras for
+    those centers (always subsets of other emitted cliques).
     """
     ce = (
         edges.filter(F.col("dst") < F.col("src"))
         .select(F.col("dst").alias("a"), F.col("src").alias("b"))
         .distinct()
     )
+    fdeg = ce.groupBy("a").agg(F.count(F.lit(1)).alias("fdeg"))
+    big = fdeg.filter(F.col("fdeg") > hub_split_degree).select(F.col("a").alias("v"))
+    n_big = big.count()
+    if n_big:
+        log.info(
+            "local_maximal_cliques: %d hub center(s) over forward-degree %d "
+            "take the two-level split", n_big, hub_split_degree,
+        )
     e1 = ce.select(F.col("a").alias("v"), F.col("b").alias("x"))
+    e1_small = e1.join(big, "v", "left_anti")
     # induced edges among v's forward neighbors (the wedge join) ...
-    wedge = (
-        e1.join(e1.withColumnRenamed("x", "y"), "v")
+    wedge_small = (
+        e1_small.join(e1_small.withColumnRenamed("x", "y"), "v")
         .filter(F.col("x") < F.col("y"))
         .join(ce, (F.col("x") == ce["a"]) & (F.col("y") == ce["b"]))
         .select("v", "x", "y")
     )
     # ... plus every forward neighbor as a node row (isolated neighbors
     # still form 2-cliques {v, x})
-    nodes = e1.select("v", "x", F.lit(None).cast("long").alias("y"))
-    sub = nodes.unionByName(wedge)
-
-    def enumerate_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        v = int(pdf["v"].iloc[0])
-        node_set = set(pdf["x"].astype("int64"))
-        adj = {u: set() for u in node_set}
-        ee = pdf.dropna(subset=["y"])
-        for x, y in zip(ee["x"].astype("int64"), ee["y"].astype("int64")):
-            adj[x].add(y)
-            adj[y].add(x)
-        out = [[v] + c for c in _bron_kerbosch(adj)]
-        return pd.DataFrame(
-            {"clique": out, "size": [len(c) for c in out]}
-        ).astype({"size": "int32"})
-
-    return sub.groupBy("v").applyInPandas(enumerate_group, schema=_CLIQUE_SCHEMA)
+    nodes_small = e1_small.select("v", "x", F.lit(None).cast("long").alias("y"))
+    sub = nodes_small.unionByName(wedge_small)
+    small_out = sub.groupBy("v").applyInPandas(
+        lambda pdf: _enumerate(pdf, ["v"]), schema=_CLIQUE_SCHEMA
+    )
+    if n_big == 0:
+        return small_out
+    big_out = _hub_split_cliques(ce, e1.join(big, "v", "left_semi"))
+    return small_out.unionByName(big_out)
 
 
-def maximum_cliques(edges: DataFrame) -> DataFrame:
+def _hub_split_cliques(ce: DataFrame, e1_big: DataFrame) -> DataFrame:
+    """Two-level decomposition for hub centers: group key (v, u) with
+    u in N+(v), over the intersection graph G[N+(v) ∩ N+(u)].
+
+    nodes(v, u, w):  w in N+(v), (u, w) in ce      (the wedge triple)
+    edges(v, u, w1, w2): both in the node set, (w1, w2) in ce
+    """
+    # wedge triples (v, u, w): u, w forward-neighbors of v, u < w, (u,w) edge
+    wedge = (
+        e1_big.select("v", F.col("x").alias("u"))
+        .join(e1_big.select("v", F.col("x").alias("w")), "v")
+        .filter(F.col("u") < F.col("w"))
+        .join(ce, (F.col("u") == ce["a"]) & (F.col("w") == ce["b"]))
+        .select("v", "u", "w")
+    )
+    # every u in N+(v) gets a group even with empty intersection ({v,u})
+    groups = e1_big.select("v", F.col("x").alias("u"))
+    nodes = wedge.select("v", "u", F.col("w").alias("x"), F.lit(None).cast("long").alias("y"))
+    empty_nodes = groups.select(
+        "v", "u", F.lit(None).cast("long").alias("x"), F.lit(None).cast("long").alias("y")
+    )
+    intra = (
+        wedge.select("v", "u", F.col("w").alias("x"))
+        .join(wedge.select("v", "u", F.col("w").alias("y")), ["v", "u"])
+        .filter(F.col("x") < F.col("y"))
+        .join(ce, (F.col("x") == ce["a"]) & (F.col("y") == ce["b"]))
+        .select("v", "u", "x", "y")
+    )
+    sub = nodes.unionByName(empty_nodes).unionByName(intra)
+    return sub.groupBy("v", "u").applyInPandas(
+        lambda pdf: _enumerate(pdf, ["v", "u"]), schema=_CLIQUE_SCHEMA
+    )
+
+
+def maximum_cliques(
+    edges: DataFrame, hub_split_degree: int = DEFAULT_HUB_SPLIT_DEGREE
+) -> DataFrame:
     """The reference aggregator's global answer: all cliques of maximum
-    size, ascending vertex order. DF(clique array<long>, size)."""
-    local = local_maximal_cliques(edges).persist()
+    size, ascending vertex order. DF(clique array<long>, size).
+
+    Exact regardless of hub splitting: any non-maximal extra the split
+    path emits is strictly smaller than a clique that is also emitted,
+    so it never survives the max-size filter."""
+    local = local_maximal_cliques(edges, hub_split_degree=hub_split_degree).persist()
     row = local.agg(F.max("size").alias("m")).first()
     m = row["m"] if row and row["m"] is not None else 0
     out = local.filter(F.col("size") == m).distinct()

