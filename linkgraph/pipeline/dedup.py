@@ -103,17 +103,39 @@ def minhash_signatures(
     """
     a, b = _hash_params(num_hashes, seed)
 
+    a_u, b_u = a.astype(np.uint64), b.astype(np.uint64)
+    M = np.uint64(_MERSENNE)
+
     @pandas_udf(T.ArrayType(T.LongType()))
     def sig_udf(shingle_hashes: pd.Series) -> pd.Series:
-        out = []
-        for hs in shingle_hashes:
-            if hs is None or len(hs) == 0:
-                out.append(np.full(num_hashes, _MERSENNE, dtype=np.int64))
-                continue
-            h = np.asarray(hs, dtype=np.uint64).reshape(-1, 1)
-            m = (h * a.astype(np.uint64) + b.astype(np.uint64)) % np.uint64(_MERSENNE)
-            out.append(m.min(axis=0).astype(np.int64))
-        return pd.Series(out)
+        # ragged-batch vectorization: one flat shingle-hash array for
+        # the whole Arrow batch, per-row mins via minimum.reduceat —
+        # no per-row Python. Hash functions are processed in chunks of
+        # 8 to bound the (total_shingles x chunk) temporary.
+        lens = np.array(
+            [0 if hs is None else len(hs) for hs in shingle_hashes], dtype=np.int64
+        )
+        out = np.full((len(lens), num_hashes), _MERSENNE, dtype=np.int64)
+        nonempty = lens > 0
+        if nonempty.any():
+            h_all = np.concatenate(
+                [
+                    np.asarray(hs, dtype=np.uint64)
+                    for hs in shingle_hashes
+                    if hs is not None and len(hs) > 0
+                ]
+            )[:, None]
+            offsets = np.zeros(int(nonempty.sum()), dtype=np.int64)
+            offsets[1:] = np.cumsum(lens[nonempty])[:-1]
+            mins = np.empty((len(offsets), num_hashes), dtype=np.int64)
+            for c0 in range(0, num_hashes, 8):
+                c1 = min(c0 + 8, num_hashes)
+                m = (h_all * a_u[c0:c1] + b_u[c0:c1]) % M
+                mins[:, c0:c1] = np.minimum.reduceat(m, offsets, axis=0).astype(
+                    np.int64
+                )
+            out[nonempty] = mins
+        return pd.Series(list(out))
 
     hashed = docs.select(
         "doc_id",
@@ -187,17 +209,33 @@ def simhash64(docs: DataFrame, shingle_n: int = 2, seed: int = 42) -> DataFrame:
 
     @pandas_udf(T.LongType())
     def simhash_udf(shingle_hashes: pd.Series) -> pd.Series:
-        out = np.zeros(len(shingle_hashes), dtype=np.int64)
-        for i, hs in enumerate(shingle_hashes):
-            if hs is None or len(hs) == 0:
-                continue
-            h = np.asarray(hs, dtype=np.uint64)
-            bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int32)
-            votes = bits.sum(axis=0) * 2 - len(h)
-            word = np.uint64(0)
-            for bit in np.nonzero(votes > 0)[0]:
-                word |= np.uint64(1) << np.uint64(bit)
-            out[i] = np.int64(word.astype(np.int64))
+        # ragged-batch vectorization: unpack all shingle hashes of the
+        # Arrow batch into one (total, 64) bit matrix, per-row bit votes
+        # via add.reduceat, then vectorized word assembly.
+        lens = np.array(
+            [0 if hs is None else len(hs) for hs in shingle_hashes], dtype=np.int64
+        )
+        out = np.zeros(len(lens), dtype=np.int64)
+        nonempty = lens > 0
+        if nonempty.any():
+            h_all = np.concatenate(
+                [
+                    np.asarray(hs, dtype=np.uint64)
+                    for hs in shingle_hashes
+                    if hs is not None and len(hs) > 0
+                ]
+            )
+            bits = ((h_all[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(
+                np.int32
+            )
+            offsets = np.zeros(int(nonempty.sum()), dtype=np.int64)
+            offsets[1:] = np.cumsum(lens[nonempty])[:-1]
+            sums = np.add.reduceat(bits, offsets, axis=0)
+            votes = sums * 2 - lens[nonempty][:, None]
+            words = (
+                (votes > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)
+            ).sum(axis=1, dtype=np.uint64)
+            out[nonempty] = words.astype(np.int64)
         return pd.Series(out)
 
     hashed = docs.select(
