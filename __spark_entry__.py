@@ -45,6 +45,7 @@ from linkgraph.pipeline import (
 )
 
 PR_UPDATES = 8
+DW_UPDATES = 6
 LPA_STEPS = 4
 SSSP_HOPS = 12
 JACCARD_T = 0.12
@@ -126,6 +127,34 @@ def _q_sssp(spark, sf):
         edges, source=0, vertices=document_vertices(spark, sf), max_supersteps=SSSP_HOPS
     )
     return dist
+
+
+def _q_sssp_vp(spark, sf):
+    """SSSP via the declarative VertexProgram public API (the user
+    compute() surface) — same contract as _q_sssp, so it shares the
+    hop-bounded recursive-CTE oracle."""
+    from linkgraph import shortest_paths_vp
+
+    edges = document_edges(spark, sf)
+    dist, _ = shortest_paths_vp(
+        edges,
+        source=0,
+        vertices=document_vertices(spark, sf),
+        max_supersteps=SSSP_HOPS,
+    )
+    return dist
+
+
+def _q_dw_pagerank(spark, sf):
+    """Degree-weighted PageRank — a user-defined VertexProgram (degree-
+    proportional teleport prior), oracle-checked via an unrolled CTE."""
+    from linkgraph import degree_weighted_pagerank
+
+    edges = document_edges(spark, sf)
+    ranks, _ = degree_weighted_pagerank(
+        edges, fixed_updates=DW_UPDATES, vertices=document_vertices(spark, sf)
+    )
+    return ranks.select("id", F.round("rank", 6).alias("dw_rank"))
 
 
 def _q_reachability(spark, sf):
@@ -266,9 +295,12 @@ def _q_lsh_topk(spark, sf):
 def _q_maximum_cliques(spark, sf):
     from linkgraph import maximum_cliques
 
+    # ARRAY columns break the driver's pandas canonicalizer
+    # (sort_values on lists); emit the clique as a sortable
+    # comma-joined string instead. Engine API still returns arrays.
     edges = document_edges(spark, sf)
     return maximum_cliques(edges).select(
-        F.col("clique").cast("array<long>").alias("clique"),
+        F.array_join(F.col("clique").cast("array<string>"), ",").alias("clique"),
         F.col("size").cast("int").alias("size"),
     )
 
@@ -290,10 +322,14 @@ def _q_kmeans(spark, sf):
         "vec_id", F.col("embedding").cast("array<double>").alias("features")
     )
     res = kmeans(emb, k=5, max_iterations=5)
-    return spark.createDataFrame(
-        [(i, [round(float(x), 6) for x in c]) for i, c in enumerate(res.model)],
-        "cluster INT, center ARRAY<DOUBLE>",
-    )
+    # scalar (cluster, dim, value) rows — ARRAY<DOUBLE> centers break
+    # the driver's pandas canonicalizer (sort_values on lists)
+    rows = [
+        (ci, di, round(float(x), 6))
+        for ci, center in enumerate(res.model)
+        for di, x in enumerate(center)
+    ]
+    return spark.createDataFrame(rows, "cluster INT, dim INT, value DOUBLE")
 
 
 def _q_ivf_topk(spark, sf):
@@ -320,6 +356,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangles_per_vertex": _q_triangles,
         "triangle_total": _q_triangle_total,
         "sssp_hops": _q_sssp,
+        "sssp_vertex_program": _q_sssp_vp,
+        "degree_weighted_pagerank": _q_dw_pagerank,
         "reachability": _q_reachability,
         "exact_dedup": _q_exact_dedup,
         "token_count": _q_token_count,
@@ -381,6 +419,34 @@ def _pagerank_sql(updates: int) -> str:
         )
     return (
         "WITH " + ",\n".join(ctes) + f"\nSELECT id, ROUND(rank, 6) AS pr FROM r{updates}"
+    )
+
+
+def _dw_pagerank_sql(updates: int) -> str:
+    """Unrolled degree-weighted PageRank: prior = outdeg/|E| (dangling
+    0), r = 0.15*prior + 0.85*sum(in-msgs)."""
+    ctes = [
+        EDGES_CTES.strip(),
+        "odeg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src)",
+        "mm AS (SELECT COUNT(*)::DOUBLE AS m FROM edges)",
+        "pr AS (SELECT d.doc_id AS id,"
+        " COALESCE(o.outdeg, 0) / (SELECT m FROM mm) AS prior"
+        " FROM documents d LEFT JOIN odeg o ON o.src = d.doc_id)",
+        "r0 AS (SELECT id, prior AS rank FROM pr)",
+    ]
+    for i in range(1, updates + 1):
+        ctes.append(
+            f"r{i} AS ("
+            f" SELECT v.id, 0.15*p.prior + 0.85*COALESCE(s.msum, 0.0) AS rank"
+            f" FROM r{i-1} v JOIN pr p ON p.id = v.id LEFT JOIN ("
+            f"   SELECT e.dst AS id, SUM(x.rank / o.outdeg) AS msum"
+            f"   FROM edges e JOIN r{i-1} x ON e.src = x.id JOIN odeg o ON o.src = e.src"
+            f"   GROUP BY e.dst) s ON v.id = s.id)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT id, ROUND(rank, 6) AS dw_rank FROM r{updates}"
     )
 
 
@@ -459,6 +525,7 @@ def oracle_sql() -> dict[str, str]:
             " FROM documents doc LEFT JOIN walk w ON w.id = doc.doc_id"
             " GROUP BY doc.doc_id"
         ),
+        "degree_weighted_pagerank": _dw_pagerank_sql(DW_UPDATES),
         "reachability": (
             "WITH RECURSIVE "
             + EDGES_CTES.strip()
@@ -574,4 +641,7 @@ def oracle_sql() -> dict[str, str]:
             " FROM events GROUP BY 1, 2"
         ),
     }
+    # identical contract, different engine path (public VertexProgram
+    # API vs built-in algorithm) — same hop-bounded oracle
+    sql["sssp_vertex_program"] = sql["sssp_hops"]
     return sql
