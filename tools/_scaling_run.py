@@ -1,11 +1,18 @@
 """One scaling-bench worker: PageRank (fixed updates) on the scaled
 arithmetic graph at a given local[k] master. Prints one JSON line.
 
-Usage: python tools/_scaling_run.py <cores> <n_vertices> <updates> [shuffle_partitions]
+Usage: python tools/_scaling_run.py <cores> <n_vertices> <updates> [shuffle_partitions] [warmup]
 
 Timed region = the superstep loop only (adjacency build + ranks init are
 one-time graph-load costs in the reference too, Driver.java:239-256 vs
 324-329); the JSON also reports the total including build.
+
+Steady state: the first ``warmup`` supersteps (default 2) are excluded
+from the steady_* metrics — they pay JIT/codegen compilation and the
+first materialization of the cached adjacency (r1 trace: 33s -> 4.7s
+within one run at 32 cores), which a long-running production job
+amortizes to nothing. The raw per-step trace is always reported so the
+exclusion is auditable.
 """
 
 from __future__ import annotations
@@ -23,6 +30,7 @@ def main() -> None:
     n = int(sys.argv[2])
     updates = int(sys.argv[3])
     shuffle = int(sys.argv[4]) if len(sys.argv) > 4 else 2 * cores
+    warmup = int(sys.argv[5]) if len(sys.argv) > 5 else 2
 
     from pyspark.sql import functions as F
 
@@ -74,6 +82,10 @@ def main() -> None:
     chk = ranks.agg(F.round(F.sum("rank"), 6).alias("s")).first()["s"]
 
     spark.stop()
+
+    steps = [h.wall_sec for h in res.history]
+    steady = sorted(steps[warmup:]) if len(steps) > warmup else sorted(steps)
+    steady_median = steady[len(steady) // 2]
     print(
         json.dumps(
             {
@@ -82,15 +94,16 @@ def main() -> None:
                 "n_vertices": n,
                 "n_edges": n_edges,
                 "updates": updates,
+                "warmup_steps_excluded": warmup if len(steps) > warmup else 0,
                 "heap_gb": heap_gb,
                 "build_sec": round(build_sec, 3),
                 "total_sec": round(total_sec, 3),
                 "loop_sec": round(loop_sec, 3),
-                "per_step_sec": [round(h.wall_sec, 2) for h in res.history],
-                "median_step_sec": round(
-                    sorted(h.wall_sec for h in res.history)[len(res.history) // 2], 2
-                ),
+                "per_step_sec": [round(s, 2) for s in steps],
+                "median_step_sec": round(sorted(steps)[len(steps) // 2], 2),
+                "steady_median_step_sec": round(steady_median, 3),
                 "edges_per_sec_per_superstep": round(n_edges * updates / loop_sec, 1),
+                "steady_edges_per_sec_per_superstep": round(n_edges / steady_median, 1),
                 "rank_sum": chk,
             }
         )
