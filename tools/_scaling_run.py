@@ -41,19 +41,32 @@ def main() -> None:
     # executors": each executor brings a constant (cores, memory) slice,
     # so local[k] gets heap and GC threads proportional to k. Giving
     # every level the full machine's heap would over-provision the
-    # small configs relative to a real N-executor cluster. ParallelGC:
-    # the loop's object-agg adjacency build + per-step materialization
-    # thrash G1 in a many-threaded single JVM.
+    # small configs relative to a real N-executor cluster.
     heap_gb = max(3, int(cores * 1.5))
+    # LINKGRAPH_GC selects the collector (A/B knob; measured both at
+    # every level — BENCH/runs/scaling_levels_all.jsonl). Measured
+    # result: G1 wins when the heap has headroom (32 cores/48g: steady
+    # step 20.5s -> 13.0s vs ParallelGC; 8 cores/12g on 10M: 10.9s ->
+    # 9.0s) but loses when it's tight (8 cores/12g on 40M:
+    # GCLocker-retry thrash; 2 cores/3g: Java heap space OOM), so each
+    # scaling level reports its best collector — per-deployment GC
+    # tuning, as on a real cluster. Default stays ParallelGC (never
+    # fails; the safe choice at unknown heap pressure).
+    import os
+
+    gc_name = os.environ.get("LINKGRAPH_GC", "parallel").lower()
+    if gc_name == "g1":
+        gc_opts = f"-XX:+UseG1GC -XX:ParallelGCThreads={max(2, cores)}"
+    else:
+        gc_name = "parallel"
+        gc_opts = f"-XX:+UseParallelGC -XX:ParallelGCThreads={max(2, cores)}"
     spark = get_spark(
         app_name=f"linkgraph-scaling-{cores}",
         master=f"local[{cores}]",
         shuffle_partitions=shuffle,
         extra_conf={
             "spark.driver.memory": f"{heap_gb}g",
-            "spark.driver.extraJavaOptions": (
-                f"-XX:+UseParallelGC -XX:ParallelGCThreads={max(2, cores)}"
-            ),
+            "spark.driver.extraJavaOptions": gc_opts,
         },
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -96,6 +109,7 @@ def main() -> None:
                 "updates": updates,
                 "warmup_steps_excluded": warmup if len(steps) > warmup else 0,
                 "heap_gb": heap_gb,
+                "gc": gc_name,
                 "build_sec": round(build_sec, 3),
                 "total_sec": round(total_sec, 3),
                 "loop_sec": round(loop_sec, 3),
