@@ -285,6 +285,15 @@ def _q_simhash(spark, sf):
     return simhash64(load_documents(spark, sf))
 
 
+def _q_simhash_pairs(spark, sf):
+    """Hamming-banded near-dup join over SimHash fingerprints (exact
+    recall via the pigeonhole bands + bit_count verify; brute-force
+    pytest oracle in tests/test_pipeline.py)."""
+    from linkgraph.pipeline import simhash_pairs
+
+    return simhash_pairs(load_documents(spark, sf), max_distance=16)
+
+
 def _q_lsh_topk(spark, sf):
     emb = spark.read.parquet(f"{sf}/embeddings.parquet")
     queries = emb.filter(F.col("vec_id") < N_QUERY_VECS)
@@ -375,6 +384,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only checks (non-SQL-expressible internals)
         "minhash_lsh_pairs": _q_minhash_lsh,
         "simhash64": _q_simhash,
+        "simhash_pairs": _q_simhash_pairs,
         "embedding_lsh_topk": _q_lsh_topk,
         "embedding_ivf_topk": _q_ivf_topk,
         "multimodal_features": _q_multimodal,

@@ -2,7 +2,13 @@
 first-class per the task brief): dedup, text analysis, similarity
 search, multimodal plumbing."""
 
-from .dedup import exact_duplicates, minhash_lsh_pairs, ngram_jaccard_pairs, simhash64
+from .dedup import (
+    exact_duplicates,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash64,
+    simhash_pairs,
+)
 from .textstats import doc_fingerprint, language_id, quality_score, token_count
 from .similarity import cosine_topk, ivf_cosine_topk, lsh_cosine_topk
 
@@ -11,6 +17,7 @@ __all__ = [
     "ngram_jaccard_pairs",
     "minhash_lsh_pairs",
     "simhash64",
+    "simhash_pairs",
     "token_count",
     "quality_score",
     "language_id",

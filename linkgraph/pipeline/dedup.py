@@ -246,3 +246,68 @@ def simhash64(docs: DataFrame, shingle_n: int = 2, seed: int = 42) -> DataFrame:
         ).alias("sh_hashes"),
     )
     return hashed.select("doc_id", simhash_udf("sh_hashes").alias("simhash"))
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    max_distance: int = 3,
+    shingle_n: int = 2,
+    seed: int = 42,
+    fingerprints: DataFrame | None = None,
+) -> DataFrame:
+    """(doc_a, doc_b, hamming) — near-duplicate pairs within Hamming
+    distance ``max_distance`` over 64-bit SimHash fingerprints.
+
+    Banded multi-index with the pigeonhole guarantee: the fingerprint
+    splits into ``max_distance + 1`` disjoint bit bands, and two
+    fingerprints within ``max_distance`` differing bits must agree
+    EXACTLY on at least one band. Candidates are therefore a bucketed
+    equi-join on (band, band_bits) — linear in corpus size, never
+    all-pairs (the 100 TB shape, same as the MinHash-LSH band join) —
+    and each candidate is verified exactly with
+    ``bit_count(a XOR b) <= max_distance``, so recall is 100% and
+    precision is exact, unlike probabilistic LSH banding.
+
+    ``fingerprints`` short-circuits recomputation when a
+    (doc_id, simhash) frame already exists.
+    """
+    bands = max_distance + 1
+    width = 64 // bands
+    fp = (
+        fingerprints
+        if fingerprints is not None
+        else simhash64(docs, shingle_n=shingle_n, seed=seed)
+    )
+    band_structs = []
+    for b in range(bands):
+        w = width + (64 % bands if b == bands - 1 else 0)
+        mask = (1 << w) - 1
+        band_structs.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftrightunsigned("simhash", b * width)
+                .bitwiseAND(F.lit(mask))
+                .alias("bits"),
+            )
+        )
+    banded = fp.select(
+        "doc_id", "simhash", F.explode(F.array(*band_structs)).alias("bb")
+    ).select("doc_id", "simhash", F.col("bb.band").alias("band"), F.col("bb.bits").alias("bits"))
+    left = banded.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"), "band", "bits"
+    )
+    right = banded.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"), "band", "bits"
+    )
+    return (
+        left.join(right, ["band", "bits"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sim_a", "sim_b")
+        .distinct()
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))),
+        )
+        .filter(F.col("hamming") <= max_distance)
+        .select("doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming"))
+    )

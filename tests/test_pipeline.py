@@ -12,6 +12,7 @@ from linkgraph.pipeline import (
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash64,
+    simhash_pairs,
     token_count,
 )
 from linkgraph.pipeline.dedup import minhash_signatures
@@ -95,6 +96,54 @@ class TestDedup:
         a = simhash64(docs).collect()
         b = simhash64(docs).collect()
         assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+    def test_simhash_pairs_matches_bruteforce(self, spark):
+        """Banded Hamming join vs all-pairs brute force: the pigeonhole
+        index must find EXACTLY the pairs within max_distance — 100%
+        recall (guaranteed: <= d differing bits leave >= one of d+1
+        disjoint bands identical) and exact precision (bit_count
+        verify)."""
+        import itertools
+        import random
+
+        rng = random.Random(7)
+        base = rng.getrandbits(64)
+        fps = [base]
+        for _ in range(30):
+            # mutate a previous fingerprint in 0..8 random bit positions
+            src = rng.choice(fps)
+            flipped = src
+            for _ in range(rng.randrange(0, 9)):
+                flipped ^= 1 << rng.randrange(64)
+            fps.append(flipped)
+
+        def to_i64(x):
+            return x - (1 << 64) if x >= (1 << 63) else x
+
+        fp_df = spark.createDataFrame(
+            [(i, to_i64(f)) for i, f in enumerate(fps)],
+            "doc_id long, simhash long",
+        )
+        for d in (2, 3):
+            got = {
+                (r["doc_a"], r["doc_b"]): r["hamming"]
+                for r in simhash_pairs(None, max_distance=d, fingerprints=fp_df).collect()
+            }
+            want = {}
+            for (i, a), (j, b) in itertools.combinations(enumerate(fps), 2):
+                h = bin(a ^ b).count("1")
+                if h <= d:
+                    want[(i, j)] = h
+            assert got == want
+
+    def test_simhash_pairs_finds_near_dups(self, docs):
+        pairs = {
+            (r["doc_a"], r["doc_b"]): r["hamming"]
+            for r in simhash_pairs(docs, max_distance=16).collect()
+        }
+        assert pairs[(0, 1)] == 0          # exact dup -> distance 0
+        assert (0, 2) in pairs             # near dup within 16 bits
+        assert (0, 3) not in pairs and (3, 4) not in pairs
 
 
 class TestSimilarity:
