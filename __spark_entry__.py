@@ -460,6 +460,49 @@ def _dw_pagerank_sql(updates: int) -> str:
     )
 
 
+def _kmeans_sql(k: int, iters: int) -> str:
+    """Unrolled Lloyd k-means over the embeddings table, matching the
+    IMRU kmeans exactly: init = feature vectors of the k lowest-vec_id
+    rows; assignment = argmin squared distance with ties to the lowest
+    cluster index; update = per-dimension mean, empty clusters keep
+    their center. Exact value match at ROUND(..., 6) (float-addition
+    order drift between numpy treeReduce and DuckDB AVG is ~1e-13,
+    far below the rounding grain). Assumes the run does not converge
+    in fewer than ``iters`` Lloyd updates (tol=1e-9; never at these
+    scales)."""
+    ctes = [
+        "pts AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v"
+        " FROM embeddings)",
+        f"c0 AS (SELECT (ROW_NUMBER() OVER (ORDER BY vec_id)) - 1 AS cluster,"
+        f" v AS center FROM pts ORDER BY vec_id LIMIT {k})",
+    ]
+    for i in range(1, iters + 1):
+        p = i - 1
+        ctes += [
+            f"a{i} AS (SELECT p.vec_id, p.v,"
+            f" (SELECT c.cluster FROM c{p} c"
+            f"  ORDER BY list_sum(list_transform(generate_series(1, len(p.v)),"
+            f"   j -> (p.v[j]-c.center[j])*(p.v[j]-c.center[j]))), c.cluster"
+            f"  LIMIT 1) AS cluster FROM pts p)",
+            f"m{i} AS (SELECT cluster, j, AVG(val) AS val FROM ("
+            f"  SELECT a.cluster, unnest(a.v) AS val,"
+            f"  unnest(generate_series(1, len(a.v))) AS j FROM a{i} a"
+            f" ) GROUP BY cluster, j)",
+            f"n{i} AS (SELECT cluster, list(val ORDER BY j) AS center"
+            f" FROM m{i} GROUP BY cluster)",
+            f"c{i} AS (SELECT pv.cluster, COALESCE(n.center, pv.center) AS center"
+            f" FROM c{p} pv LEFT JOIN n{i} n USING (cluster))",
+        ]
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT cluster::INT AS cluster, (j-1)::INT AS dim,"
+        f" ROUND(val, 6) AS value FROM ("
+        f" SELECT c.cluster, unnest(c.center) AS val,"
+        f" unnest(generate_series(1, len(c.center))) AS j FROM c{iters} c)"
+    )
+
+
 def _lpa_sql(steps: int) -> str:
     ctes = [
         EDGES_CTES.strip(),
@@ -654,4 +697,27 @@ def oracle_sql() -> dict[str, str]:
     # identical contract, different engine path (public VertexProgram
     # API vs built-in algorithm) — same hop-bounded oracle
     sql["sssp_vertex_program"] = sql["sssp_hops"]
+    # IMRU kmeans: unrolled Lloyd iterations (deterministic init /
+    # ties / update — see _kmeans_sql); K/ITERS must mirror _q_kmeans
+    sql["kmeans_centers"] = _kmeans_sql(5, 5)
+    # maximal-clique aggregator's global answer: enumerate ALL cliques
+    # by ordered extension (each clique generated exactly once as its
+    # ascending member list; a candidate w > last must be adjacent to
+    # every member), keep the maximum size — every maximum-size clique
+    # is maximal, mirroring the engine's canonical dst < src edge set
+    sql["maximum_cliques"] = (
+        "WITH RECURSIVE "
+        + EDGES_CTES.strip()
+        + ", cand AS (SELECT DISTINCT dst AS a, src AS b FROM edges WHERE dst < src),"
+        " cliq(members, last, sz) AS ("
+        "   SELECT list_value(a, b), b, 2 FROM cand"
+        "   UNION ALL"
+        "   SELECT list_append(c.members, e.b), e.b, c.sz + 1"
+        "   FROM cliq c JOIN cand e ON e.a = c.last"
+        "   WHERE (SELECT COUNT(*) FROM unnest(c.members) AS t(m)"
+        "          JOIN cand e2 ON e2.a = t.m AND e2.b = e.b) = c.sz"
+        " )"
+        " SELECT array_to_string(members, ',') AS clique, sz::INT AS size"
+        " FROM cliq WHERE sz = (SELECT MAX(sz) FROM cliq)"
+    )
     return sql
