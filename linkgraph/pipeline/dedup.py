@@ -149,6 +149,31 @@ def minhash_signatures(
     return hashed.select("doc_id", sig_udf("sh_hashes").alias("sig"))
 
 
+def cap_buckets(
+    banded: DataFrame, keys: list[str], max_bucket_size: int | None
+) -> DataFrame:
+    """Drop bucket groups larger than ``max_bucket_size`` before a
+    within-bucket self-join.
+
+    At web scale a single pathological bucket (boilerplate that hashes
+    identically across millions of pages, the all-zeros band of empty
+    docs) turns the bucket self-join quadratic IN ONE TASK. Oversized
+    buckets carry almost no near-dup signal per pair (their members
+    collide with everything); standard practice is to skip them and let
+    the other bands/verification recover real pairs. One extra linear
+    aggregation; pass ``None`` to disable (exact small-scale runs and
+    the recall tests do)."""
+    if max_bucket_size is None:
+        return banded
+    sizes = (
+        banded.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("_bucket_n"))
+        .filter(F.col("_bucket_n") <= max_bucket_size)
+        .select(*keys)
+    )
+    return banded.join(sizes, keys, "left_semi")
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     num_hashes: int = 64,
@@ -156,6 +181,7 @@ def minhash_lsh_pairs(
     shingle_n: int = 3,
     threshold: float = 0.4,
     seed: int = 42,
+    max_bucket_size: int | None = 100_000,
 ) -> DataFrame:
     """Candidate near-dup pairs via LSH banding, verified with the
     signature-estimated Jaccard.
@@ -163,7 +189,8 @@ def minhash_lsh_pairs(
     (doc_a, doc_b, est_jaccard) — pairs sharing at least one LSH band
     bucket with estimated Jaccard >= threshold. Bucket join is a
     groupBy on (band, bucket_hash): linear in corpus size, never
-    quadratic — this is the 100 TB dedup path.
+    quadratic — this is the 100 TB dedup path. Buckets larger than
+    ``max_bucket_size`` are skipped (see :func:`cap_buckets`).
     """
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(docs, num_hashes, shingle_n, seed)
@@ -177,6 +204,7 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select("doc_id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    banded = cap_buckets(banded, ["band", "bucket"], max_bucket_size)
     left = banded.select(
         F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"), "band", "bucket"
     )
@@ -254,6 +282,7 @@ def simhash_pairs(
     shingle_n: int = 2,
     seed: int = 42,
     fingerprints: DataFrame | None = None,
+    max_bucket_size: int | None = 100_000,
 ) -> DataFrame:
     """(doc_a, doc_b, hamming) — near-duplicate pairs within Hamming
     distance ``max_distance`` over 64-bit SimHash fingerprints.
@@ -269,7 +298,12 @@ def simhash_pairs(
     precision is exact, unlike probabilistic LSH banding.
 
     ``fingerprints`` short-circuits recomputation when a
-    (doc_id, simhash) frame already exists.
+    (doc_id, simhash) frame already exists. Band buckets larger than
+    ``max_bucket_size`` are skipped (see :func:`cap_buckets`; with the
+    cap active, recall is exact only for pairs outside skipped
+    buckets — at web scale a skipped bucket is near-certainly
+    boilerplate whose members are exact dups handled by the exact
+    tier).
     """
     bands = max_distance + 1
     width = 64 // bands
@@ -293,6 +327,7 @@ def simhash_pairs(
     banded = fp.select(
         "doc_id", "simhash", F.explode(F.array(*band_structs)).alias("bb")
     ).select("doc_id", "simhash", F.col("bb.band").alias("band"), F.col("bb.bits").alias("bits"))
+    banded = cap_buckets(banded, ["band", "bits"], max_bucket_size)
     left = banded.select(
         F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"), "band", "bits"
     )

@@ -145,6 +145,24 @@ class TestDedup:
         assert (0, 2) in pairs             # near dup within 16 bits
         assert (0, 3) not in pairs and (3, 4) not in pairs
 
+    def test_bucket_cap_skips_pathological_buckets(self, spark):
+        """100 identical fingerprints = a quadratic bucket; the cap
+        drops it (0 pairs) while an outside near-dup pair survives.
+        cap=None restores the exact all-pairs behavior."""
+        far = 0x5555555555555555  # 32 set bits -> far from the 0-cluster
+        fps = [(i, 0) for i in range(100)]            # pathological bucket
+        fps += [(1000, far), (1001, far ^ 1)]         # distance-1 pair
+        fp_df = spark.createDataFrame(fps, "doc_id long, simhash long")
+        capped = simhash_pairs(
+            None, max_distance=3, fingerprints=fp_df, max_bucket_size=50
+        ).collect()
+        got = {(r["doc_a"], r["doc_b"]) for r in capped}
+        assert got == {(1000, 1001)}
+        uncapped = simhash_pairs(
+            None, max_distance=3, fingerprints=fp_df, max_bucket_size=None
+        )
+        assert uncapped.count() == 100 * 99 // 2 + 1
+
 
 class TestSimilarity:
     @pytest.fixture(scope="class")
