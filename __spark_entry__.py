@@ -46,6 +46,7 @@ from linkgraph.pipeline import (
 
 PR_UPDATES = 8
 DW_UPDATES = 6
+BGD_UPDATES = 5
 LPA_STEPS = 4
 SSSP_HOPS = 12
 JACCARD_T = 0.12
@@ -341,6 +342,28 @@ def _q_kmeans(spark, sf):
     return spark.createDataFrame(rows, "cluster INT, dim INT, value DOUBLE")
 
 
+def _q_bgd(spark, sf):
+    """IMRU batch gradient descent (reference BGDJob): linear
+    regression over the embeddings with a deterministic synthetic
+    label 2*x0 - x1 + 0.5*x2; 5 fixed updates from a zero weight
+    vector. Output (dim, weight) scalar rows; oracle = unrolled
+    gradient steps in SQL (_bgd_sql)."""
+    from linkgraph import batch_gradient_descent
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    ex = emb.select(
+        F.col("embedding").cast("array<double>").alias("features"),
+        (
+            2 * F.col("embedding").getItem(0).cast("double")
+            - F.col("embedding").getItem(1).cast("double")
+            + 0.5 * F.col("embedding").getItem(2).cast("double")
+        ).alias("label"),
+    )
+    res = batch_gradient_descent(ex, max_iterations=BGD_UPDATES, learning_rate=0.1)
+    rows = [(d, round(float(x), 6)) for d, x in enumerate(res.model)]
+    return spark.createDataFrame(rows, "dim INT, weight DOUBLE")
+
+
 def _q_ivf_topk(spark, sf):
     emb = spark.read.parquet(f"{sf}/embeddings.parquet")
     queries = emb.filter(F.col("vec_id") < N_QUERY_VECS)
@@ -391,6 +414,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_sample": _q_graph_sample,
         "kmeans_centers": _q_kmeans,
         "maximum_cliques": _q_maximum_cliques,
+        "bgd_weights": _q_bgd,
     }
 
 
@@ -500,6 +524,37 @@ def _kmeans_sql(k: int, iters: int) -> str:
         f" ROUND(val, 6) AS value FROM ("
         f" SELECT c.cluster, unnest(c.center) AS val,"
         f" unnest(generate_series(1, len(c.center))) AS j FROM c{iters} c)"
+    )
+
+
+def _bgd_sql(iters: int, lr: float) -> str:
+    """Unrolled IMRU batch-gradient-descent: w <- w - lr * X^T(Xw-y)/n
+    from a zero weight vector, label = 2*x0 - x1 + 0.5*x2 (1-based in
+    SQL). Exact value match at ROUND(..,6) — 0 of 64 weights differ."""
+    ctes = [
+        "pts AS (SELECT list_transform(embedding, x -> x::DOUBLE) AS v,"
+        " 2*embedding[1]::DOUBLE - embedding[2]::DOUBLE + 0.5*embedding[3]::DOUBLE AS label"
+        " FROM embeddings)",
+        "nn AS (SELECT COUNT(*)::DOUBLE AS n FROM pts)",
+        "dims AS (SELECT len(v) AS d FROM pts LIMIT 1)",
+        "w0 AS (SELECT list_transform(generate_series(1, (SELECT d FROM dims)), j -> 0.0) AS w)",
+    ]
+    for i in range(1, iters + 1):
+        p = i - 1
+        ctes += [
+            f"e{i} AS (SELECT p.v, list_sum(list_transform(generate_series(1, len(p.v)),"
+            f" j -> p.v[j]*w.w[j])) - p.label AS err FROM pts p, w{p} w)",
+            f"g{i} AS (SELECT j, SUM(val*err) AS grad FROM ("
+            f" SELECT unnest(v) AS val, unnest(generate_series(1, len(v))) AS j, err FROM e{i}"
+            f") GROUP BY j)",
+            f"w{i} AS (SELECT list(w.w[g.j] - {lr}*g.grad/(SELECT n FROM nn) ORDER BY g.j) AS w"
+            f" FROM g{i} g, w{p} w)",
+        ]
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT (j-1)::INT AS dim, ROUND(val, 6) AS weight FROM ("
+        f" SELECT unnest(w.w) AS val, unnest(generate_series(1, len(w.w))) AS j FROM w{iters} w)"
     )
 
 
@@ -700,6 +755,8 @@ def oracle_sql() -> dict[str, str]:
     # IMRU kmeans: unrolled Lloyd iterations (deterministic init /
     # ties / update — see _kmeans_sql); K/ITERS must mirror _q_kmeans
     sql["kmeans_centers"] = _kmeans_sql(5, 5)
+    # IMRU batch gradient descent (reference BGDJob)
+    sql["bgd_weights"] = _bgd_sql(BGD_UPDATES, 0.1)
     # maximal-clique aggregator's global answer: enumerate ALL cliques
     # by ordered extension (each clique generated exactly once as its
     # ascending member list; a candidate w > last must be adjacent to
