@@ -68,11 +68,10 @@ def test_every_query_has_oracle_or_is_documented(spark):
     assert rows_only == {
         "minhash_lsh_pairs",
         "simhash64",
+        "simhash_pairs",
         "embedding_lsh_topk",
         "multimodal_features",
         "graph_sample",
-        "kmeans_centers",
-        "maximum_cliques",
         "embedding_ivf_topk",
     }
     assert set(os_) <= set(qs)
