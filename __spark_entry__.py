@@ -8,10 +8,14 @@ gate can verify the whole pipeline), plus the training-data pipeline
 operators (dedup, text analysis, similarity search) and events rollups.
 
 Iterative oracles: fixed-iteration unrolled CTEs (PageRank 8 updates,
-LPA 4 supersteps) or recursive CTEs (CC label closure, hop-bounded
-SSSP). Floats are rounded BEFORE any ranking/tie-break so ordering is
-engine-independent. MinHash-LSH / SimHash / hyperplane-LSH use
-xxhash64 / seeded numpy and are not SQL-expressible -> rows-only checks.
+LPA 4 supersteps, Lloyd k-means, BGD, graph sampling with its md5-digit
+coins and fill-rate stopping, IVF train->assign->probe->score) or
+recursive CTEs (CC label closure, hop-bounded SSSP, clique extension).
+Step CTEs that reference the previous step twice are AS MATERIALIZED —
+DuckDB inlines CTEs by default, which doubles the plan per unrolled
+step (2^k blowup). Floats are rounded BEFORE any ranking/tie-break so
+ordering is engine-independent. MinHash-LSH / SimHash / hyperplane-LSH
+use xxhash64 / seeded numpy and are not SQL-expressible -> rows-only.
 """
 
 from __future__ import annotations
@@ -444,7 +448,7 @@ def _pagerank_sql(updates: int) -> str:
     ]
     for i in range(1, updates + 1):
         ctes.append(
-            f"r{i} AS ("
+            f"r{i} AS MATERIALIZED ("
             f" SELECT v.id, 0.15/(SELECT n FROM nn) + 0.85*COALESCE(s.msum, 0.0) AS rank"
             f" FROM r{i-1} v LEFT JOIN ("
             f"   SELECT e.dst AS id, SUM(p.rank / o.outdeg) AS msum"
@@ -470,7 +474,7 @@ def _dw_pagerank_sql(updates: int) -> str:
     ]
     for i in range(1, updates + 1):
         ctes.append(
-            f"r{i} AS ("
+            f"r{i} AS MATERIALIZED ("
             f" SELECT v.id, 0.15*p.prior + 0.85*COALESCE(s.msum, 0.0) AS rank"
             f" FROM r{i-1} v JOIN pr p ON p.id = v.id LEFT JOIN ("
             f"   SELECT e.dst AS id, SUM(x.rank / o.outdeg) AS msum"
@@ -484,16 +488,13 @@ def _dw_pagerank_sql(updates: int) -> str:
     )
 
 
-def _kmeans_sql(k: int, iters: int) -> str:
-    """Unrolled Lloyd k-means over the embeddings table, matching the
-    IMRU kmeans exactly: init = feature vectors of the k lowest-vec_id
-    rows; assignment = argmin squared distance with ties to the lowest
-    cluster index; update = per-dimension mean, empty clusters keep
-    their center. Exact value match at ROUND(..., 6) (float-addition
-    order drift between numpy treeReduce and DuckDB AVG is ~1e-13,
-    far below the rounding grain). Assumes the run does not converge
-    in fewer than ``iters`` Lloyd updates (tol=1e-9; never at these
-    scales)."""
+def _kmeans_ctes(k: int, iters: int) -> list[str]:
+    """CTE chain for unrolled Lloyd k-means over the embeddings table,
+    matching the IMRU kmeans exactly: init = feature vectors of the k
+    lowest-vec_id rows; assignment = argmin squared distance with ties
+    to the lowest cluster index; update = per-dimension mean, empty
+    clusters keep their center. Final centers land in CTE ``c{iters}``
+    (cluster, center)."""
     ctes = [
         "pts AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v"
         " FROM embeddings)",
@@ -517,6 +518,17 @@ def _kmeans_sql(k: int, iters: int) -> str:
             f"c{i} AS (SELECT pv.cluster, COALESCE(n.center, pv.center) AS center"
             f" FROM c{p} pv LEFT JOIN n{i} n USING (cluster))",
         ]
+    return ctes
+
+
+def _kmeans_sql(k: int, iters: int) -> str:
+    """Unrolled Lloyd k-means (see _kmeans_ctes), exploded to scalar
+    (cluster, dim, value) rows. Exact value match at ROUND(..., 6)
+    (float-addition order drift between numpy treeReduce and DuckDB AVG
+    is ~1e-13, far below the rounding grain). Assumes the run does not
+    converge in fewer than ``iters`` Lloyd updates (tol=1e-9; never at
+    these scales)."""
+    ctes = _kmeans_ctes(k, iters)
     return (
         "WITH "
         + ",\n".join(ctes)
@@ -524,6 +536,58 @@ def _kmeans_sql(k: int, iters: int) -> str:
         f" ROUND(val, 6) AS value FROM ("
         f" SELECT c.cluster, unnest(c.center) AS val,"
         f" unnest(generate_series(1, len(c.center))) AS j FROM c{iters} c)"
+    )
+
+
+def _ivf_sql(n_clusters: int, kmeans_iters: int, n_probe: int, n_queries: int, k: int) -> str:
+    """Unrolled IVF approximate top-k: centroids from the unrolled IMRU
+    k-means (_kmeans_ctes), every corpus vector assigned to its
+    max-cosine centroid (ties to the lowest cluster index, matching
+    numpy argmax), each query probing its ``n_probe`` best clusters
+    (stable descending sort — ties to the lowest index), and cosine
+    top-k computed only among the probed clusters' members. Mirrors
+    linkgraph.pipeline.similarity.ivf_cosine_topk step for step; final
+    sims ROUND(.., 4) like the engine."""
+    ctes = _kmeans_ctes(n_clusters, kmeans_iters)
+    ctes += [
+        # centroids with zero-guarded norms (assign_udf's cnorm)
+        f"cent AS (SELECT cluster, center,"
+        f" CASE WHEN sqrt(list_sum(list_transform(center, x -> x*x))) = 0 THEN 1.0"
+        f" ELSE sqrt(list_sum(list_transform(center, x -> x*x))) END AS cn"
+        f" FROM c{kmeans_iters})",
+        # corpus assignment: argmax_c dot(v, center_c)/cn_c (row-side
+        # normalization cancels in the argmax)
+        "asg AS (SELECT p.vec_id, ("
+        " SELECT c.cluster FROM cent c"
+        " ORDER BY list_sum(list_transform(generate_series(1, len(p.v)),"
+        "   j -> p.v[j]*c.center[j])) / c.cn DESC, c.cluster ASC"
+        " LIMIT 1) AS cid FROM pts p)",
+        # query probes: top n_probe clusters by the same score
+        f"probes AS (SELECT vec_id AS qid, cid FROM ("
+        f" SELECT p.vec_id, c.cluster AS cid,"
+        f" ROW_NUMBER() OVER (PARTITION BY p.vec_id ORDER BY"
+        f"  list_sum(list_transform(generate_series(1, len(p.v)),"
+        f"   j -> p.v[j]*c.center[j])) / c.cn DESC, c.cluster ASC) AS rn"
+        f" FROM pts p, cent c WHERE p.vec_id < {n_queries}"
+        f") WHERE rn <= {n_probe})",
+        # candidates = members of probed clusters (dedup across probes)
+        "cand AS (SELECT DISTINCT pr.qid, a.vec_id FROM probes pr"
+        " JOIN asg a ON a.cid = pr.cid WHERE a.vec_id != pr.qid)",
+        "scored AS (SELECT cd.qid, cd.vec_id,"
+        " ROUND(list_sum(list_transform(generate_series(1, len(q.v)),"
+        "   i -> q.v[i]*c.v[i]))"
+        "  / (sqrt(list_sum(list_transform(q.v, x -> x*x)))"
+        "     * sqrt(list_sum(list_transform(c.v, x -> x*x)))), 4) AS sim"
+        " FROM cand cd JOIN pts q ON q.vec_id = cd.qid"
+        " JOIN pts c ON c.vec_id = cd.vec_id)",
+    ]
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + " SELECT qid, vec_id, sim FROM ("
+        "  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid"
+        "   ORDER BY sim DESC, vec_id ASC) AS rn FROM scored"
+        f" ) WHERE rn <= {k}"
     )
 
 
@@ -555,6 +619,58 @@ def _bgd_sql(iters: int, lr: float) -> str:
         + ",\n".join(ctes)
         + f"\nSELECT (j-1)::INT AS dim, ROUND(val, 6) AS weight FROM ("
         f" SELECT unnest(w.w) AS val, unnest(generate_series(1, len(w.w))) AS j FROM w{iters} w)"
+    )
+
+
+def _graph_sample_sql(
+    target: float,
+    seed: int,
+    seed_interval: int,
+    sampling_interval: int,
+    steps: int,
+) -> str:
+    """Unrolled graph-sampling supersteps (seed coin + neighbor-expansion
+    coin, both md5-digit draws shared verbatim with the engine via
+    linkgraph.algorithms.sampling.{seed,edge}_coin_sql). The engine stops
+    at the FIRST superstep whose global fill fraction reaches ``target``;
+    the oracle unrolls ``steps`` supersteps, computes each step's fill,
+    and selects the state at that same stopping step."""
+    from linkgraph.algorithms.sampling import edge_coin_sql, seed_coin_sql
+
+    ctes = [
+        EDGES_CTES.strip(),
+        "s0 AS (SELECT doc_id AS id, FALSE AS selected, FALSE AS newly FROM documents)",
+    ]
+    for i in range(1, steps + 1):
+        p = i - 1
+        coin = seed_coin_sql("v.id", seed, i, seed_interval)
+        # AS MATERIALIZED: each step references the previous one twice
+        # (expansion scan + state join); without the hint DuckDB inlines
+        # CTEs and the plan doubles per step — 2^steps blowup
+        ctes += [
+            f"mk{i} AS MATERIALIZED (SELECT DISTINCT e.dst AS id FROM edges e"
+            f" JOIN s{p} v ON v.id = e.src AND v.newly"
+            f" WHERE {edge_coin_sql('e.src', 'e.dst', seed, i, sampling_interval)})",
+            f"s{i} AS MATERIALIZED (SELECT v.id,"
+            f" (v.selected OR m.id IS NOT NULL OR {coin}) AS selected,"
+            f" ((v.selected OR m.id IS NOT NULL OR {coin}) AND NOT v.selected) AS newly"
+            f" FROM s{p} v LEFT JOIN mk{i} m ON m.id = v.id)",
+        ]
+    union = " UNION ALL ".join(
+        f"SELECT {i} AS step, id, selected FROM s{i}" for i in range(1, steps + 1)
+    )
+    ctes += [
+        f"allsteps AS ({union})",
+        "fills AS (SELECT step,"
+        " AVG(CASE WHEN selected THEN 1.0 ELSE 0.0 END) AS fill"
+        " FROM allsteps GROUP BY step)",
+        f"tstop AS (SELECT COALESCE(MIN(step), {steps}) AS t FROM fills"
+        f" WHERE fill >= {target})",
+    ]
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + "\nSELECT id, selected FROM allsteps WHERE step = (SELECT t FROM tstop)"
     )
 
 
@@ -757,6 +873,14 @@ def oracle_sql() -> dict[str, str]:
     sql["kmeans_centers"] = _kmeans_sql(5, 5)
     # IMRU batch gradient descent (reference BGDJob)
     sql["bgd_weights"] = _bgd_sql(BGD_UPDATES, 0.1)
+    # graph sampling: md5-digit coins are portable SQL, so the whole
+    # run (seed + expansion + fill-rate stopping) unrolls as CTEs;
+    # params must mirror _q_graph_sample
+    sql["graph_sample"] = _graph_sample_sql(0.3, 7, 10, 2, 8)
+    # IVF ANN: centroids are the unrolled IMRU k-means, so the whole
+    # train->assign->probe->score pipeline is SQL; params mirror
+    # _q_ivf_topk (n_clusters=8, n_probe=4, kmeans_iterations=5)
+    sql["embedding_ivf_topk"] = _ivf_sql(8, 5, 4, N_QUERY_VECS, TOPK)
     # maximal-clique aggregator's global answer: enumerate ALL cliques
     # by ordered extension (each clique generated exactly once as its
     # ascending member list; a candidate w > last must be adjacent to

@@ -9,11 +9,14 @@ aggregated selected fraction reaches the target rate (the reference's
 GlobalSamplingAggregator + fillingRate check).
 
 The reference draws from ``java.util.Random`` (run-dependent). Ours
-replaces the PRNG with counter-based hashing — ``xxhash64(id, seed,
-superstep) % interval == 0`` — so the sample is a pure function of
+replaces the PRNG with counter-based hashing — an md5-digit coin over
+``(id, seed, superstep)`` — so the sample is a pure function of
 (graph, seed): reproducible across runs, partitionings, and cluster
 sizes, with the same per-superstep selection probabilities. All
-selection logic is JVM-side column expressions.
+selection logic is JVM-side column expressions, and the coin uses only
+built-ins shared by Spark SQL and DuckDB (md5 + position-weighted hex
+digits), so the whole sampling run is oracle-checkable by unrolling the
+supersteps in SQL (``__spark_entry__._graph_sample_sql``).
 """
 
 from __future__ import annotations
@@ -25,6 +28,42 @@ from ..checkpoint import CheckpointManager
 from ..graph import choose_partitions, vertices_from_edges
 from ..partitioning import build_adjacency
 from ..superstep import LoopResult, StepResult, iterate, iteration_conf
+
+_HEX = "0123456789abcdef"
+
+
+def _md5_int_sql(arg_sql: str) -> str:
+    """Portable (Spark SQL == DuckDB) 24-bit integer from ``md5(arg)``:
+    position-weighted values of the first six hex digits. Both engines
+    evaluate this expression bit-identically, which is what makes the
+    sampling run verifiable by an external SQL oracle. (xxhash64 would
+    be marginally cheaper JVM-side, but the coin is a scalar projection
+    dwarfed by the expand join either way.)"""
+    terms = " + ".join(
+        f"(position(substr(md5({arg_sql}), {i + 1}, 1) IN '{_HEX}') - 1)"
+        f" * {16 ** (5 - i)}"
+        for i in range(6)
+    )
+    return f"({terms})"
+
+
+def seed_coin_sql(id_sql: str, seed: int, k: int, interval: int) -> str:
+    """True when vertex ``id`` self-selects at superstep ``k``
+    (probability 1/interval — GraphSampleVertex.java:156-170's
+    seed-interval draw, made deterministic)."""
+    arg = f"concat_ws(':', 's', CAST({id_sql} AS STRING), '{seed}', '{k}')"
+    return f"({_md5_int_sql(arg)} % {interval} = 0)"
+
+
+def edge_coin_sql(src_sql: str, dst_sql: str, seed: int, k: int, interval: int) -> str:
+    """True when newly-selected ``src`` marks out-neighbor ``dst`` at
+    superstep ``k`` (probability 1/interval — the reference's
+    sampling-interval draw over out-edges)."""
+    arg = (
+        f"concat_ws(':', 'e', CAST({src_sql} AS STRING),"
+        f" CAST({dst_sql} AS STRING), '{seed}', '{k}')"
+    )
+    return f"({_md5_int_sql(arg)} % {interval} = 0)"
 
 
 def graph_sample(
@@ -63,7 +102,7 @@ def graph_sample(
         marked = (
             adj.join(senders, adj["src"] == senders["id"])
             .select(F.col("src"), F.explode("dsts").alias("id"))
-            .filter(F.pmod(F.xxhash64("src", "id", F.lit(seed), F.lit(k)), F.lit(sampling_interval)) == 0)
+            .filter(F.expr(edge_coin_sql("src", "id", seed, k, sampling_interval)))
             .select("id")
             .distinct()
         )
@@ -77,7 +116,7 @@ def graph_sample(
                 (
                     F.col("selected")
                     | F.coalesce(F.col("_m"), F.lit(False))
-                    | (F.pmod(F.xxhash64("id", F.lit(seed), F.lit(k)), F.lit(seed_interval)) == 0)
+                    | F.expr(seed_coin_sql("id", seed, k, seed_interval))
                 ).alias("selected"),
                 F.col("_m").isNotNull().cast("long").alias("_msgs"),
             )

@@ -1,0 +1,78 @@
+"""Portable deterministic hashing — identical in Spark SQL and DuckDB.
+
+The engine's seeded randomness (sampling coins, MinHash permutations,
+SimHash shingle hashes, LSH hyperplanes) is re-expressed as pure
+functions of md5 — the one hash both Spark and DuckDB implement
+bit-identically — so every probabilistic operator is verifiable by an
+external SQL oracle running the same expressions on the same input
+(the driver's DuckDB gate, tools/check_contract.py).
+
+Two layers:
+
+- ``md5_int_sql``: SQL-text generator for an integer built from
+  position-weighted hex digits of ``md5(arg)``. The text evaluates
+  identically in Spark SQL and DuckDB (``md5``, ``substr``,
+  ``position(x IN y)`` and integer arithmetic are common built-ins).
+  Digits are capped at 15 (60 bits) so the value always fits signed
+  BIGINT exactly in both engines — no overflow-wrapping divergence.
+- ``md5_uniform`` / ``md5_randint``: the same construction evaluated
+  in Python (hashlib) for driver-side constants (hash-family
+  parameters, hyperplane components) that are then embedded as
+  LITERALS into both the Spark plan and the oracle SQL — the two
+  engines never re-derive them, so they agree by construction.
+
+Performance note: md5 is a cryptographic hash, ~3-5x slower than
+xxhash64 JVM-side. Operators that hash per-token/per-shingle accept a
+``portable=False`` escape hatch that swaps in xxhash64 for production
+runs where oracle verifiability is not needed; the distributed shape
+(bucketing, banding, partitioning) is identical either way.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+_HEX = "0123456789abcdef"
+
+#: Spark SQL == DuckDB: both print BIGINT/ints the same way inside
+#: concat_ws, both implement md5 over UTF-8 bytes.
+
+
+def md5_int_sql(arg_sql: str, digits: int = 6) -> str:
+    """SQL text for an unsigned ``4*digits``-bit integer from
+    ``md5(arg_sql)`` (first ``digits`` hex chars, big-endian).
+
+    ``digits`` <= 15 keeps the value < 2^60: exact in signed BIGINT
+    arithmetic in Spark, DuckDB, and numpy int64 alike.
+    """
+    if not 1 <= digits <= 15:
+        raise ValueError("digits must be in [1, 15] to stay BIGINT-exact")
+    terms = " + ".join(
+        f"(position(substr(md5({arg_sql}), {i + 1}, 1) IN '{_HEX}') - 1)"
+        f" * {16 ** (digits - 1 - i)}"
+        for i in range(digits)
+    )
+    return f"({terms})"
+
+
+def md5_int(data: str, digits: int = 6) -> int:
+    """Python (hashlib) evaluation of :func:`md5_int_sql` — same value
+    the SQL text produces for the same string."""
+    return int(hashlib.md5(data.encode("utf-8")).hexdigest()[:digits], 16)
+
+
+def md5_randint(tag: str, i: int, lo: int, hi: int, seed: int = 42) -> int:
+    """Deterministic integer in ``[lo, hi)`` from ``(tag, seed, i)``.
+
+    Driver-side only (constants embedded as literals); 15-digit draw so
+    modulo bias over typical ranges is < 2^-28.
+    """
+    return lo + md5_int(f"{tag}:{seed}:{i}", 15) % (hi - lo)
+
+
+def md5_uniform(tag: str, i: int, seed: int = 42) -> float:
+    """Deterministic uniform in [-1, 1) from ``(tag, seed, i)`` — used
+    for LSH hyperplane components (any symmetric component law gives a
+    valid sign-LSH family; uniform keeps the constant embeddable as a
+    short literal)."""
+    return md5_int(f"{tag}:{seed}:{i}", 15) / float(16 ** 15) * 2.0 - 1.0

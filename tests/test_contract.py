@@ -71,7 +71,5 @@ def test_every_query_has_oracle_or_is_documented(spark):
         "simhash_pairs",
         "embedding_lsh_topk",
         "multimodal_features",
-        "graph_sample",
-        "embedding_ivf_topk",
     }
     assert set(os_) <= set(qs)
