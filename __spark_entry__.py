@@ -591,6 +591,63 @@ def _ivf_sql(n_clusters: int, kmeans_iters: int, n_probe: int, n_queries: int, k
     )
 
 
+def _lsh_topk_sql(
+    dim: int, n_planes: int, bands: int, seed: int, n_queries: int, k: int
+) -> str:
+    """Sign-LSH bucketed cosine top-k, mirroring
+    linkgraph.pipeline.similarity.lsh_cosine_topk: hyperplane
+    components are the engine's own md5-derived values embedded as
+    literals (repr round-trips doubles exactly), bucket bits are signs
+    of the projections, candidates share >= 1 band bucket, and cosine
+    is ROUND(.., 4) with ties to the lowest vec_id. The only cross-
+    engine float risk is a projection landing within ~1ulp of 0 —
+    probability ~1e-12 per draw."""
+    from linkgraph.pipeline.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim, n_planes, seed)  # (dim, n_planes)
+    per_band = n_planes // bands
+    proj_cols = ", ".join(
+        "list_sum(list_transform(generate_series(1, len(v)),"
+        f" d -> v[d] * ([{', '.join(repr(float(planes[d][p])) for d in range(dim))}])[d]))"
+        f" AS p{p}"
+        for p in range(n_planes)
+    )
+    band_selects = " UNION ALL ".join(
+        f"SELECT vec_id, {b} AS band, ("
+        + " + ".join(
+            f"CASE WHEN p{b * per_band + j} > 0 THEN {1 << j} ELSE 0 END"
+            for j in range(per_band)
+        )
+        + ") AS bucket FROM projs"
+        for b in range(bands)
+    )
+    ctes = [
+        "pts AS MATERIALIZED (SELECT vec_id,"
+        " list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings)",
+        f"projs AS MATERIALIZED (SELECT vec_id, {proj_cols} FROM pts)",
+        f"buckets AS MATERIALIZED ({band_selects})",
+        f"cands AS MATERIALIZED (SELECT DISTINCT q.vec_id AS qid, c.vec_id"
+        f" FROM buckets q JOIN buckets c"
+        f" ON q.band = c.band AND q.bucket = c.bucket AND q.vec_id != c.vec_id"
+        f" WHERE q.vec_id < {n_queries})",
+        "scored AS (SELECT cd.qid, cd.vec_id,"
+        " ROUND(list_sum(list_transform(generate_series(1, len(q.v)),"
+        "   i -> q.v[i]*c.v[i]))"
+        "  / (sqrt(list_sum(list_transform(q.v, x -> x*x)))"
+        "     * sqrt(list_sum(list_transform(c.v, x -> x*x)))), 4) AS sim"
+        " FROM cands cd JOIN pts q ON q.vec_id = cd.qid"
+        " JOIN pts c ON c.vec_id = cd.vec_id)",
+    ]
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + " SELECT qid, vec_id, sim FROM ("
+        "  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid"
+        "   ORDER BY sim DESC, vec_id ASC) AS rn FROM scored"
+        f" ) WHERE rn <= {k}"
+    )
+
+
 def _bgd_sql(iters: int, lr: float) -> str:
     """Unrolled IMRU batch-gradient-descent: w <- w - lr * X^T(Xw-y)/n
     from a zero weight vector, label = 2*x0 - x1 + 0.5*x2 (1-based in
@@ -619,6 +676,118 @@ def _bgd_sql(iters: int, lr: float) -> str:
         + ",\n".join(ctes)
         + f"\nSELECT (j-1)::INT AS dim, ROUND(val, 6) AS weight FROM ("
         f" SELECT unnest(w.w) AS val, unnest(generate_series(1, len(w.w))) AS j FROM w{iters} w)"
+    )
+
+
+def _duckdb_shingles_cte(n: int) -> str:
+    """DuckDB CTEs (toks, sh) for distinct word n-gram shingle strings
+    per doc — mirrors the engine's JVM-side shingle extraction."""
+    return (
+        "toks AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),"
+        " sh AS MATERIALIZED (SELECT DISTINCT doc_id, unnest(["
+        f"   array_to_string(toks[i:i+{n - 1}], ' ')"
+        f"   FOR i IN generate_series(1, greatest(len(toks) - {n - 1}, 0))"
+        "  ]) AS s FROM toks)"
+    )
+
+
+def _minhash_sql(num_hashes: int, bands: int, shingle_n: int, threshold: float, seed: int) -> str:
+    """Integer-exact unrolled MinHash-LSH: md5-digit shingle hashes,
+    (a*x+b) mod 2^31-1 signatures (constants from the SAME
+    linkgraph.phash draws the engine uses, embedded as literals),
+    md5-keyed band buckets, bucket-join candidates, signature-estimated
+    Jaccard. Every step is exact BIGINT arithmetic or md5 — zero float
+    divergence risk between engines."""
+    from linkgraph.phash import md5_int_sql
+    from linkgraph.pipeline.dedup import MINHASH_P, _hash_params
+
+    a, b = _hash_params(num_hashes, seed)
+    rows_per_band = num_hashes // bands
+    params = ", ".join(
+        f"({i + 1}, {int(a[i])}, {int(b[i])})" for i in range(num_hashes)
+    )
+    empty_sig = "[" + ", ".join([str(MINHASH_P)] * num_hashes) + "]"
+    ctes = [
+        _duckdb_shingles_cte(shingle_n),
+        f"shx AS MATERIALIZED (SELECT doc_id, {md5_int_sql('s', 7)} AS x FROM sh)",
+        f"params AS (SELECT * FROM (VALUES {params}) p(i, a, b))",
+        f"sigs AS MATERIALIZED (SELECT s.doc_id, p.i,"
+        f" MIN((s.x * p.a + p.b) % {MINHASH_P}) AS m"
+        f" FROM shx s CROSS JOIN params p GROUP BY s.doc_id, p.i)",
+        f"sigarr AS MATERIALIZED (SELECT d.doc_id,"
+        f" COALESCE(sa.sig, {empty_sig}) AS sig"
+        f" FROM documents d LEFT JOIN (SELECT doc_id, list(m ORDER BY i) AS sig"
+        f" FROM sigs GROUP BY doc_id) sa USING (doc_id))",
+        f"banded AS MATERIALIZED (SELECT doc_id, sig, g.bd AS band,"
+        f" md5(array_to_string(sig[g.bd*{rows_per_band}+1:g.bd*{rows_per_band}+{rows_per_band}], ',')) AS bucket"
+        f" FROM sigarr CROSS JOIN generate_series(0, {bands - 1}) g(bd))",
+        "cands AS MATERIALIZED (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b"
+        " FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket"
+        " AND a.doc_id < b.doc_id)",
+        f"est AS (SELECT c.doc_a, c.doc_b,"
+        f" ROUND(list_sum(list_transform(generate_series(1, {num_hashes}),"
+        f"  j -> CASE WHEN sa.sig[j] = sb.sig[j] THEN 1 ELSE 0 END)) / {float(num_hashes)}, 6)"
+        f" AS est_jaccard"
+        f" FROM cands c JOIN sigarr sa ON sa.doc_id = c.doc_a"
+        f" JOIN sigarr sb ON sb.doc_id = c.doc_b)",
+    ]
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT doc_a, doc_b, est_jaccard FROM est WHERE est_jaccard >= {threshold}"
+    )
+
+
+def _simhash_fp_ctes(shingle_n: int) -> list[str]:
+    """CTE chain ending in ``fp(doc_id, simhash)`` — the bit-exact
+    SimHash fingerprint: md5-digit hi/lo shingle-hash halves, per-bit
+    majority votes, two's-complement BIGINT assembly (bit 63 handled
+    without overflowing: lo63 - b63*(2^63-1) - b63)."""
+    from linkgraph.phash import md5_int_sql
+
+    return [
+        _duckdb_shingles_cte(shingle_n),
+        f"hx AS MATERIALIZED (SELECT doc_id, {md5_int_sql('s', 8, 0)} AS hi,"
+        f" {md5_int_sql('s', 8, 8)} AS lo FROM sh)",
+        "votes AS MATERIALIZED (SELECT doc_id, g.b AS b,"
+        " SUM(CASE WHEN g.b < 32 THEN (lo >> g.b) & 1"
+        "     ELSE (hi >> (g.b - 32)) & 1 END) AS ones,"
+        " COUNT(*) AS n"
+        " FROM hx CROSS JOIN generate_series(0, 63) g(b) GROUP BY doc_id, g.b)",
+        # outer CAST: DuckDB's SUM(BIGINT) returns HUGEINT; left as
+        # hugeint, mixed-sign xor() sign-extends to 128 bits and
+        # bit_count gains 64 phantom bits (and pandas collapses the
+        # column to float)
+        "fpx AS (SELECT doc_id,"
+        " CAST(SUM(CASE WHEN 2*ones - n > 0 AND b < 63 THEN (CAST(1 AS BIGINT) << b)"
+        "     ELSE CAST(0 AS BIGINT) END)"
+        " - MAX(CASE WHEN b = 63 AND 2*ones - n > 0 THEN 1 ELSE 0 END)"
+        "   * CAST(9223372036854775807 AS BIGINT)"
+        " - MAX(CASE WHEN b = 63 AND 2*ones - n > 0 THEN 1 ELSE 0 END) AS BIGINT)"
+        " AS simhash"
+        " FROM votes GROUP BY doc_id)",
+        "fp AS MATERIALIZED (SELECT d.doc_id,"
+        " COALESCE(f.simhash, CAST(0 AS BIGINT)) AS simhash"
+        " FROM documents d LEFT JOIN fpx f USING (doc_id))",
+    ]
+
+
+def _simhash_sql(shingle_n: int) -> str:
+    return "WITH " + ",\n".join(_simhash_fp_ctes(shingle_n)) + "\nSELECT doc_id, simhash FROM fp"
+
+
+def _simhash_pairs_sql(shingle_n: int, max_distance: int) -> str:
+    """Brute-force Hamming verification over the bit-exact fingerprint
+    CTEs — equals the engine's banded multi-index output exactly, since
+    pigeonhole banding has 100% recall and the bit_count verify is the
+    same predicate."""
+    return (
+        "WITH "
+        + ",\n".join(_simhash_fp_ctes(shingle_n))
+        + "\nSELECT a.doc_id AS doc_a, b.doc_id AS doc_b,"
+        " CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming"
+        " FROM fp a JOIN fp b ON a.doc_id < b.doc_id"
+        f" WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_distance}"
     )
 
 
@@ -881,6 +1050,15 @@ def oracle_sql() -> dict[str, str]:
     # train->assign->probe->score pipeline is SQL; params mirror
     # _q_ivf_topk (n_clusters=8, n_probe=4, kmeans_iterations=5)
     sql["embedding_ivf_topk"] = _ivf_sql(8, 5, 4, N_QUERY_VECS, TOPK)
+    # MinHash-LSH / SimHash: portable md5-digit hashing makes the whole
+    # pipeline integer-exact in both engines; params mirror
+    # _q_minhash_lsh / _q_simhash / _q_simhash_pairs
+    sql["minhash_lsh_pairs"] = _minhash_sql(64, 16, 3, 0.3, 42)
+    sql["simhash64"] = _simhash_sql(2)
+    sql["simhash_pairs"] = _simhash_pairs_sql(2, 16)
+    # sign-LSH ANN: md5-derived hyperplanes embedded as literals;
+    # params mirror _q_lsh_topk (dim 64, 16 planes, 4 bands)
+    sql["embedding_lsh_topk"] = _lsh_topk_sql(64, 16, 4, 42, N_QUERY_VECS, TOPK)
     # maximal-clique aggregator's global answer: enumerate ALL cliques
     # by ordered extension (each clique generated exactly once as its
     # ascending member list; a candidate w > last must be adjacent to

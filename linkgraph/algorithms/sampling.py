@@ -27,24 +27,8 @@ from pyspark.sql import functions as F
 from ..checkpoint import CheckpointManager
 from ..graph import choose_partitions, vertices_from_edges
 from ..partitioning import build_adjacency
+from ..phash import md5_int_sql as _md5_int_sql
 from ..superstep import LoopResult, StepResult, iterate, iteration_conf
-
-_HEX = "0123456789abcdef"
-
-
-def _md5_int_sql(arg_sql: str) -> str:
-    """Portable (Spark SQL == DuckDB) 24-bit integer from ``md5(arg)``:
-    position-weighted values of the first six hex digits. Both engines
-    evaluate this expression bit-identically, which is what makes the
-    sampling run verifiable by an external SQL oracle. (xxhash64 would
-    be marginally cheaper JVM-side, but the coin is a scalar projection
-    dwarfed by the expand join either way.)"""
-    terms = " + ".join(
-        f"(position(substr(md5({arg_sql}), {i + 1}, 1) IN '{_HEX}') - 1)"
-        f" * {16 ** (5 - i)}"
-        for i in range(6)
-    )
-    return f"({terms})"
 
 
 def seed_coin_sql(id_sql: str, seed: int, k: int, interval: int) -> str:

@@ -38,27 +38,34 @@ _HEX = "0123456789abcdef"
 #: concat_ws, both implement md5 over UTF-8 bytes.
 
 
-def md5_int_sql(arg_sql: str, digits: int = 6) -> str:
+def md5_int_sql(arg_sql: str, digits: int = 6, offset: int = 0) -> str:
     """SQL text for an unsigned ``4*digits``-bit integer from
-    ``md5(arg_sql)`` (first ``digits`` hex chars, big-endian).
+    ``md5(arg_sql)`` (hex chars ``offset+1 .. offset+digits``,
+    big-endian; distinct offsets give independent draws from one md5).
 
     ``digits`` <= 15 keeps the value < 2^60: exact in signed BIGINT
     arithmetic in Spark, DuckDB, and numpy int64 alike.
     """
     if not 1 <= digits <= 15:
         raise ValueError("digits must be in [1, 15] to stay BIGINT-exact")
+    if not 0 <= offset <= 32 - digits:
+        raise ValueError("offset+digits must fit the 32-char md5 hex string")
+    # weights CAST to BIGINT: position() returns INT, and INT*INT
+    # overflows under Spark ANSI for digits >= 7
     terms = " + ".join(
-        f"(position(substr(md5({arg_sql}), {i + 1}, 1) IN '{_HEX}') - 1)"
-        f" * {16 ** (digits - 1 - i)}"
+        f"(position(substr(md5({arg_sql}), {offset + i + 1}, 1) IN '{_HEX}') - 1)"
+        f" * CAST({16 ** (digits - 1 - i)} AS BIGINT)"
         for i in range(digits)
     )
     return f"({terms})"
 
 
-def md5_int(data: str, digits: int = 6) -> int:
+def md5_int(data: str, digits: int = 6, offset: int = 0) -> int:
     """Python (hashlib) evaluation of :func:`md5_int_sql` — same value
     the SQL text produces for the same string."""
-    return int(hashlib.md5(data.encode("utf-8")).hexdigest()[:digits], 16)
+    return int(
+        hashlib.md5(data.encode("utf-8")).hexdigest()[offset : offset + digits], 16
+    )
 
 
 def md5_randint(tag: str, i: int, lo: int, hi: int, seed: int = 42) -> int:

@@ -14,9 +14,15 @@ Four tiers, scale-ordered:
 - simhash64: 64-bit SimHash fingerprint per doc (vectorized); near-dups
   = small Hamming distance, joinable on rotated prefixes.
 
-MinHash/SimHash parameters are seeded deterministically (fixed odd
-multipliers) so runs are reproducible across sessions and cluster
-sizes.
+MinHash/SimHash parameters are seeded deterministically (md5-derived
+constants, linkgraph.phash) so runs are reproducible across sessions
+and cluster sizes — and, in the default ``portable=True`` mode, every
+arithmetic step is exact signed-64-bit integer math over md5-digit
+shingle hashes, so the full signature/banding/estimation pipeline is
+verifiable by the driver's DuckDB oracle (same expressions, same
+constants embedded as literals). ``portable=False`` swaps the shingle
+hash to JVM xxhash64 for production runs; the distributed shape is
+identical.
 """
 
 from __future__ import annotations
@@ -28,14 +34,35 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
-_MERSENNE = (1 << 61) - 1
+from ..phash import md5_int_sql, md5_randint
+
+# MinHash universe: arithmetic stays below 2^62, exact in int64 /
+# BIGINT in numpy, Spark, and DuckDB alike (no overflow wrapping to
+# diverge on): shingle hash x < 2^31, a,b < 2^31-1, so a*x+b < 2^62.
+MINHASH_P = (1 << 31) - 1  # Mersenne prime 2^31-1
+_SHINGLE_DIGITS = 7  # 28-bit md5-digit shingle hash (< 2^31)
 
 
 def _hash_params(n: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
-    rng = np.random.RandomState(seed)
-    a = rng.randint(1, _MERSENNE, size=n, dtype=np.int64) | 1
-    b = rng.randint(0, _MERSENNE, size=n, dtype=np.int64)
+    """n pairwise-independent-ish (a, b) with a odd in [1, P), b in
+    [0, P) — md5-derived so the SAME literals land in the oracle SQL."""
+    a = np.array(
+        [md5_randint("minhash-a", i, 1, MINHASH_P, seed) | 1 for i in range(n)],
+        dtype=np.int64,
+    )
+    b = np.array(
+        [md5_randint("minhash-b", i, 0, MINHASH_P, seed) for i in range(n)],
+        dtype=np.int64,
+    )
     return a, b
+
+
+def _shingle_hash_sql(shingles_sql: str, portable: bool) -> str:
+    """Array of per-shingle integer hashes. Portable: 28-bit md5-digit
+    (bit-identical in DuckDB); fast: xxhash64 folded into [0, 2^31)."""
+    if portable:
+        return f"transform({shingles_sql}, s -> {md5_int_sql('s', _SHINGLE_DIGITS)})"
+    return f"transform({shingles_sql}, s -> pmod(xxhash64(s), {MINHASH_P}))"
 
 
 def exact_duplicates(docs: DataFrame) -> DataFrame:
@@ -93,18 +120,23 @@ def ngram_jaccard_pairs(
 
 
 def minhash_signatures(
-    docs: DataFrame, num_hashes: int = 64, shingle_n: int = 3, seed: int = 42
+    docs: DataFrame,
+    num_hashes: int = 64,
+    shingle_n: int = 3,
+    seed: int = 42,
+    portable: bool = True,
 ) -> DataFrame:
     """(doc_id, sig array<bigint>) MinHash signatures.
 
-    Shingle extraction stays JVM-side; the per-doc min-hash over shingle
-    hashes runs as an Arrow-batched pandas UDF (one numpy matrix op per
-    batch — no per-row Python loops over hash functions).
+    Shingle extraction and shingle hashing stay JVM-side; the per-doc
+    min over the hash family runs as an Arrow-batched pandas UDF (one
+    numpy matrix op per batch — no per-row Python loops over hash
+    functions). sig_i = min over shingles of (a_i*x + b_i) mod 2^31-1 —
+    exact int64 arithmetic, reproduced verbatim by the DuckDB oracle
+    (portable mode). Empty docs get the all-P sentinel signature.
     """
     a, b = _hash_params(num_hashes, seed)
-
-    a_u, b_u = a.astype(np.uint64), b.astype(np.uint64)
-    M = np.uint64(_MERSENNE)
+    P = np.int64(MINHASH_P)
 
     @pandas_udf(T.ArrayType(T.LongType()))
     def sig_udf(shingle_hashes: pd.Series) -> pd.Series:
@@ -115,12 +147,12 @@ def minhash_signatures(
         lens = np.array(
             [0 if hs is None else len(hs) for hs in shingle_hashes], dtype=np.int64
         )
-        out = np.full((len(lens), num_hashes), _MERSENNE, dtype=np.int64)
+        out = np.full((len(lens), num_hashes), MINHASH_P, dtype=np.int64)
         nonempty = lens > 0
         if nonempty.any():
             h_all = np.concatenate(
                 [
-                    np.asarray(hs, dtype=np.uint64)
+                    np.asarray(hs, dtype=np.int64)
                     for hs in shingle_hashes
                     if hs is not None and len(hs) > 0
                 ]
@@ -130,21 +162,17 @@ def minhash_signatures(
             mins = np.empty((len(offsets), num_hashes), dtype=np.int64)
             for c0 in range(0, num_hashes, 8):
                 c1 = min(c0 + 8, num_hashes)
-                m = (h_all * a_u[c0:c1] + b_u[c0:c1]) % M
-                mins[:, c0:c1] = np.minimum.reduceat(m, offsets, axis=0).astype(
-                    np.int64
-                )
+                m = (h_all * a[c0:c1] + b[c0:c1]) % P
+                mins[:, c0:c1] = np.minimum.reduceat(m, offsets, axis=0)
             out[nonempty] = mins
         return pd.Series(list(out))
 
+    shingles = (
+        f"array_distinct(transform(sequence(1, greatest(size(split(text,' ')) - {shingle_n - 1}, 0)),"
+        f" i -> concat_ws(' ', slice(split(text,' '), i, {shingle_n}))))"
+    )
     hashed = docs.select(
-        "doc_id",
-        F.expr(
-            "transform({}, s -> xxhash64(s))".format(
-                f"array_distinct(transform(sequence(1, greatest(size(split(text,' ')) - {shingle_n - 1}, 0)),"
-                f" i -> concat_ws(' ', slice(split(text,' '), i, {shingle_n}))))"
-            )
-        ).alias("sh_hashes"),
+        "doc_id", F.expr(_shingle_hash_sql(shingles, portable)).alias("sh_hashes")
     )
     return hashed.select("doc_id", sig_udf("sh_hashes").alias("sig"))
 
@@ -182,6 +210,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.4,
     seed: int = 42,
     max_bucket_size: int | None = 100_000,
+    portable: bool = True,
 ) -> DataFrame:
     """Candidate near-dup pairs via LSH banding, verified with the
     signature-estimated Jaccard.
@@ -191,16 +220,23 @@ def minhash_lsh_pairs(
     groupBy on (band, bucket_hash): linear in corpus size, never
     quadratic — this is the 100 TB dedup path. Buckets larger than
     ``max_bucket_size`` are skipped (see :func:`cap_buckets`).
+    Portable mode keys buckets by md5 of the band's signature slice
+    (DuckDB-reproducible); fast mode by xxhash64 of the same string.
     """
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(docs, num_hashes, shingle_n, seed)
+    band_key = (
+        "md5(concat_ws(',', slice(sig, bd*{r}+1, {r})))"
+        if portable
+        else "xxhash64(concat_ws(',', slice(sig, bd*{r}+1, {r})))"
+    ).format(r=rows_per_band)
+    sigs = minhash_signatures(docs, num_hashes, shingle_n, seed, portable=portable)
     banded = sigs.select(
         "doc_id",
         "sig",
         F.explode(
             F.expr(
                 f"transform(sequence(0, {bands - 1}),"
-                f" bd -> struct(bd AS band, xxhash64(concat_ws(',', slice(sig, bd*{rows_per_band}+1, {rows_per_band}))) AS bucket))"
+                f" bd -> struct(bd AS band, {band_key} AS bucket))"
             )
         ).alias("bb"),
     ).select("doc_id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
@@ -220,7 +256,7 @@ def minhash_lsh_pairs(
     est = F.expr(
         "aggregate(zip_with(sig_a, sig_b, (x, y) -> CASE WHEN x = y THEN 1 ELSE 0 END),"
         " 0, (acc, v) -> acc + v)"
-    ) / F.lit(float(len(_hash_params(num_hashes, seed)[0])))
+    ) / F.lit(float(num_hashes))
     return (
         cands.withColumn("est_jaccard", F.round(est, 6))
         .filter(F.col("est_jaccard") >= threshold)
@@ -228,31 +264,47 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash64(docs: DataFrame, shingle_n: int = 2, seed: int = 42) -> DataFrame:
+def simhash64(
+    docs: DataFrame, shingle_n: int = 2, seed: int = 42, portable: bool = True
+) -> DataFrame:
     """(doc_id, simhash BIGINT) — 64-bit SimHash over word n-grams.
 
-    Shingle hashing is JVM-side xxhash64; the bit-vote accumulation is a
-    vectorized pandas UDF (unpackbits matrix sum per Arrow batch).
+    Shingle hashing is JVM-side (two independent 32-bit md5-digit
+    halves in portable mode — integer-exact in DuckDB, so the oracle
+    reproduces the fingerprint bit for bit; xxhash64 split hi/lo in
+    fast mode); the bit-vote accumulation is a vectorized pandas UDF
+    (unpackbits matrix sum per Arrow batch). Bit b of the fingerprint
+    is set iff strictly more than half the shingles have bit b set
+    (bits 0-31 from the lo half, 32-63 from the hi half); the uint64
+    word reinterprets as two's-complement BIGINT.
     """
 
     @pandas_udf(T.LongType())
-    def simhash_udf(shingle_hashes: pd.Series) -> pd.Series:
+    def simhash_udf(hi_hashes: pd.Series, lo_hashes: pd.Series) -> pd.Series:
         # ragged-batch vectorization: unpack all shingle hashes of the
         # Arrow batch into one (total, 64) bit matrix, per-row bit votes
         # via add.reduceat, then vectorized word assembly.
         lens = np.array(
-            [0 if hs is None else len(hs) for hs in shingle_hashes], dtype=np.int64
+            [0 if hs is None else len(hs) for hs in hi_hashes], dtype=np.int64
         )
         out = np.zeros(len(lens), dtype=np.int64)
         nonempty = lens > 0
         if nonempty.any():
-            h_all = np.concatenate(
+            hi_all = np.concatenate(
                 [
                     np.asarray(hs, dtype=np.uint64)
-                    for hs in shingle_hashes
+                    for hs in hi_hashes
                     if hs is not None and len(hs) > 0
                 ]
             )
+            lo_all = np.concatenate(
+                [
+                    np.asarray(hs, dtype=np.uint64)
+                    for hs in lo_hashes
+                    if hs is not None and len(hs) > 0
+                ]
+            )
+            h_all = (hi_all << np.uint64(32)) | lo_all
             bits = ((h_all[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(
                 np.int32
             )
@@ -266,14 +318,20 @@ def simhash64(docs: DataFrame, shingle_n: int = 2, seed: int = 42) -> DataFrame:
             out[nonempty] = words.astype(np.int64)
         return pd.Series(out)
 
-    hashed = docs.select(
-        "doc_id",
-        F.expr(
-            f"transform(array_distinct(transform(sequence(1, greatest(size(split(text,' ')) - {shingle_n - 1}, 0)),"
-            f" i -> concat_ws(' ', slice(split(text,' '), i, {shingle_n})))), s -> xxhash64(s))"
-        ).alias("sh_hashes"),
+    shingles = (
+        f"array_distinct(transform(sequence(1, greatest(size(split(text,' ')) - {shingle_n - 1}, 0)),"
+        f" i -> concat_ws(' ', slice(split(text,' '), i, {shingle_n}))))"
     )
-    return hashed.select("doc_id", simhash_udf("sh_hashes").alias("simhash"))
+    if portable:
+        hi = f"transform({shingles}, s -> {md5_int_sql('s', 8, 0)})"
+        lo = f"transform({shingles}, s -> {md5_int_sql('s', 8, 8)})"
+    else:
+        hi = f"transform({shingles}, s -> shiftrightunsigned(xxhash64(s), 32))"
+        lo = f"transform({shingles}, s -> xxhash64(s) & 4294967295)"
+    hashed = docs.select(
+        "doc_id", F.expr(hi).alias("hs_hi"), F.expr(lo).alias("hs_lo")
+    )
+    return hashed.select("doc_id", simhash_udf("hs_hi", "hs_lo").alias("simhash"))
 
 
 def simhash_pairs(
@@ -283,6 +341,7 @@ def simhash_pairs(
     seed: int = 42,
     fingerprints: DataFrame | None = None,
     max_bucket_size: int | None = 100_000,
+    portable: bool = True,
 ) -> DataFrame:
     """(doc_a, doc_b, hamming) — near-duplicate pairs within Hamming
     distance ``max_distance`` over 64-bit SimHash fingerprints.
@@ -310,7 +369,7 @@ def simhash_pairs(
     fp = (
         fingerprints
         if fingerprints is not None
-        else simhash64(docs, shingle_n=shingle_n, seed=seed)
+        else simhash64(docs, shingle_n=shingle_n, seed=seed, portable=portable)
     )
     band_structs = []
     for b in range(bands):

@@ -72,8 +72,21 @@ def cosine_topk(
 
 
 def _hyperplanes(dim: int, n_planes: int, seed: int) -> np.ndarray:
-    rng = np.random.RandomState(seed)
-    return rng.normal(size=(dim, n_planes)).astype(np.float64)
+    """(dim, n_planes) hyperplane components, uniform in [-1, 1) from
+    md5 draws (linkgraph.phash) rather than a numpy RNG: any symmetric
+    component law is a valid sign-LSH family, and md5 derivation lets
+    the driver oracle embed the SAME values as SQL literals
+    (__spark_entry__._lsh_topk_sql) — repr(float) round-trips exactly,
+    so both engines project against bit-identical planes."""
+    from ..phash import md5_uniform
+
+    return np.array(
+        [
+            [md5_uniform("lshplane", p * dim + d, seed) for p in range(n_planes)]
+            for d in range(dim)
+        ],
+        dtype=np.float64,
+    )
 
 
 def lsh_bucket_ids(

@@ -64,12 +64,8 @@ def test_every_query_has_oracle_or_is_documented(spark):
 
     qs, os_ = entrymod.queries(), entrymod.oracle_sql()
     rows_only = set(qs) - set(os_)
-    # only seeded-hash/numpy/iterative-driver ops may skip the SQL oracle
-    assert rows_only == {
-        "minhash_lsh_pairs",
-        "simhash64",
-        "simhash_pairs",
-        "embedding_lsh_topk",
-        "multimodal_features",
-    }
+    # only the stubbed-codec multimodal op may skip the SQL oracle:
+    # every hash-seeded pipeline (MinHash, SimHash, sign-LSH, IVF,
+    # sampling) now uses portable md5-derived constants and is gated
+    assert rows_only == {"multimodal_features"}
     assert set(os_) <= set(qs)
