@@ -698,7 +698,7 @@ def _minhash_sql(num_hashes: int, bands: int, shingle_n: int, threshold: float, 
     md5-keyed band buckets, bucket-join candidates, signature-estimated
     Jaccard. Every step is exact BIGINT arithmetic or md5 — zero float
     divergence risk between engines."""
-    from linkgraph.phash import md5_int_sql
+    from linkgraph.phash import md5_digits_sql
     from linkgraph.pipeline.dedup import MINHASH_P, _hash_params
 
     a, b = _hash_params(num_hashes, seed)
@@ -709,7 +709,8 @@ def _minhash_sql(num_hashes: int, bands: int, shingle_n: int, threshold: float, 
     empty_sig = "[" + ", ".join([str(MINHASH_P)] * num_hashes) + "]"
     ctes = [
         _duckdb_shingles_cte(shingle_n),
-        f"shx AS MATERIALIZED (SELECT doc_id, {md5_int_sql('s', 7)} AS x FROM sh)",
+        "shh AS MATERIALIZED (SELECT doc_id, md5(s) AS h FROM sh)",
+        f"shx AS MATERIALIZED (SELECT doc_id, {md5_digits_sql('h', 7)} AS x FROM shh)",
         f"params AS (SELECT * FROM (VALUES {params}) p(i, a, b))",
         f"sigs AS MATERIALIZED (SELECT s.doc_id, p.i,"
         f" MIN((s.x * p.a + p.b) % {MINHASH_P}) AS m"
@@ -743,12 +744,13 @@ def _simhash_fp_ctes(shingle_n: int) -> list[str]:
     SimHash fingerprint: md5-digit hi/lo shingle-hash halves, per-bit
     majority votes, two's-complement BIGINT assembly (bit 63 handled
     without overflowing: lo63 - b63*(2^63-1) - b63)."""
-    from linkgraph.phash import md5_int_sql
+    from linkgraph.phash import md5_digits_sql
 
     return [
         _duckdb_shingles_cte(shingle_n),
-        f"hx AS MATERIALIZED (SELECT doc_id, {md5_int_sql('s', 8, 0)} AS hi,"
-        f" {md5_int_sql('s', 8, 8)} AS lo FROM sh)",
+        "shh AS MATERIALIZED (SELECT doc_id, md5(s) AS h FROM sh)",
+        f"hx AS MATERIALIZED (SELECT doc_id, {md5_digits_sql('h', 8, 0)} AS hi,"
+        f" {md5_digits_sql('h', 8, 8)} AS lo FROM shh)",
         "votes AS MATERIALIZED (SELECT doc_id, g.b AS b,"
         " SUM(CASE WHEN g.b < 32 THEN (lo >> g.b) & 1"
         "     ELSE (hi >> (g.b - 32)) & 1 END) AS ones,"

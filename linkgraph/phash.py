@@ -38,10 +38,18 @@ _HEX = "0123456789abcdef"
 #: concat_ws, both implement md5 over UTF-8 bytes.
 
 
-def md5_int_sql(arg_sql: str, digits: int = 6, offset: int = 0) -> str:
-    """SQL text for an unsigned ``4*digits``-bit integer from
-    ``md5(arg_sql)`` (hex chars ``offset+1 .. offset+digits``,
-    big-endian; distinct offsets give independent draws from one md5).
+def md5_digits_sql(hex_sql: str, digits: int = 6, offset: int = 0) -> str:
+    """SQL text for an unsigned ``4*digits``-bit integer from an
+    ALREADY-computed 32-char md5 hex string (hex chars
+    ``offset+1 .. offset+digits``, big-endian; distinct offsets give
+    independent draws from one md5).
+
+    Use this (with ``md5(...)`` materialized once in an enclosing
+    projection / transform) wherever the hash feeds several digit
+    extractions: the digit terms repeat ``hex_sql`` per hex char, and
+    neither Spark's interpreted higher-order-function lambdas nor
+    DuckDB CSE the md5 across terms — inlining ``md5(s)`` here costs
+    ``digits`` md5 evaluations per value instead of one.
 
     ``digits`` <= 15 keeps the value < 2^60: exact in signed BIGINT
     arithmetic in Spark, DuckDB, and numpy int64 alike.
@@ -53,11 +61,18 @@ def md5_int_sql(arg_sql: str, digits: int = 6, offset: int = 0) -> str:
     # weights CAST to BIGINT: position() returns INT, and INT*INT
     # overflows under Spark ANSI for digits >= 7
     terms = " + ".join(
-        f"(position(substr(md5({arg_sql}), {offset + i + 1}, 1) IN '{_HEX}') - 1)"
+        f"(position(substr({hex_sql}, {offset + i + 1}, 1) IN '{_HEX}') - 1)"
         f" * CAST({16 ** (digits - 1 - i)} AS BIGINT)"
         for i in range(digits)
     )
     return f"({terms})"
+
+
+def md5_int_sql(arg_sql: str, digits: int = 6, offset: int = 0) -> str:
+    """:func:`md5_digits_sql` with the md5 inlined — fine for one-shot
+    scalar draws (sampling coins); prefer the two-step form for arrays
+    or multi-extraction (see md5_digits_sql's note on repeated md5)."""
+    return md5_digits_sql(f"md5({arg_sql})", digits, offset)
 
 
 def md5_int(data: str, digits: int = 6, offset: int = 0) -> int:

@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
-from ..phash import md5_int_sql, md5_randint
+from ..phash import md5_digits_sql, md5_randint
 
 # MinHash universe: arithmetic stays below 2^62, exact in int64 /
 # BIGINT in numpy, Spark, and DuckDB alike (no overflow wrapping to
@@ -59,9 +59,15 @@ def _hash_params(n: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
 
 def _shingle_hash_sql(shingles_sql: str, portable: bool) -> str:
     """Array of per-shingle integer hashes. Portable: 28-bit md5-digit
-    (bit-identical in DuckDB); fast: xxhash64 folded into [0, 2^31)."""
+    (bit-identical in DuckDB); fast: xxhash64 folded into [0, 2^31).
+    The portable form hashes each shingle ONCE (inner transform) and
+    extracts digits from the hex string in a second pass — inlining the
+    md5 into the digit terms would evaluate it per hex char."""
     if portable:
-        return f"transform({shingles_sql}, s -> {md5_int_sql('s', _SHINGLE_DIGITS)})"
+        return (
+            f"transform(transform({shingles_sql}, s -> md5(s)),"
+            f" h -> {md5_digits_sql('h', _SHINGLE_DIGITS)})"
+        )
     return f"transform({shingles_sql}, s -> pmod(xxhash64(s), {MINHASH_P}))"
 
 
@@ -229,7 +235,13 @@ def minhash_lsh_pairs(
         if portable
         else "xxhash64(concat_ws(',', slice(sig, bd*{r}+1, {r})))"
     ).format(r=rows_per_band)
-    sigs = minhash_signatures(docs, num_hashes, shingle_n, seed, portable=portable)
+    # the signature frame feeds a diamond (banding -> bucket-size cap +
+    # both sides of the self-join): persist it or the shingle+UDF
+    # pipeline re-executes per reference. O(docs * num_hashes * 8B) —
+    # ~0.5% of corpus text size, spills to disk if it doesn't fit.
+    sigs = minhash_signatures(
+        docs, num_hashes, shingle_n, seed, portable=portable
+    ).persist()
     banded = sigs.select(
         "doc_id",
         "sig",
@@ -323,14 +335,23 @@ def simhash64(
         f" i -> concat_ws(' ', slice(split(text,' '), i, {shingle_n}))))"
     )
     if portable:
-        hi = f"transform({shingles}, s -> {md5_int_sql('s', 8, 0)})"
-        lo = f"transform({shingles}, s -> {md5_int_sql('s', 8, 8)})"
+        # one md5 per shingle, both 32-bit halves extracted from the
+        # same hex array (hx stays a separate projection: transform/md5
+        # is non-cheap, so CollapseProject won't inline it twice)
+        hexed = docs.select(
+            "doc_id", F.expr(f"transform({shingles}, s -> md5(s))").alias("hx")
+        )
+        hashed = hexed.select(
+            "doc_id",
+            F.expr(f"transform(hx, h -> {md5_digits_sql('h', 8, 0)})").alias("hs_hi"),
+            F.expr(f"transform(hx, h -> {md5_digits_sql('h', 8, 8)})").alias("hs_lo"),
+        )
     else:
         hi = f"transform({shingles}, s -> shiftrightunsigned(xxhash64(s), 32))"
         lo = f"transform({shingles}, s -> xxhash64(s) & 4294967295)"
-    hashed = docs.select(
-        "doc_id", F.expr(hi).alias("hs_hi"), F.expr(lo).alias("hs_lo")
-    )
+        hashed = docs.select(
+            "doc_id", F.expr(hi).alias("hs_hi"), F.expr(lo).alias("hs_lo")
+        )
     return hashed.select("doc_id", simhash_udf("hs_hi", "hs_lo").alias("simhash"))
 
 
@@ -366,10 +387,13 @@ def simhash_pairs(
     """
     bands = max_distance + 1
     width = 64 // bands
+    # 16 bytes/doc, feeds a diamond (cap + both join sides): persist an
+    # internally-computed fingerprint frame so the shingle-hash pipeline
+    # runs once; caller-supplied frames keep the caller's storage policy
     fp = (
         fingerprints
         if fingerprints is not None
-        else simhash64(docs, shingle_n=shingle_n, seed=seed, portable=portable)
+        else simhash64(docs, shingle_n=shingle_n, seed=seed, portable=portable).persist()
     )
     band_structs = []
     for b in range(bands):
