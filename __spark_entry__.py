@@ -280,10 +280,22 @@ def _q_events_hourly(spark, sf):
     ).agg(F.count(F.lit(1)).alias("n_events"))
 
 
-# rows-only (not SQL-expressible: seeded xxhash64 / numpy hyperplanes)
-
 def _q_minhash_lsh(spark, sf):
     return minhash_lsh_pairs(load_documents(spark, sf), threshold=0.3)
+
+
+def _q_dedup_clusters(spark, sf):
+    """Pipeline x graph-engine composition: MinHash-LSH pair edges
+    closed by the CC superstep loop into dedup clusters."""
+    from linkgraph.pipeline.dedup import dedup_clusters
+
+    return dedup_clusters(load_documents(spark, sf), threshold=0.3)
+
+
+def _q_vocabulary(spark, sf):
+    from linkgraph.pipeline.textstats import vocabulary
+
+    return vocabulary(load_documents(spark, sf), top_k=50)
 
 
 def _q_simhash(spark, sf):
@@ -401,6 +413,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _q_lang_id,
         "doc_fingerprint": _q_fingerprint,
         "ngram_jaccard_pairs": _q_jaccard,
+        "vocabulary": _q_vocabulary,
         "embedding_cosine_topk": _q_topk,
         "customer_orders_by_nation": _q_customer_orders,
         "pricing_summary": _q_pricing_summary,
@@ -408,8 +421,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customers_without_orders": _q_customers_without_orders,
         "events_per_type": _q_events_per_type,
         "events_hourly": _q_events_hourly,
-        # rows-only checks (non-SQL-expressible internals)
         "minhash_lsh_pairs": _q_minhash_lsh,
+        "dedup_clusters": _q_dedup_clusters,
         "simhash64": _q_simhash,
         "simhash_pairs": _q_simhash_pairs,
         "embedding_lsh_topk": _q_lsh_topk,
@@ -691,8 +704,9 @@ def _duckdb_shingles_cte(n: int) -> str:
     )
 
 
-def _minhash_sql(num_hashes: int, bands: int, shingle_n: int, threshold: float, seed: int) -> str:
-    """Integer-exact unrolled MinHash-LSH: md5-digit shingle hashes,
+def _minhash_ctes(num_hashes: int, bands: int, shingle_n: int, seed: int) -> list[str]:
+    """Integer-exact unrolled MinHash-LSH CTE chain ending in
+    ``est(doc_a, doc_b, est_jaccard)``: md5-digit shingle hashes,
     (a*x+b) mod 2^31-1 signatures (constants from the SAME
     linkgraph.phash draws the engine uses, embedded as literals),
     md5-keyed band buckets, bucket-join candidates, signature-estimated
@@ -732,10 +746,46 @@ def _minhash_sql(num_hashes: int, bands: int, shingle_n: int, threshold: float, 
         f" FROM cands c JOIN sigarr sa ON sa.doc_id = c.doc_a"
         f" JOIN sigarr sb ON sb.doc_id = c.doc_b)",
     ]
+    return ctes
+
+
+def _minhash_sql(num_hashes: int, bands: int, shingle_n: int, threshold: float, seed: int) -> str:
     return (
         "WITH "
-        + ",\n".join(ctes)
+        + ",\n".join(_minhash_ctes(num_hashes, bands, shingle_n, seed))
         + f"\nSELECT doc_a, doc_b, est_jaccard FROM est WHERE est_jaccard >= {threshold}"
+    )
+
+
+def _dedup_clusters_sql(
+    num_hashes: int, bands: int, shingle_n: int, threshold: float, seed: int
+) -> str:
+    """Transitive closure of the MinHash-LSH pair graph via a recursive
+    CTE: reach(doc, r) grows the reachable set along symmetrized pair
+    edges; MIN(r) per doc is the component's minimum doc_id — exactly
+    the engine's min-label CC fixpoint (dedup.dedup_clusters). The
+    quadratic closure table is oracle-only; the engine runs the
+    delta-messaging superstep loop."""
+    ctes = _minhash_ctes(num_hashes, bands, shingle_n, seed)
+    ctes.append(
+        f"pairs AS MATERIALIZED (SELECT doc_a, doc_b FROM est"
+        f" WHERE est_jaccard >= {threshold})"
+    )
+    ctes.append(
+        "sym AS MATERIALIZED (SELECT doc_a AS s, doc_b AS d FROM pairs"
+        " UNION ALL SELECT doc_b, doc_a FROM pairs)"
+    )
+    ctes.append(
+        "reach(doc, r) AS (SELECT doc_id, doc_id FROM documents"
+        " UNION"
+        " SELECT re.doc, sym.d FROM reach re JOIN sym ON sym.s = re.r)"
+    )
+    return (
+        "WITH RECURSIVE "
+        + ",\n".join(ctes)
+        + "\nSELECT doc AS doc_id, MIN(r) AS cluster,"
+        " CAST(CASE WHEN MIN(r) = doc THEN 1 ELSE 0 END AS INT) AS is_representative"
+        " FROM reach GROUP BY doc"
     )
 
 
@@ -1056,6 +1106,17 @@ def oracle_sql() -> dict[str, str]:
     # pipeline integer-exact in both engines; params mirror
     # _q_minhash_lsh / _q_simhash / _q_simhash_pairs
     sql["minhash_lsh_pairs"] = _minhash_sql(64, 16, 3, 0.3, 42)
+    # near-dup clusters: same pair CTEs + recursive-CTE transitive
+    # closure (min reachable doc_id == the engine's min-label CC)
+    sql["dedup_clusters"] = _dedup_clusters_sql(64, 16, 3, 0.3, 42)
+    # corpus vocabulary: top-50 terms by doc frequency
+    sql["vocabulary"] = (
+        "WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term"
+        " FROM documents)"
+        " SELECT term, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df"
+        " FROM t WHERE term <> ''"
+        " GROUP BY term ORDER BY df DESC, tf DESC, term LIMIT 50"
+    )
     sql["simhash64"] = _simhash_sql(2)
     sql["simhash_pairs"] = _simhash_pairs_sql(2, 16)
     # sign-LSH ANN: md5-derived hyperplanes embedded as literals;

@@ -3,25 +3,34 @@ first-class per the task brief): dedup, text analysis, similarity
 search, multimodal plumbing."""
 
 from .dedup import (
+    dedup_clusters,
     exact_duplicates,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash64,
     simhash_pairs,
 )
-from .textstats import doc_fingerprint, language_id, quality_score, token_count
+from .textstats import (
+    doc_fingerprint,
+    language_id,
+    quality_score,
+    token_count,
+    vocabulary,
+)
 from .similarity import cosine_topk, ivf_cosine_topk, lsh_cosine_topk
 
 __all__ = [
     "exact_duplicates",
     "ngram_jaccard_pairs",
     "minhash_lsh_pairs",
+    "dedup_clusters",
     "simhash64",
     "simhash_pairs",
     "token_count",
     "quality_score",
     "language_id",
     "doc_fingerprint",
+    "vocabulary",
     "cosine_topk",
     "lsh_cosine_topk",
 ]

@@ -429,3 +429,55 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_distance)
         .select("doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming"))
     )
+
+
+def dedup_clusters(
+    docs: DataFrame,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    threshold: float = 0.4,
+    seed: int = 42,
+    max_bucket_size: int | None = 100_000,
+    portable: bool = True,
+) -> DataFrame:
+    """(doc_id, cluster, is_representative) — near-duplicate clusters:
+    MinHash-LSH pair edges closed transitively by min-label connected
+    components (pipeline tier composed with the graph engine's CC
+    superstep loop). ``cluster`` is the minimum doc_id of the
+    component; ``is_representative`` (0/1) marks the one doc per
+    cluster a dedup pass would keep. Exact duplicates need no separate
+    tier here: identical texts produce identical signatures, land in
+    every band bucket together, and estimate Jaccard 1.0.
+
+    The 100 TB shape is the sum of its parts: the pair generation is
+    the linear banded bucket join (never all-pairs), and the closure is
+    the delta-messaging CC loop over the pair graph — which is tiny
+    relative to the corpus (only docs with a near-dup partner have
+    edges; everything else short-circuits to a singleton in
+    superstep 1).
+    """
+    pairs = minhash_lsh_pairs(
+        docs,
+        num_hashes=num_hashes,
+        bands=bands,
+        shingle_n=shingle_n,
+        threshold=threshold,
+        seed=seed,
+        max_bucket_size=max_bucket_size,
+        portable=portable,
+    )
+    from ..algorithms.cc import connected_components
+
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    comp, _ = connected_components(
+        edges,
+        symmetrize_edges=True,
+        vertices=docs.select(F.col("doc_id").alias("id")),
+        track_messages=False,
+    )
+    return comp.select(
+        F.col("id").alias("doc_id"),
+        F.col("component").alias("cluster"),
+        (F.col("id") == F.col("component")).cast("int").alias("is_representative"),
+    )

@@ -65,6 +65,29 @@ def language_id(docs: DataFrame) -> DataFrame:
     )
 
 
+def vocabulary(docs: DataFrame, top_k: int = 50) -> DataFrame:
+    """(term, tf, df) — corpus vocabulary: the ``top_k`` terms by
+    document frequency (ties: total frequency desc, then term asc).
+
+    The 100 TB shape: one explode + one groupBy (Spark plans the
+    count-distinct as a two-round partial aggregate, so per-term state
+    stays bounded), and the top-k is a TakeOrdered over the aggregated
+    term table — no global sort of the token stream.
+    """
+    terms = docs.select(
+        "doc_id", F.explode(_tokens()).alias("term")
+    ).filter(F.col("term") != "")
+    return (
+        terms.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.countDistinct("doc_id").alias("df"),
+        )
+        .orderBy(F.col("df").desc(), F.col("tf").desc(), F.col("term"))
+        .limit(top_k)
+    )
+
+
 def doc_fingerprint(docs: DataFrame) -> DataFrame:
     """(doc_id, fingerprint) — stable 64-bit-ish content fingerprint
     (hex prefix of md5; identical in any engine with md5)."""

@@ -291,3 +291,54 @@ class TestIVFTopK:
         a = sorted(map(tuple, ivf_cosine_topk(emb, queries, k=5).collect()))
         b = sorted(map(tuple, ivf_cosine_topk(emb, queries, k=5).collect()))
         assert a == b
+
+
+class TestDedupClusters:
+    def test_clusters_are_transitive_closure(self, spark):
+        # 0~1 (exact), 1~2 (near): {0,1,2} must share one cluster even
+        # if the 0-2 pair itself fell under the LSH threshold
+        rows = [
+            (0, "the quick brown fox jumps over the lazy dog near the river bank"),
+            (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+            (2, "the quick brown fox jumps over the lazy dog near the river bend"),
+            (3, "completely different words about spark shuffle partitions and joins"),
+        ]
+        from linkgraph.pipeline.dedup import dedup_clusters
+
+        docs = spark.createDataFrame(rows, DOC_SCHEMA)
+        out = {
+            r["doc_id"]: (r["cluster"], r["is_representative"])
+            for r in dedup_clusters(docs, threshold=0.3).collect()
+        }
+        assert out[0] == (0, 1)
+        assert out[1] == (0, 0)
+        assert out[2] == (0, 0)
+        assert out[3] == (3, 1)
+
+    def test_singletons_keep_their_own_id(self, docs):
+        from linkgraph.pipeline.dedup import dedup_clusters
+
+        rows = dedup_clusters(docs, threshold=0.3).collect()
+        assert len(rows) == docs.count()
+        for r in rows:
+            assert r["cluster"] <= r["doc_id"]
+            assert r["is_representative"] == int(r["cluster"] == r["doc_id"])
+
+
+class TestVocabulary:
+    def test_matches_pure_python(self, docs, spark):
+        from collections import Counter
+
+        from linkgraph.pipeline.textstats import vocabulary
+
+        tf, df = Counter(), Counter()
+        for r in docs.collect():
+            toks = [t for t in r["text"].split(" ") if t]
+            tf.update(toks)
+            df.update(set(toks))
+        got = vocabulary(docs, top_k=10).collect()
+        expect = sorted(
+            ((t, tf[t], df[t]) for t in tf),
+            key=lambda x: (-x[2], -x[1], x[0]),
+        )[:10]
+        assert [(r["term"], r["tf"], r["df"]) for r in got] == expect
