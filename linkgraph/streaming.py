@@ -71,3 +71,57 @@ def run_available_now(
     )
     q.awaitTermination()
     return q
+
+
+def dedup_stream(docs: DataFrame) -> DataFrame:
+    """Streaming exact dedup — the custom stateful operator tier
+    (applyInPandasWithState): emit each distinct text exactly once, at
+    its first arrival, keyed by content hash.
+
+    Output (doc_id, text_hash): the minimum doc_id among the first
+    micro-batch that contains the hash; later arrivals of the same
+    content emit nothing. With id-ordered arrival this equals the batch
+    tier's (min_doc_id, text_hash) from pipeline.exact_duplicates
+    (tested); under arbitrary arrival it is first-seen semantics — what
+    an incremental corpus ingest actually wants.
+
+    Scale shape: state is one boolean per DISTINCT content hash,
+    hash-partitioned across executors by the groupBy — the streaming
+    twin of the batch hash-groupBy tier. At 100 TB you would add a
+    state TTL (GroupStateTimeout) or an RocksDB state store; the
+    operator contract is unchanged.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text_hash", T.StringType()),
+        ]
+    )
+    state_schema = T.StructType([T.StructField("seen", T.BooleanType())])
+
+    def first_seen(key, pdfs, state):
+        if state.exists:
+            # hash already emitted in an earlier micro-batch; drain the
+            # iterator (required by the contract) and emit nothing
+            for _ in pdfs:
+                pass
+            return
+        first = None
+        for pdf in pdfs:
+            lo = int(pdf["doc_id"].min())
+            first = lo if first is None else min(first, lo)
+        state.update((True,))
+        yield pd.DataFrame({"doc_id": [first], "text_hash": [key[0]]})
+
+    hashed = docs.select("doc_id", F.md5(F.col("text")).alias("text_hash"))
+    return hashed.groupBy("text_hash").applyInPandasWithState(
+        first_seen,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

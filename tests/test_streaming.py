@@ -53,3 +53,56 @@ class TestStreaming:
         assert got == 1000
         n_types = spark.sql("SELECT COUNT(DISTINCT event_type) AS n FROM hourly").first()["n"]
         assert n_types == 5
+
+    def test_dedup_stream_state_across_microbatches(self, spark, tmp_path):
+        """applyInPandasWithState: first-seen wins, later micro-batches
+        with the same content emit nothing."""
+        from linkgraph.streaming import dedup_stream
+
+        schema = "doc_id LONG, text STRING"
+        d = tmp_path / "docs2"
+        d.mkdir()
+        spark.createDataFrame(
+            [(0, "aaa bbb"), (1, "ccc ddd"), (2, "aaa bbb")], schema
+        ).coalesce(1).write.parquet(str(d / "f0"))
+        spark.createDataFrame(
+            [(3, "aaa bbb"), (4, "eee fff")], schema
+        ).coalesce(1).write.parquet(str(d / "f1"))
+
+        src = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(d / "f*"))
+        )
+        out = str(tmp_path / "dedup_out")
+        run_available_now(dedup_stream(src), out, str(tmp_path / "ck3"))
+        got = {
+            r["text_hash"]: r["doc_id"] for r in spark.read.parquet(out).collect()
+        }
+        batch = spark.read.parquet(str(d / "f0"), str(d / "f1"))
+        import hashlib
+
+        def h(s):
+            return hashlib.md5(s.encode()).hexdigest()
+
+        # 3 distinct contents; "aaa bbb" kept at doc 0 (first batch, min
+        # id), never re-emitted for docs 2 (same batch) or 3 (later batch)
+        assert got == {h("aaa bbb"): 0, h("ccc ddd"): 1, h("eee fff"): 4}
+        assert len(got) == batch.select("text").distinct().count()
+
+    def test_dedup_stream_equals_batch_tier_when_id_ordered(self, spark, tmp_path):
+        from linkgraph.pipeline import exact_duplicates
+        from linkgraph.streaming import dedup_stream, stream_documents
+
+        src = _stage_dir(tmp_path, f"{SF}/documents.parquet", "docs3")
+        out = str(tmp_path / "dedup_out2")
+        run_available_now(
+            dedup_stream(stream_documents(spark, src)), out, str(tmp_path / "ck4")
+        )
+        got = spark.read.parquet(out).select("text_hash", "doc_id")
+        batch = exact_duplicates(spark.read.parquet(src)).select(
+            "text_hash", "min_doc_id"
+        )
+        assert got.count() == batch.count()
+        joined = got.join(batch, "text_hash")
+        assert joined.filter("doc_id != min_doc_id").count() == 0
