@@ -469,7 +469,13 @@ def dedup_clusters(
     )
     from ..algorithms.cc import connected_components
 
-    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    # CC references its edge frame several times (partition sizing,
+    # adjacency build, first-superstep neighbor-min): persist the pair
+    # edges so the banded join pipeline runs once. Tiny — one row per
+    # near-dup pair.
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).persist()
     comp, _ = connected_components(
         edges,
         symmetrize_edges=True,
