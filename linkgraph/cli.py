@@ -45,10 +45,16 @@ def _build_parser() -> argparse.ArgumentParser:
         choices=[
             "pagerank", "cc", "lpa", "triangles", "sssp",
             "reachability", "sample", "cliques", "derive",
+            "dedup", "vocab",
         ],
     )
     src = p.add_argument_group("input (exactly one)")
     src.add_argument("--edges", help="path/table of edges(src BIGINT, dst BIGINT)")
+    src.add_argument(
+        "--documents",
+        help="path/table of documents(doc_id BIGINT, text STRING) — input for "
+        "the dedup / vocab pipeline algorithms",
+    )
     src.add_argument(
         "--code-table",
         help="path/table of source code rows (repo, path, commit, lang, content); "
@@ -74,6 +80,12 @@ def _build_parser() -> argparse.ArgumentParser:
     p.add_argument("--dest", type=int, default=1, help="reachability dest vertex")
     p.add_argument("--target-rate", type=float, default=0.5, help="sample fill rate")
     p.add_argument("--seed", type=int, default=42, help="sample determinism seed")
+    p.add_argument("--threshold", type=float, default=0.4,
+                   help="dedup: MinHash estimated-Jaccard cut for near-dup pairs")
+    p.add_argument("--fast-hash", action="store_true",
+                   help="dedup: xxhash64 shingle hashing (production mode) instead "
+                   "of the oracle-portable md5-digit hashing")
+    p.add_argument("--top-k", type=int, default=50, help="vocab: number of terms")
     p.add_argument("--directed", action="store_true",
                    help="cc/lpa/triangles: consume edges as-given instead of symmetrizing")
     p.add_argument("--metrics-output", help="write per-superstep metrics JSON lines here")
@@ -114,6 +126,28 @@ def main(argv: list[str] | None = None) -> None:
         from .checkpoint import CheckpointManager
 
         ckpt = CheckpointManager(spark, args.checkpoint, every=args.checkpoint_every)
+
+    if args.algorithm in ("dedup", "vocab"):
+        if not args.documents:
+            raise SystemExit(f"{args.algorithm} requires --documents")
+        docs = spark.read.load(args.documents).select(
+            F.col("doc_id").cast("long"), F.col("text")
+        )
+        if args.algorithm == "dedup":
+            from .pipeline.dedup import dedup_clusters
+
+            out = dedup_clusters(
+                docs,
+                threshold=args.threshold,
+                seed=args.seed,
+                portable=not args.fast_hash,
+            )
+        else:
+            from .pipeline.textstats import vocabulary
+
+            out = vocabulary(docs, top_k=args.top_k)
+        out.write.format(args.format).mode("overwrite").save(args.output)
+        return
 
     edges = _load_edges(spark, args)
     common = dict(
