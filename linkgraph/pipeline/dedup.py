@@ -80,14 +80,25 @@ def exact_duplicates(docs: DataFrame) -> DataFrame:
     )
 
 
+_SHINGLES_FROM_TOKS = (
+    "array_distinct(transform(sequence(1, greatest(size(toks) - {m}, 0)),"
+    " i -> concat_ws(' ', slice(toks, i, {n}))))"
+)
+
+
+def _tokenized(docs: DataFrame) -> DataFrame:
+    """(doc_id, toks) — tokenization hoisted into its own projection.
+    Inlining split(text) into the shingle transform would re-split the
+    document once PER SHINGLE: higher-order-function lambdas get no
+    subexpression elimination, and the multi-reference non-cheap
+    projection blocks CollapseProject from inlining this one."""
+    return docs.select("doc_id", F.split("text", " ").alias("toks"))
+
+
 def _shingles_col(n: int = 3):
-    """Distinct word n-gram shingles as an array column (JVM-side)."""
-    return F.array_distinct(
-        F.expr(
-            f"transform(sequence(1, greatest(size(split(text,' ')) - {n - 1}, 0)),"
-            f" i -> concat_ws(' ', slice(split(text,' '), i, {n})))"
-        )
-    )
+    """Distinct word n-gram shingles over a ``toks`` column (JVM-side;
+    apply to :func:`_tokenized` output)."""
+    return F.expr(_SHINGLES_FROM_TOKS.format(m=n - 1, n=n))
 
 
 def ngram_jaccard_pairs(
@@ -99,7 +110,11 @@ def ngram_jaccard_pairs(
     shingle (only docs sharing a shingle are ever compared), count
     intersections, compute |A∪B| = |A|+|B|-|A∩B|.
     """
-    sh = docs.select("doc_id", F.explode(_shingles_col(n)).alias("sh")).distinct()
+    sh = (
+        _tokenized(docs)
+        .select("doc_id", F.explode(_shingles_col(n)).alias("sh"))
+        .distinct()
+    )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "sh")
     b = sh.select(F.col("doc_id").alias("doc_b"), "sh")
@@ -173,11 +188,8 @@ def minhash_signatures(
             out[nonempty] = mins
         return pd.Series(list(out))
 
-    shingles = (
-        f"array_distinct(transform(sequence(1, greatest(size(split(text,' ')) - {shingle_n - 1}, 0)),"
-        f" i -> concat_ws(' ', slice(split(text,' '), i, {shingle_n}))))"
-    )
-    hashed = docs.select(
+    shingles = _SHINGLES_FROM_TOKS.format(m=shingle_n - 1, n=shingle_n)
+    hashed = _tokenized(docs).select(
         "doc_id", F.expr(_shingle_hash_sql(shingles, portable)).alias("sh_hashes")
     )
     return hashed.select("doc_id", sig_udf("sh_hashes").alias("sig"))
@@ -236,41 +248,47 @@ def minhash_lsh_pairs(
         else "xxhash64(concat_ws(',', slice(sig, bd*{r}+1, {r})))"
     ).format(r=rows_per_band)
     # the signature frame feeds a diamond (banding -> bucket-size cap +
-    # both sides of the self-join): persist it or the shingle+UDF
-    # pipeline re-executes per reference. O(docs * num_hashes * 8B) —
-    # ~0.5% of corpus text size, spills to disk if it doesn't fit.
+    # both sides of the self-join + the estimate joins): persist it or
+    # the shingle+UDF pipeline re-executes per reference.
+    # O(docs * num_hashes * 8B) — ~0.5% of corpus text size, spills to
+    # disk if it doesn't fit.
     sigs = minhash_signatures(
         docs, num_hashes, shingle_n, seed, portable=portable
     ).persist()
+    # Banding carries ONLY (doc_id, band, bucket) — never the signature
+    # array. Shipping sig through the band explode multiplies shuffle
+    # bytes by bands * sig_size (measured 8->32-core scaling efficiency
+    # 0.30 at 2M docs: the job was shuffle-bandwidth-bound); signatures
+    # rejoin from the persisted frame only for the distinct candidate
+    # pairs, which are O(near-dups), not O(docs * bands).
     banded = sigs.select(
         "doc_id",
-        "sig",
         F.explode(
             F.expr(
                 f"transform(sequence(0, {bands - 1}),"
                 f" bd -> struct(bd AS band, {band_key} AS bucket))"
             )
         ).alias("bb"),
-    ).select("doc_id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
     banded = cap_buckets(banded, ["band", "bucket"], max_bucket_size)
-    left = banded.select(
-        F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"), "band", "bucket"
-    )
-    right = banded.select(
-        F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"), "band", "bucket"
-    )
+    left = banded.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
+    right = banded.select(F.col("doc_id").alias("doc_b"), "band", "bucket")
     cands = (
         left.join(right, ["band", "bucket"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sig_a", "sig_b")
+        .select("doc_a", "doc_b")
         .distinct()
     )
+    sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
     est = F.expr(
         "aggregate(zip_with(sig_a, sig_b, (x, y) -> CASE WHEN x = y THEN 1 ELSE 0 END),"
         " 0, (acc, v) -> acc + v)"
     ) / F.lit(float(num_hashes))
     return (
-        cands.withColumn("est_jaccard", F.round(est, 6))
+        cands.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("est_jaccard", F.round(est, 6))
         .filter(F.col("est_jaccard") >= threshold)
         .select("doc_a", "doc_b", "est_jaccard")
     )
@@ -330,15 +348,13 @@ def simhash64(
             out[nonempty] = words.astype(np.int64)
         return pd.Series(out)
 
-    shingles = (
-        f"array_distinct(transform(sequence(1, greatest(size(split(text,' ')) - {shingle_n - 1}, 0)),"
-        f" i -> concat_ws(' ', slice(split(text,' '), i, {shingle_n}))))"
-    )
+    shingles = _SHINGLES_FROM_TOKS.format(m=shingle_n - 1, n=shingle_n)
+    toked = _tokenized(docs)
     if portable:
         # one md5 per shingle, both 32-bit halves extracted from the
         # same hex array (hx stays a separate projection: transform/md5
         # is non-cheap, so CollapseProject won't inline it twice)
-        hexed = docs.select(
+        hexed = toked.select(
             "doc_id", F.expr(f"transform({shingles}, s -> md5(s))").alias("hx")
         )
         hashed = hexed.select(
@@ -347,10 +363,15 @@ def simhash64(
             F.expr(f"transform(hx, h -> {md5_digits_sql('h', 8, 8)})").alias("hs_lo"),
         )
     else:
-        hi = f"transform({shingles}, s -> shiftrightunsigned(xxhash64(s), 32))"
-        lo = f"transform({shingles}, s -> xxhash64(s) & 4294967295)"
-        hashed = docs.select(
-            "doc_id", F.expr(hi).alias("hs_hi"), F.expr(lo).alias("hs_lo")
+        # one xxhash64 per shingle, split hi/lo from the same hashed
+        # array (hx multi-referenced -> stays its own projection)
+        hexed = toked.select(
+            "doc_id", F.expr(f"transform({shingles}, s -> xxhash64(s))").alias("hx")
+        )
+        hashed = hexed.select(
+            "doc_id",
+            F.expr("transform(hx, h -> shiftrightunsigned(h, 32))").alias("hs_hi"),
+            F.expr("transform(hx, h -> h & 4294967295)").alias("hs_lo"),
         )
     return hashed.select("doc_id", simhash_udf("hs_hi", "hs_lo").alias("simhash"))
 
