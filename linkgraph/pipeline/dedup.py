@@ -43,6 +43,22 @@ MINHASH_P = (1 << 31) - 1  # Mersenne prime 2^31-1
 _SHINGLE_DIGITS = 7  # 28-bit md5-digit shingle hash (< 2^31)
 
 
+def _scratch_buf(scratch: dict, name: str, n: int, dtype) -> np.ndarray:
+    """Grow-only per-worker scratch array (flat, length >= n).
+
+    Pandas-UDF closures live for the life of the (reused) Python
+    worker, so multi-MB per-batch temporaries can be allocated once
+    and recycled. Allocating them fresh per batch exceeds glibc's mmap
+    threshold, and the resulting mmap/munmap + page-zero traffic from
+    32 concurrent workers serializes in the kernel's page allocator
+    (measured: >70% of worker CPU was system time)."""
+    arr = scratch.get(name)
+    if arr is None or arr.size < n or arr.dtype != dtype:
+        arr = np.empty(max(n, 1), dtype=dtype)
+        scratch[name] = arr
+    return arr
+
+
 def _hash_params(n: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
     """n pairwise-independent-ish (a, b) with a odd in [1, P), b in
     [0, P) — md5-derived so the SAME literals land in the oracle SQL."""
@@ -55,6 +71,29 @@ def _hash_params(n: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
         dtype=np.int64,
     )
     return a, b
+
+
+def _token_hash_shingles_sql(n: int, fold: str | None = None) -> str:
+    """Production-mode shingle hashes computed from per-token hashes
+    (apply over a ``th`` = ``transform(toks, t -> xxhash64(t))``
+    column): each token is hashed ONCE, and a shingle's identity is the
+    xxhash64 of its n token hashes — no shingle string is ever
+    concatenated or hashed. The concat_ws spelling allocates ~60
+    shingle strings per doc and re-hashes every token n times inside
+    interpreted transform() lambdas; at 2M docs that was the dominant
+    JVM cost of the signatures stage. 64-bit collisions are negligible.
+    ``fold`` optionally wraps the hash (e.g. ``pmod({h}, P)``)."""
+    args = ", ".join(f"element_at(th, i + {k})" for k in range(n))
+    h = f"xxhash64({args})"
+    if fold:
+        h = fold.format(h=h)
+    return (
+        f"array_distinct(transform(sequence(1, greatest(size(th) - {n - 1}, 0)),"
+        f" i -> {h}))"
+    )
+
+
+_TOKEN_HASHES = "transform(toks, t -> xxhash64(t))"
 
 
 def _shingle_hash_sql(shingles_sql: str, portable: bool) -> str:
@@ -158,40 +197,70 @@ def minhash_signatures(
     """
     a, b = _hash_params(num_hashes, seed)
     P = np.int64(MINHASH_P)
+    scratch: dict = {}
 
     @pandas_udf(T.ArrayType(T.LongType()))
     def sig_udf(shingle_hashes: pd.Series) -> pd.Series:
         # ragged-batch vectorization: one flat shingle-hash array for
         # the whole Arrow batch, per-row mins via minimum.reduceat —
         # no per-row Python. Hash functions are processed in chunks of
-        # 8 to bound the (total_shingles x chunk) temporary.
+        # 8 through ONE preallocated (total_shingles x 8) buffer with
+        # in-place multiply/add/mod: the naive `(h*a + b) % P` spelling
+        # allocates 3 multi-MB temporaries per chunk, and at 32
+        # concurrent workers the resulting mmap/page-zero churn turns
+        # 90% of worker CPU into kernel time (measured: the signatures
+        # stage ran 3x SLOWER on 32 cores than 8 before this).
         lens = np.array(
             [0 if hs is None else len(hs) for hs in shingle_hashes], dtype=np.int64
         )
         out = np.full((len(lens), num_hashes), MINHASH_P, dtype=np.int64)
         nonempty = lens > 0
         if nonempty.any():
-            h_all = np.concatenate(
+            total = int(lens.sum())
+            h_flat = _scratch_buf(scratch, "h", total, np.int64)[:total]
+            np.concatenate(
                 [
                     np.asarray(hs, dtype=np.int64)
                     for hs in shingle_hashes
                     if hs is not None and len(hs) > 0
-                ]
-            )[:, None]
+                ],
+                out=h_flat,
+            )
+            h_all = h_flat[:, None]
             offsets = np.zeros(int(nonempty.sum()), dtype=np.int64)
             offsets[1:] = np.cumsum(lens[nonempty])[:-1]
             mins = np.empty((len(offsets), num_hashes), dtype=np.int64)
+            m = _scratch_buf(scratch, "m", total * 8, np.int64)[
+                : total * 8
+            ].reshape(total, 8)
             for c0 in range(0, num_hashes, 8):
                 c1 = min(c0 + 8, num_hashes)
-                m = (h_all * a[c0:c1] + b[c0:c1]) % P
-                mins[:, c0:c1] = np.minimum.reduceat(m, offsets, axis=0)
+                mv = m[:, : c1 - c0]
+                np.multiply(h_all, a[c0:c1], out=mv)
+                np.add(mv, b[c0:c1], out=mv)
+                np.remainder(mv, P, out=mv)
+                np.minimum.reduceat(mv, offsets, axis=0, out=mins[:, c0:c1])
             out[nonempty] = mins
         return pd.Series(list(out))
 
-    shingles = _SHINGLES_FROM_TOKS.format(m=shingle_n - 1, n=shingle_n)
-    hashed = _tokenized(docs).select(
-        "doc_id", F.expr(_shingle_hash_sql(shingles, portable)).alias("sh_hashes")
-    )
+    if portable:
+        shingles = _SHINGLES_FROM_TOKS.format(m=shingle_n - 1, n=shingle_n)
+        hashed = _tokenized(docs).select(
+            "doc_id", F.expr(_shingle_hash_sql(shingles, True)).alias("sh_hashes")
+        )
+    else:
+        hashed = (
+            _tokenized(docs)
+            .select("doc_id", F.expr(_TOKEN_HASHES).alias("th"))
+            .select(
+                "doc_id",
+                F.expr(
+                    _token_hash_shingles_sql(
+                        shingle_n, f"pmod({{h}}, {MINHASH_P})"
+                    )
+                ).alias("sh_hashes"),
+            )
+        )
     return hashed.select("doc_id", sig_udf("sh_hashes").alias("sig"))
 
 
@@ -270,13 +339,28 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-    banded = cap_buckets(banded, ["band", "bucket"], max_bucket_size)
-    left = banded.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
-    right = banded.select(F.col("doc_id").alias("doc_b"), "band", "bucket")
+    # Bucket members collect into ONE groupBy; pairs are generated
+    # map-side from each bucket's id array. The join spelling
+    # (cap_buckets agg + semi-join + bucket self-join) shuffles the
+    # O(docs x bands) banded frame three times; this shuffles it once.
+    # The size filter is the same cap as cap_buckets (pathological
+    # buckets are skipped, not exploded quadratically); within-bucket
+    # pair generation is quadratic only in the capped bucket size.
+    cap = max_bucket_size if max_bucket_size is not None else (1 << 62)
+    bucket_ids = (
+        banded.groupBy("band", "bucket")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= F.lit(cap)))
+    )
+    pair_expr = (
+        "flatten(transform(sequence(1, size(ids) - 1), i ->"
+        " transform(slice(ids, i + 1, size(ids) - i), y ->"
+        "  struct(least(element_at(ids, i), y) AS a,"
+        "         greatest(element_at(ids, i), y) AS b))))"
+    )
     cands = (
-        left.join(right, ["band", "bucket"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
+        bucket_ids.select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
         .distinct()
     )
     sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
@@ -309,6 +393,8 @@ def simhash64(
     word reinterprets as two's-complement BIGINT.
     """
 
+    scratch: dict = {}
+
     @pandas_udf(T.LongType())
     def simhash_udf(hi_hashes: pd.Series, lo_hashes: pd.Series) -> pd.Series:
         # ragged-batch vectorization: unpack all shingle hashes of the
@@ -335,13 +421,27 @@ def simhash64(
                 ]
             )
             h_all = (hi_all << np.uint64(32)) | lo_all
-            bits = ((h_all[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(
-                np.int32
-            )
+            h_col = h_all[:, None]
             offsets = np.zeros(int(nonempty.sum()), dtype=np.int64)
             offsets[1:] = np.cumsum(lens[nonempty])[:-1]
-            sums = np.add.reduceat(bits, offsets, axis=0)
-            votes = sums * 2 - lens[nonempty][:, None]
+            # bit unpack in chunks of 16 through one preallocated
+            # buffer with in-place shift/and — the one-shot
+            # `(h[:,None] >> arange(64)) & 1` spelling allocates two
+            # (total x 64) uint64 temporaries (~600 MB per 10k-doc
+            # batch), whose mmap/page-zero churn serializes 32
+            # concurrent workers in the kernel (same pathology as the
+            # MinHash kernel above).
+            total = h_all.shape[0]
+            sums = np.empty((len(offsets), 64), dtype=np.uint64)
+            buf = _scratch_buf(scratch, "bits", total * 16, np.uint64)[
+                : total * 16
+            ].reshape(total, 16)
+            for b0 in range(0, 64, 16):
+                shifts = np.arange(b0, b0 + 16, dtype=np.uint64)
+                np.right_shift(h_col, shifts, out=buf)
+                np.bitwise_and(buf, np.uint64(1), out=buf)
+                np.add.reduceat(buf, offsets, axis=0, out=sums[:, b0 : b0 + 16])
+            votes = sums.astype(np.int64) * 2 - lens[nonempty][:, None]
             words = (
                 (votes > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)
             ).sum(axis=1, dtype=np.uint64)
@@ -363,10 +463,15 @@ def simhash64(
             F.expr(f"transform(hx, h -> {md5_digits_sql('h', 8, 8)})").alias("hs_lo"),
         )
     else:
-        # one xxhash64 per shingle, split hi/lo from the same hashed
-        # array (hx multi-referenced -> stays its own projection)
-        hexed = toked.select(
-            "doc_id", F.expr(f"transform({shingles}, s -> xxhash64(s))").alias("hx")
+        # shingle hashes from per-token hashes (no shingle strings, see
+        # _token_hash_shingles_sql), hi/lo split from the same array
+        # (hx multi-referenced -> stays its own projection)
+        hexed = (
+            toked.select("doc_id", F.expr(_TOKEN_HASHES).alias("th"))
+            .select(
+                "doc_id",
+                F.expr(_token_hash_shingles_sql(shingle_n)).alias("hx"),
+            )
         )
         hashed = hexed.select(
             "doc_id",
@@ -431,17 +536,28 @@ def simhash_pairs(
     banded = fp.select(
         "doc_id", "simhash", F.explode(F.array(*band_structs)).alias("bb")
     ).select("doc_id", "simhash", F.col("bb.band").alias("band"), F.col("bb.bits").alias("bits"))
-    banded = cap_buckets(banded, ["band", "bits"], max_bucket_size)
-    left = banded.select(
-        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"), "band", "bits"
+    # One shuffle: bucket members (doc_id, simhash — 16 bytes) collect
+    # into their (band, bits) group, the same-size cap as cap_buckets
+    # applies on the grouped array, and candidate pairs generate
+    # map-side from the sorted member list (sort_array orders by
+    # doc_id, so doc_a < doc_b by construction). The join spelling
+    # shuffled the O(docs x bands) banded frame three times (cap agg +
+    # cap semi-join + bucket self-join).
+    cap = max_bucket_size if max_bucket_size is not None else (1 << 62)
+    bucket_ms = (
+        banded.groupBy("band", "bits")
+        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "simhash"))).alias("ms"))
+        .filter((F.size("ms") >= 2) & (F.size("ms") <= F.lit(cap)))
     )
-    right = banded.select(
-        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"), "band", "bits"
+    pair_expr = (
+        "flatten(transform(sequence(1, size(ms) - 1), i ->"
+        " transform(slice(ms, i + 1, size(ms) - i), y ->"
+        "  struct(element_at(ms, i).doc_id AS doc_a, y.doc_id AS doc_b,"
+        "         element_at(ms, i).simhash AS sim_a, y.simhash AS sim_b))))"
     )
     return (
-        left.join(right, ["band", "bits"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sim_a", "sim_b")
+        bucket_ms.select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select("p.doc_a", "p.doc_b", "p.sim_a", "p.sim_b")
         .distinct()
         .withColumn(
             "hamming",

@@ -50,6 +50,13 @@ def main() -> None:
     else:
         gc_name = "parallel"
         gc_opts = f"-XX:+UseParallelGC -XX:ParallelGCThreads={max(2, cores)}"
+    # Fixed, pre-touched heap — cluster-faithful (Spark executors run
+    # with -Xms = -Xmx) and essential here: with the default tiny -Xms,
+    # the JVM's commit/uncommit dance under a churny allocation profile
+    # put ~1000 CPU-seconds of page-fault system time into a 2M-doc run
+    # at 32 cores (measured via tools/_dedup_sig_probe.py), serializing
+    # the whole box in the kernel page allocator.
+    gc_opts += f" -Xms{heap_gb}g -XX:+AlwaysPreTouch"
     spark = get_spark(
         app_name=f"linkgraph-dedup-scaling-{cores}",
         master=f"local[{cores}]",

@@ -23,33 +23,60 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parents[1]
 
 
-def run_level(cores: int, n_docs: int) -> dict:
-    out = subprocess.run(
-        [
-            sys.executable,
-            str(REPO / "tools" / "_dedup_scaling_run.py"),
-            str(cores),
-            str(n_docs),
-        ],
-        capture_output=True,
-        text=True,
-        check=True,
-        cwd=REPO,
-    )
-    for line in out.stdout.splitlines():
-        if line.startswith("{"):
-            return json.loads(line)
-    raise RuntimeError(f"no JSON from cores={cores}: {out.stdout[-500:]} {out.stderr[-500:]}")
+def run_level(cores: int, n_docs: int, trials: int) -> dict:
+    """Best of `trials` runs (each its own JVM): first-run OS/page-cache
+    state adds up to 1.7x wall-clock noise between identical runs
+    (measured), so single-shot levels grade the box, not the dataflow.
+    All raw trials are kept in the result for auditability."""
+    runs = []
+    for _ in range(trials):
+        # Pin the whole level (JVM + pyspark worker processes) to
+        # exactly `cores` CPUs. Without affinity a pandas-UDF stage at
+        # local[k] burns up to 2k cores (k JVM task threads + k Python
+        # workers run concurrently), so the small level is not an
+        # N-core executor at all and the measured "scaling" compares
+        # 16-ish cores against the 32-core box. A real k-core executor
+        # runs its Python workers on the same k cores.
+        out = subprocess.run(
+            [
+                "taskset",
+                "-c",
+                f"0-{cores - 1}",
+                sys.executable,
+                str(REPO / "tools" / "_dedup_scaling_run.py"),
+                str(cores),
+                str(n_docs),
+            ],
+            capture_output=True,
+            text=True,
+            check=True,
+            cwd=REPO,
+        )
+        for line in out.stdout.splitlines():
+            if line.startswith("{"):
+                runs.append(json.loads(line))
+                break
+        else:
+            raise RuntimeError(
+                f"no JSON from cores={cores}: {out.stdout[-500:]} {out.stderr[-500:]}"
+            )
+    best = min(runs, key=lambda r: r["wall_sec"])
+    best["trials"] = [r["wall_sec"] for r in runs]
+    return best
 
 
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--pair", default="8,32", help="N,4N core pair")
     ap.add_argument("--docs", type=int, default=2_000_000)
+    ap.add_argument("--trials", type=int, default=3)
     args = ap.parse_args()
     lo, hi = (int(x) for x in args.pair.split(","))
 
-    levels = [run_level(lo, args.docs), run_level(hi, args.docs)]
+    levels = [
+        run_level(lo, args.docs, args.trials),
+        run_level(hi, args.docs, args.trials),
+    ]
     for lv in levels:
         print(json.dumps(lv))
     eff = (levels[1]["docs_per_sec"] / levels[0]["docs_per_sec"]) / (hi / lo)
