@@ -56,6 +56,10 @@ SSSP_HOPS = 12
 JACCARD_T = 0.12
 TOPK = 10
 N_QUERY_VECS = 5
+# The driver's embeddings table is near-orthogonal noise (max pairwise
+# cosine 0.51 at sf0.01) — 0.4 exercises the near-dup path with a
+# non-trivial answer set; real corpora run the 0.95 default.
+NEARDUP_TAU = 0.4
 
 
 # --------------------------------------------------------------------
@@ -318,6 +322,14 @@ def _q_lsh_topk(spark, sf):
     return lsh_cosine_topk(emb, dim, queries, k=TOPK)
 
 
+def _q_embedding_neardup(spark, sf):
+    from linkgraph.pipeline.similarity import embedding_neardup_pairs
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    dim = len(emb.select("embedding").first()["embedding"])
+    return embedding_neardup_pairs(emb, dim, threshold=NEARDUP_TAU)
+
+
 def _q_maximum_cliques(spark, sf):
     from linkgraph import maximum_cliques
 
@@ -426,6 +438,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash64": _q_simhash,
         "simhash_pairs": _q_simhash_pairs,
         "embedding_lsh_topk": _q_lsh_topk,
+        "embedding_neardup_pairs": _q_embedding_neardup,
         "embedding_ivf_topk": _q_ivf_topk,
         "multimodal_features": _q_multimodal,
         "graph_sample": _q_graph_sample,
@@ -604,17 +617,14 @@ def _ivf_sql(n_clusters: int, kmeans_iters: int, n_probe: int, n_queries: int, k
     )
 
 
-def _lsh_topk_sql(
-    dim: int, n_planes: int, bands: int, seed: int, n_queries: int, k: int
-) -> str:
-    """Sign-LSH bucketed cosine top-k, mirroring
-    linkgraph.pipeline.similarity.lsh_cosine_topk: hyperplane
+def _lsh_bucket_ctes(dim: int, n_planes: int, bands: int, seed: int) -> list[str]:
+    """Shared sign-LSH CTEs (pts, projs, buckets) mirroring
+    linkgraph.pipeline.similarity.lsh_bucket_ids: hyperplane
     components are the engine's own md5-derived values embedded as
     literals (repr round-trips doubles exactly), bucket bits are signs
-    of the projections, candidates share >= 1 band bucket, and cosine
-    is ROUND(.., 4) with ties to the lowest vec_id. The only cross-
-    engine float risk is a projection landing within ~1ulp of 0 —
-    probability ~1e-12 per draw."""
+    of the projections. The only cross-engine float risk is a
+    projection landing within ~1ulp of 0 — probability ~1e-12 per
+    draw."""
     from linkgraph.pipeline.similarity import _hyperplanes
 
     planes = _hyperplanes(dim, n_planes, seed)  # (dim, n_planes)
@@ -634,11 +644,22 @@ def _lsh_topk_sql(
         + ") AS bucket FROM projs"
         for b in range(bands)
     )
-    ctes = [
+    return [
         "pts AS MATERIALIZED (SELECT vec_id,"
         " list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings)",
         f"projs AS MATERIALIZED (SELECT vec_id, {proj_cols} FROM pts)",
         f"buckets AS MATERIALIZED ({band_selects})",
+    ]
+
+
+def _lsh_topk_sql(
+    dim: int, n_planes: int, bands: int, seed: int, n_queries: int, k: int
+) -> str:
+    """Sign-LSH bucketed cosine top-k, mirroring
+    linkgraph.pipeline.similarity.lsh_cosine_topk: candidates share
+    >= 1 band bucket, and cosine is ROUND(.., 4) with ties to the
+    lowest vec_id (see _lsh_bucket_ctes for the float-parity note)."""
+    ctes = _lsh_bucket_ctes(dim, n_planes, bands, seed) + [
         f"cands AS MATERIALIZED (SELECT DISTINCT q.vec_id AS qid, c.vec_id"
         f" FROM buckets q JOIN buckets c"
         f" ON q.band = c.band AND q.bucket = c.bucket AND q.vec_id != c.vec_id"
@@ -658,6 +679,33 @@ def _lsh_topk_sql(
         "  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid"
         "   ORDER BY sim DESC, vec_id ASC) AS rn FROM scored"
         f" ) WHERE rn <= {k}"
+    )
+
+
+def _neardup_pairs_sql(
+    dim: int, n_planes: int, bands: int, seed: int, tau: float
+) -> str:
+    """Embedding-cosine near-dup pairs, mirroring
+    linkgraph.pipeline.similarity.embedding_neardup_pairs: unordered
+    pairs sharing >= 1 sign-LSH band bucket with exact ROUND(.., 4)
+    cosine >= tau."""
+    ctes = _lsh_bucket_ctes(dim, n_planes, bands, seed) + [
+        "cands AS MATERIALIZED (SELECT DISTINCT a.vec_id AS vec_id_a,"
+        " b.vec_id AS vec_id_b FROM buckets a JOIN buckets b"
+        " ON a.band = b.band AND a.bucket = b.bucket"
+        " AND a.vec_id < b.vec_id)",
+        "scored AS (SELECT cd.vec_id_a, cd.vec_id_b,"
+        " ROUND(list_sum(list_transform(generate_series(1, len(a.v)),"
+        "   i -> a.v[i]*b.v[i]))"
+        "  / (sqrt(list_sum(list_transform(a.v, x -> x*x)))"
+        "     * sqrt(list_sum(list_transform(b.v, x -> x*x)))), 4) AS sim"
+        " FROM cands cd JOIN pts a ON a.vec_id = cd.vec_id_a"
+        " JOIN pts b ON b.vec_id = cd.vec_id_b)",
+    ]
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f" SELECT vec_id_a, vec_id_b, sim FROM scored WHERE sim >= {tau}"
     )
 
 
@@ -1122,6 +1170,7 @@ def oracle_sql() -> dict[str, str]:
     # sign-LSH ANN: md5-derived hyperplanes embedded as literals;
     # params mirror _q_lsh_topk (dim 64, 16 planes, 4 bands)
     sql["embedding_lsh_topk"] = _lsh_topk_sql(64, 16, 4, 42, N_QUERY_VECS, TOPK)
+    sql["embedding_neardup_pairs"] = _neardup_pairs_sql(64, 16, 4, 42, NEARDUP_TAU)
     # maximal-clique aggregator's global answer: enumerate ALL cliques
     # by ordered extension (each clique generated exactly once as its
     # ascending member list; a candidate w > last must be adjacent to

@@ -17,7 +17,12 @@ from .textstats import (
     token_count,
     vocabulary,
 )
-from .similarity import cosine_topk, ivf_cosine_topk, lsh_cosine_topk
+from .similarity import (
+    cosine_topk,
+    embedding_neardup_pairs,
+    ivf_cosine_topk,
+    lsh_cosine_topk,
+)
 
 __all__ = [
     "exact_duplicates",
@@ -33,4 +38,6 @@ __all__ = [
     "vocabulary",
     "cosine_topk",
     "lsh_cosine_topk",
+    "ivf_cosine_topk",
+    "embedding_neardup_pairs",
 ]

@@ -289,6 +289,41 @@ def cap_buckets(
     return banded.join(sizes, keys, "left_semi")
 
 
+def bucket_candidate_pairs(
+    banded: DataFrame,
+    keys: list[str],
+    id_col: str,
+    max_bucket_size: int | None,
+    out_a: str = "doc_a",
+    out_b: str = "doc_b",
+) -> DataFrame:
+    """Distinct unordered candidate pairs (out_a < out_b) of ids sharing
+    a bucket, in ONE shuffle: bucket members collect into their
+    ``keys`` group and pairs generate map-side from each group's id
+    array. The join spelling (cap agg + semi-join + bucket self-join)
+    shuffles the O(rows x bands) banded frame three times. The size
+    filter is the same cap as :func:`cap_buckets` — pathological
+    buckets are skipped, not exploded quadratically; within-bucket
+    pair generation is quadratic only in the capped bucket size."""
+    cap = max_bucket_size if max_bucket_size is not None else (1 << 62)
+    bucket_ids = (
+        banded.groupBy(*keys)
+        .agg(F.collect_list(id_col).alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= F.lit(cap)))
+    )
+    pair_expr = (
+        "flatten(transform(sequence(1, size(ids) - 1), i ->"
+        " transform(slice(ids, i + 1, size(ids) - i), y ->"
+        "  struct(least(element_at(ids, i), y) AS a,"
+        "         greatest(element_at(ids, i), y) AS b))))"
+    )
+    return (
+        bucket_ids.select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select(F.col("p.a").alias(out_a), F.col("p.b").alias(out_b))
+        .distinct()
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     num_hashes: int = 64,
@@ -339,29 +374,8 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-    # Bucket members collect into ONE groupBy; pairs are generated
-    # map-side from each bucket's id array. The join spelling
-    # (cap_buckets agg + semi-join + bucket self-join) shuffles the
-    # O(docs x bands) banded frame three times; this shuffles it once.
-    # The size filter is the same cap as cap_buckets (pathological
-    # buckets are skipped, not exploded quadratically); within-bucket
-    # pair generation is quadratic only in the capped bucket size.
-    cap = max_bucket_size if max_bucket_size is not None else (1 << 62)
-    bucket_ids = (
-        banded.groupBy("band", "bucket")
-        .agg(F.collect_list("doc_id").alias("ids"))
-        .filter((F.size("ids") >= 2) & (F.size("ids") <= F.lit(cap)))
-    )
-    pair_expr = (
-        "flatten(transform(sequence(1, size(ids) - 1), i ->"
-        " transform(slice(ids, i + 1, size(ids) - i), y ->"
-        "  struct(least(element_at(ids, i), y) AS a,"
-        "         greatest(element_at(ids, i), y) AS b))))"
-    )
-    cands = (
-        bucket_ids.select(F.explode(F.expr(pair_expr)).alias("p"))
-        .select(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
-        .distinct()
+    cands = bucket_candidate_pairs(
+        banded, ["band", "bucket"], "doc_id", max_bucket_size
     )
     sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
     sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))

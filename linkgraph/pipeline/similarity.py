@@ -232,3 +232,54 @@ def lsh_cosine_topk(
     )
     w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("vec_id").asc())
     return sims.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k).drop("rn")
+
+
+def embedding_neardup_pairs(
+    embeddings: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    n_planes: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+    round_to: int = 4,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """(vec_id_a, vec_id_b, sim) — embedding-cosine near-duplicate
+    pairs: every unordered pair sharing >= 1 sign-LSH band bucket whose
+    EXACT cosine (rounded to ``round_to``) is >= ``threshold``.
+
+    The embedding tier of the dedup matrix (exact hash / n-gram Jaccard
+    / MinHash-LSH / SimHash / embedding cosine). The 100 TB shape:
+    candidates come from ONE groupBy over the banded frame with
+    map-side pair generation (linear in corpus x bands, never
+    all-pairs; see dedup.bucket_candidate_pairs), and only the
+    O(near-dup) candidate set rejoins the vectors for exact scoring.
+    ``max_bucket_size`` skips pathological buckets (e.g. the all-zeros
+    band) exactly as the text-LSH tiers do; recall comes from the
+    remaining bands.
+    """
+    from .dedup import bucket_candidate_pairs
+
+    buckets = lsh_bucket_ids(embeddings, dim, n_planes, bands, seed)
+    cands = bucket_candidate_pairs(
+        buckets, ["band", "bucket"], "vec_id", max_bucket_size,
+        out_a="vec_id_a", out_b="vec_id_b",
+    )
+    ea = embeddings.select(
+        F.col("vec_id").alias("vec_id_a"), F.col("embedding").alias("a_emb")
+    )
+    eb = embeddings.select(
+        F.col("vec_id").alias("vec_id_b"), F.col("embedding").alias("b_emb")
+    )
+    return (
+        cands.join(ea, "vec_id_a")
+        .join(eb, "vec_id_b")
+        .withColumn(
+            "sim",
+            F.round(
+                _dot("a_emb", "b_emb") / (_norm("a_emb") * _norm("b_emb")), round_to
+            ),
+        )
+        .filter(F.col("sim") >= threshold)
+        .select("vec_id_a", "vec_id_b", "sim")
+    )

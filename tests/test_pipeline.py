@@ -201,6 +201,35 @@ class TestSimilarity:
         lsh = lsh_cosine_topk(emb, dim=16, k=50)
         assert lsh.count() <= 20 * 19
 
+    def test_neardup_pairs_finds_planted_dup(self, emb):
+        from linkgraph.pipeline import embedding_neardup_pairs
+
+        got = embedding_neardup_pairs(emb, dim=16, threshold=0.99).collect()
+        # the planted near-identical pair (0, 1) shares every band
+        # bucket and has cosine ~1
+        assert {(r["vec_id_a"], r["vec_id_b"]) for r in got} >= {(0, 1)}
+        assert all(r["sim"] >= 0.99 for r in got)
+        assert all(r["vec_id_a"] < r["vec_id_b"] for r in got)
+
+    def test_neardup_pairs_subset_of_bruteforce(self, emb):
+        import numpy as np
+
+        from linkgraph.pipeline import embedding_neardup_pairs
+
+        got = embedding_neardup_pairs(emb, dim=16, threshold=0.5).collect()
+        m = np.array([r["embedding"] for r in emb.orderBy("vec_id").collect()])
+        n = m / np.linalg.norm(m, axis=1, keepdims=True)
+        sims = np.round(n @ n.T, 4)
+        brute = {
+            (a, b)
+            for a in range(20)
+            for b in range(a + 1, 20)
+            if sims[a, b] >= 0.5
+        }
+        # LSH candidates are a subset of the brute-force answer, with
+        # exact verification — no false positives possible
+        assert {(r["vec_id_a"], r["vec_id_b"]) for r in got} <= brute
+
 
 class TestMultimodal:
     def test_feature_extraction_shapes(self, spark):
