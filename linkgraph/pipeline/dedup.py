@@ -264,31 +264,6 @@ def minhash_signatures(
     return hashed.select("doc_id", sig_udf("sh_hashes").alias("sig"))
 
 
-def cap_buckets(
-    banded: DataFrame, keys: list[str], max_bucket_size: int | None
-) -> DataFrame:
-    """Drop bucket groups larger than ``max_bucket_size`` before a
-    within-bucket self-join.
-
-    At web scale a single pathological bucket (boilerplate that hashes
-    identically across millions of pages, the all-zeros band of empty
-    docs) turns the bucket self-join quadratic IN ONE TASK. Oversized
-    buckets carry almost no near-dup signal per pair (their members
-    collide with everything); standard practice is to skip them and let
-    the other bands/verification recover real pairs. One extra linear
-    aggregation; pass ``None`` to disable (exact small-scale runs and
-    the recall tests do)."""
-    if max_bucket_size is None:
-        return banded
-    sizes = (
-        banded.groupBy(*keys)
-        .agg(F.count(F.lit(1)).alias("_bucket_n"))
-        .filter(F.col("_bucket_n") <= max_bucket_size)
-        .select(*keys)
-    )
-    return banded.join(sizes, keys, "left_semi")
-
-
 def bucket_candidate_pairs(
     banded: DataFrame,
     keys: list[str],
@@ -301,10 +276,16 @@ def bucket_candidate_pairs(
     a bucket, in ONE shuffle: bucket members collect into their
     ``keys`` group and pairs generate map-side from each group's id
     array. The join spelling (cap agg + semi-join + bucket self-join)
-    shuffles the O(rows x bands) banded frame three times. The size
-    filter is the same cap as :func:`cap_buckets` — pathological
-    buckets are skipped, not exploded quadratically; within-bucket
-    pair generation is quadratic only in the capped bucket size."""
+    shuffles the O(rows x bands) banded frame three times.
+
+    ``max_bucket_size`` skips oversized bucket groups: at web scale a
+    single pathological bucket (boilerplate that hashes identically
+    across millions of pages, the all-zeros band of empty docs) makes
+    pair generation quadratic IN ONE TASK, and its members carry almost
+    no near-dup signal per pair (they collide with everything) —
+    standard practice is to skip them and let the other bands /
+    verification recover real pairs. Pass ``None`` to disable (exact
+    small-scale runs and the recall tests do)."""
     cap = max_bucket_size if max_bucket_size is not None else (1 << 62)
     bucket_ids = (
         banded.groupBy(*keys)
@@ -341,7 +322,7 @@ def minhash_lsh_pairs(
     bucket with estimated Jaccard >= threshold. Bucket join is a
     groupBy on (band, bucket_hash): linear in corpus size, never
     quadratic — this is the 100 TB dedup path. Buckets larger than
-    ``max_bucket_size`` are skipped (see :func:`cap_buckets`).
+    ``max_bucket_size`` are skipped (see :func:`bucket_candidate_pairs`).
     Portable mode keys buckets by md5 of the band's signature slice
     (DuckDB-reproducible); fast mode by xxhash64 of the same string.
     """
@@ -519,7 +500,7 @@ def simhash_pairs(
 
     ``fingerprints`` short-circuits recomputation when a
     (doc_id, simhash) frame already exists. Band buckets larger than
-    ``max_bucket_size`` are skipped (see :func:`cap_buckets`; with the
+    ``max_bucket_size`` are skipped (see :func:`bucket_candidate_pairs`; with the
     cap active, recall is exact only for pairs outside skipped
     buckets — at web scale a skipped bucket is near-certainly
     boilerplate whose members are exact dups handled by the exact
@@ -551,7 +532,7 @@ def simhash_pairs(
         "doc_id", "simhash", F.explode(F.array(*band_structs)).alias("bb")
     ).select("doc_id", "simhash", F.col("bb.band").alias("band"), F.col("bb.bits").alias("bits"))
     # One shuffle: bucket members (doc_id, simhash — 16 bytes) collect
-    # into their (band, bits) group, the same-size cap as cap_buckets
+    # into their (band, bits) group, the same-size cap as bucket_candidate_pairs
     # applies on the grouped array, and candidate pairs generate
     # map-side from the sorted member list (sort_array orders by
     # doc_id, so doc_a < doc_b by construction). The join spelling
