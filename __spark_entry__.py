@@ -312,7 +312,12 @@ def _q_simhash_pairs(spark, sf):
     pytest oracle in tests/test_pipeline.py)."""
     from linkgraph.pipeline import simhash_pairs
 
-    return simhash_pairs(load_documents(spark, sf), max_distance=16)
+    # max_distance=7 -> 8 byte-aligned bands of 8 bits. A realistic
+    # near-dup radius (production SimHash runs k~3 of 64, Manku et al.
+    # WWW'07); the previous k=16 demo made each band a 3-bit filter
+    # (8 buckets), which at sf0.1 ballooned to ~26M candidate pairs —
+    # 65x the candidate volume for pairs that are not near-dups.
+    return simhash_pairs(load_documents(spark, sf), max_distance=7)
 
 
 def _q_lsh_topk(spark, sf):
@@ -1166,7 +1171,7 @@ def oracle_sql() -> dict[str, str]:
         " GROUP BY term ORDER BY df DESC, tf DESC, term LIMIT 50"
     )
     sql["simhash64"] = _simhash_sql(2)
-    sql["simhash_pairs"] = _simhash_pairs_sql(2, 16)
+    sql["simhash_pairs"] = _simhash_pairs_sql(2, 7)
     # sign-LSH ANN: md5-derived hyperplanes embedded as literals;
     # params mirror _q_lsh_topk (dim 64, 16 planes, 4 bands)
     sql["embedding_lsh_topk"] = _lsh_topk_sql(64, 16, 4, 42, N_QUERY_VECS, TOPK)
