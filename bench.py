@@ -61,6 +61,14 @@ def main() -> None:
     # -- headline: PageRank to L1 convergence (north-rule metric) -------
     edges = document_edges(spark, sf_dir).persist()
     n_edges = edges.count()
+    # Untimed JIT warmup: 2 rank updates on the same graph. A fresh JVM
+    # spends 2-3.7s/superstep on codegen compilation vs 0.4-0.9s steady
+    # state (measured at sf0.1); a production convergence run amortizes
+    # that over tens of supersteps, so timing it would grade JVM
+    # compilation, not the dataflow — the same warmup-exclusion rule the
+    # scaling ladder documents in BENCH/BASELINE.md. The warmup superstep
+    # count is reported alongside for auditability.
+    pagerank(edges, fixed_updates=2, track_messages=False)
     t0 = time.monotonic()
     ranks, res = pagerank(
         edges,
@@ -95,6 +103,7 @@ def main() -> None:
         "cpus": cpus,
         "pagerank_supersteps": supersteps,
         "pagerank_converged": res.converged,
+        "warmup_updates_untimed": 2,
         "n_edges": n_edges,
         "edges_per_sec_per_superstep": round(edges_per_sec, 1),
         "total_sec": round(sum(v for v in timings.values() if v > 0), 3),
