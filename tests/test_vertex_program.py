@@ -131,6 +131,41 @@ class TestUserDefinedPrograms:
         want_d = {r["id"]: r["distance"] for r in want.collect()}
         assert got_d == want_d
 
+    def test_pandas_udaf_combiner(self, spark, webmap_edges):
+        """combine_agg path: a user-defined Arrow-batched GROUPED_AGG
+        pandas UDF as the message combiner — the Spark rendition of the
+        reference's 3-stage MessageCombiner user API
+        (pregelix-api MessageCombiner.java:39-113; SURVEY §3.4 row 5).
+        Same SSSP program as the expression combiner, custom min."""
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        from linkgraph import VertexProgram, run_vertex_program, shortest_paths
+
+        @pandas_udf("double")
+        def user_min_combiner(msgs: pd.Series) -> float:
+            return float(msgs.min())
+
+        prog = VertexProgram(
+            init_expr=F.when(F.col("id") == 0, 0.0).otherwise(float("inf")),
+            message_expr=F.col("value") + F.lit(1.0),
+            combine_agg=user_min_combiner(F.col("msg")),
+            update_expr=F.least(
+                F.col("value"), F.coalesce(F.col("msg"), F.col("value"))
+            ),
+            changed_expr=F.col("_new") < F.col("value"),
+            plan="delta",
+            initial_active_expr=F.col("id") == 0,
+        )
+        got, _ = run_vertex_program(webmap_edges, prog, max_supersteps=50)
+        want, _ = shortest_paths(webmap_edges, source=0)
+        got_d = {
+            r["id"]: (None if r["value"] == float("inf") else r["value"])
+            for r in got.collect()
+        }
+        want_d = {r["id"]: r["distance"] for r in want.collect()}
+        assert got_d == want_d
+
     def test_metrics_and_checkpoint(self, spark, webmap_edges, tmp_path):
         from linkgraph import CheckpointManager, shortest_paths_vp
 
