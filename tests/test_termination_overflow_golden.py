@@ -63,3 +63,37 @@ def test_pagerank_struct_golden(spark, webmap_edges):
     # expected/PageRankReal2/part-0 line 1
     assert abs(rows[0][0] - 0.008290140026154316) < 1e-12
     assert all(ident == f"vertex-{i}" for i, (_, ident) in rows.items())
+
+
+def test_pagerank_nocombiner_golden(spark, webmap_edges):
+    """expected/PageRankRealNoCombiner (== expected/PageRankRealDynamic
+    within the reference's own 1e-7 float tolerance — both differ from
+    PageRankReal only in last-ulp summation order): PageRank through the
+    DefaultMessageCombiner path (DefaultMessageCombiner.java:25-72, no
+    combining — messages concatenate into a list and the vertex sums
+    them), written against the public VertexProgram API with
+    combine_agg=collect_list."""
+    from linkgraph import VertexProgram, run_vertex_program
+    from pyspark.sql import functions as F
+    from tests.test_algorithms import GOLDEN_PR
+
+    n, d = 20, 0.85
+    prog = VertexProgram(
+        init_expr=F.lit(1.0 / n),
+        message_expr=F.col("value") / F.col("outdeg"),
+        combine_agg=F.collect_list("msg"),
+        update_expr=F.lit((1 - d) / n)
+        + F.lit(d)
+        * F.coalesce(
+            F.expr("aggregate(msg, CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"),
+            F.lit(0.0),
+        ),
+        plan="outer",
+    )
+    state, _ = run_vertex_program(
+        webmap_edges, prog, max_supersteps=9, stop_when=lambda s: False
+    )
+    got = {r["id"]: r["value"] for r in state.collect()}
+    assert set(got) == set(GOLDEN_PR)
+    for v, exp in GOLDEN_PR.items():
+        assert abs(got[v] - exp) < 1e-7
