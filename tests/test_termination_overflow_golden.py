@@ -97,3 +97,23 @@ def test_pagerank_nocombiner_golden(spark, webmap_edges):
     assert set(got) == set(GOLDEN_PR)
     for v, exp in GOLDEN_PR.items():
         assert abs(got[v] - exp) < 1e-7
+
+
+def test_shortest_paths_generated_ring_golden(spark):
+    """expected/ShortestPaths (the generated-graph job,
+    JobGenerator.java:212-224 + SimulatedPageRankVertexReader,
+    PageRankVertex.java:150-185): ring i -> (i+1) % 40 with edge weight
+    100*i, source 0 — golden distance d(k) = sum_{i<k} 100*i
+    = 50*k*(k-1), transcribed from expected/ShortestPaths/part-0..3."""
+    from pyspark.sql import functions as F
+
+    from linkgraph import shortest_paths
+    from linkgraph.sources import ring_graph
+
+    n = 40
+    edges = ring_graph(spark, n).withColumn(
+        "w", (F.col("src") * 100).cast("double")
+    )
+    dist, _ = shortest_paths(edges, source=0, weight_col="w")
+    got = {r["id"]: r["distance"] for r in dist.collect()}
+    assert got == {k: 50.0 * k * (k - 1) for k in range(n)}
