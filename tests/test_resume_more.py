@@ -19,15 +19,42 @@ def _labels(df, col):
 class TestResumeAllAlgorithms:
     def test_cc_resume_equals_fresh(self, spark, tmp_path):
         edges = edges_df(spark, adjacency_to_edges(WEBMAPCOMPLEX))
+        # full vertex set incl. edge-target-only / isolated ids, as the
+        # reference's 23-vertex webmapcomplex input declares them
+        ids = sorted(
+            set(WEBMAPCOMPLEX) | {d for ds in WEBMAPCOMPLEX.values() for d in ds}
+        )
+        verts = spark.createDataFrame([(int(i),) for i in ids], "id long")
         ck = CheckpointManager(spark, str(tmp_path / "cc"), every=1)
-        _, partial = connected_components(edges, max_supersteps=2, ckpt=ck)
+        _, partial = connected_components(
+            edges,
+            vertices=verts,
+            symmetrize_edges=False,
+            max_supersteps=2,
+            ckpt=ck,
+        )
         assert not partial.converged
         resumed, res = connected_components(
-            edges, ckpt=CheckpointManager(spark, str(tmp_path / "cc"), every=1)
+            edges,
+            vertices=verts,
+            symmetrize_edges=False,
+            ckpt=CheckpointManager(spark, str(tmp_path / "cc"), every=1),
         )
         assert res.converged and res.history[0].superstep == 1
-        fresh, _ = connected_components(edges)
+        fresh, _ = connected_components(edges, vertices=verts, symmetrize_edges=False)
         assert _labels(resumed, "component") == _labels(fresh, "component")
+        # expected/ConnectedComponentsRealComplex2 — the golden of the
+        # reference's FailureRecoveryConnectedComponentsTest (kill at a
+        # checkpointed iteration, resume, compare output;
+        # FailureRecoveryConnectedComponentsTest.java:41-66). Same kill/
+        # resume shape as this test; its golden is the RealComplex
+        # answer minus the ids that only exist as edge targets of the
+        # extended fixture (99, 101).
+        from tests.test_complex_golden import GOLDEN_CC_COMPLEX
+
+        golden2 = {k: v for k, v in GOLDEN_CC_COMPLEX.items() if k not in (99, 101)}
+        got = _labels(resumed, "component")
+        assert {k: got[k] for k in golden2} == golden2
 
     def test_lpa_resume_equals_fresh(self, spark, tmp_path):
         edges = edges_df(spark, adjacency_to_edges(WEBMAPCOMPLEX))
