@@ -34,6 +34,8 @@ from .examples import (
     pagerank_struct_program,
     shortest_paths_vp,
     sssp_program,
+    token_circulation,
+    token_ring_program,
 )
 from .mutation import add_vertices, delete_edges_of, delete_vertices
 from .sources import adjacency_text_graph, ring_graph, write_vertex_text
@@ -68,6 +70,8 @@ __all__ = [
     "sssp_program",
     "shortest_paths_vp",
     "degree_weighted_pagerank",
+    "token_circulation",
+    "token_ring_program",
     "early_termination_demo",
     "message_overflow_demo",
     "pagerank_struct_demo",

@@ -295,3 +295,73 @@ def degree_weighted_pagerank(
         **kwargs,
     )
     return state.select("id", F.col("value").alias("rank")), res
+
+
+def token_ring_program(wake_on_message: bool = True) -> VertexProgram:
+    """Token circulation on a directed cycle — the set-union wake-up demo.
+
+    Vertex value is a struct ``(tok, laps)``: ``tok`` is transient relay
+    scratch (1 while this vertex holds the token), ``laps`` is the
+    logical state (how many times the token has returned to vertex 0).
+    The program votes to halt on *logical* state only
+    (``changed_expr`` compares ``laps``), so every relay vertex is
+    halted the moment it receives the token — yet it must still forward
+    it. This is exactly the reference's halted-but-messaged wake-up:
+    ``voteToHalt`` is overridden by an incoming message
+    (Vertex.java:248-290; materialized by the sorted set-union join,
+    JobGenInnerJoin.java:336-339). With ``wake_on_message=False`` the
+    token dies at the first relay and ``laps`` stays 0 — asserted in
+    tests/test_vertex_program.py as the reason this facility exists.
+    """
+    zero = F.lit(0).cast("long")
+    return VertexProgram(
+        init_expr=F.struct(
+            F.when(F.col("id") == 0, F.lit(1)).otherwise(F.lit(0))
+            .cast("long").alias("tok"),
+            zero.alias("laps"),
+        ),
+        # only a token holder emits anything; NULL messages are dropped
+        # by the max-combine, so they neither wake nor alter targets
+        message_expr=F.when(F.col("value.tok") >= 1, F.col("value.tok")),
+        combine_agg=F.max("msg"),
+        update_expr=F.struct(
+            F.coalesce(F.col("msg"), zero).alias("tok"),
+            (
+                F.col("value.laps")
+                + F.when(
+                    (F.col("id") == 0) & (F.coalesce(F.col("msg"), zero) >= 1),
+                    F.lit(1),
+                ).otherwise(F.lit(0)).cast("long")
+            ).alias("laps"),
+        ),
+        changed_expr=F.col("_new.laps") != F.col("value.laps"),
+        plan="delta",
+        initial_active_expr=F.col("id") == 0,
+        wake_on_message=wake_on_message,
+    )
+
+
+def token_circulation(
+    edges: DataFrame,
+    max_supersteps: int,
+    wake_on_message: bool = True,
+    **kwargs,
+) -> tuple[DataFrame, LoopResult]:
+    """Run :func:`token_ring_program` over ``edges`` (expected: a
+    directed cycle through vertex 0). Returns (DF(id, tok, laps),
+    LoopResult). The run stays live while the token is in flight even
+    though zero vertices change in most supersteps — the wake-aware
+    stop condition of :func:`~linkgraph.vertex_program
+    .run_vertex_program`."""
+    state, res = run_vertex_program(
+        edges,
+        token_ring_program(wake_on_message),
+        max_supersteps=max_supersteps,
+        **kwargs,
+    )
+    return (
+        state.select(
+            "id", F.col("value.tok").alias("tok"), F.col("value.laps").alias("laps")
+        ),
+        res,
+    )

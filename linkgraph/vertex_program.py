@@ -85,6 +85,20 @@ class VertexProgram:
     weight_col: str | None = None     # per-edge weight column (row-per-edge scatter)
     symmetrize_edges: bool = False    # treat the graph as undirected
     update_kernel: Callable | None = None  # pandas (pdf -> Series) replacing update_expr
+    # Pregel's voteToHalt-overridden-by-message rule (Vertex.java:248-290:
+    # "a halted vertex is reactivated when it receives a message"): under
+    # plan="delta"/"auto", the next superstep's sender set is the SET
+    # UNION of vertices whose value changed and vertices that received a
+    # combined message this superstep — the reference materializes that
+    # union with its sorted set-union join over the live-vertex index
+    # (JobGenInnerJoin.java:336-339, IndexNestedLoopSetUnion*:259+282 LoC);
+    # here it is one boolean OR on columns the superstep already computes,
+    # so it costs nothing. Leave False for monotone fixpoints (min/max/or:
+    # a woken-but-unchanged vertex's resend is a no-op there, only extra
+    # messages); set True for programs whose halting state is a projection
+    # of the value (relay/request-reply patterns), where a quiescent
+    # vertex must still forward what it was sent.
+    wake_on_message: bool = False
     # plan="auto": the runtime OUTER->INNER switch (the reference's
     # JobGen.switchPlan, JobGen.java:1012-1020, driven by IDriver's plan
     # choice): supersteps scatter from EVERY vertex (outer) until the
@@ -228,11 +242,31 @@ def run_vertex_program(
             "_changed", F.col("_vp_changed")
         )
         if tracks_active:
-            new = new.withColumn("active", F.col("_vp_changed"))
+            active_next = F.col("_vp_changed")
+            if program.wake_on_message:
+                # live-set = changed ∪ messaged (the reference's set-union
+                # wake-up of halted-but-messaged vertices)
+                active_next = active_next | (F.col("_msgs") == 1)
+            new = new.withColumn("active", active_next)
         new = new.drop("_vp_changed")
         return StepResult(state=new, messages=msgs)
 
-    stop = stop_when if stop_when is not None else (lambda s: s.changed == 0)
+    if stop_when is not None:
+        stop = stop_when
+    elif program.wake_on_message:
+        # a wake program is live while anything changed OR a message is
+        # still in flight (it will wake its target next superstep) — the
+        # reference's termination check is exactly "no live vertices and
+        # no messages" (Driver.java:342-344 via the terminationState bit)
+        if not track_messages:
+            raise ValueError(
+                "wake_on_message needs track_messages=True for the "
+                "default stop condition (messages in flight keep the "
+                "run live); pass an explicit stop_when to override"
+            )
+        stop = lambda s: s.changed == 0 and (s.messages or 0) == 0  # noqa: E731
+    else:
+        stop = lambda s: s.changed == 0  # noqa: E731
 
     def stop_and_observe(stats: SuperstepMetrics) -> bool:
         if stats.changed is not None and stats.rows:

@@ -229,3 +229,85 @@ class TestAutoPlanSwitch:
             webmap_edges, self._cc_prog("delta"), max_supersteps=50
         )
         assert res.plan_switched_at is None
+
+
+class TestWakeOnMessage:
+    """The set-union wake-up (Vertex.java:248-290 'a halted vertex is
+    reactivated when it receives a message'; JobGenInnerJoin.java:336-339
+    sorted set-union of message ids with the live-vertex index)."""
+
+    N = 6
+
+    def _ring(self, spark):
+        return spark.createDataFrame(
+            [(i, (i + 1) % self.N) for i in range(self.N)],
+            "src long, dst long",
+        )
+
+    def test_token_circulates_with_wake(self, spark):
+        from linkgraph import token_circulation
+
+        # 2 full laps: token visits each of N vertices twice, +1 step to
+        # count the second arrival at 0
+        got, res = token_circulation(
+            self._ring(spark), max_supersteps=2 * self.N, wake_on_message=True
+        )
+        laps = dict(_rows(got, "id", "laps"))
+        assert laps[0] == 2
+        assert all(laps[i] == 0 for i in range(1, self.N))
+        # relays never 'change' — the run stayed live purely via
+        # messages in flight (the wake-aware stop condition)
+        assert any(
+            (s.changed == 0) and (s.messages or 0) > 0 for s in res.history
+        )
+
+    def test_matches_outer_plan_oracle(self, spark):
+        """Semantic ground truth: under plan='outer' every vertex
+        scatters every superstep, so wake-up is moot; delta+wake must
+        produce the identical final state."""
+        from linkgraph.examples import token_ring_program
+        from linkgraph.vertex_program import run_vertex_program
+
+        edges = self._ring(spark)
+        steps = 2 * self.N
+
+        prog_outer = token_ring_program()
+        prog_outer.plan = "outer"
+        want, _ = run_vertex_program(
+            edges, prog_outer, max_supersteps=steps, stop_when=lambda s: False
+        )
+        got, _ = run_vertex_program(
+            edges,
+            token_ring_program(wake_on_message=True),
+            max_supersteps=steps,
+            stop_when=lambda s: False,
+        )
+
+        def flat(df):
+            return _rows(
+                df.select("id", "value.tok", "value.laps"), "id", "tok", "laps"
+            )
+
+        assert flat(got) == flat(want)
+
+    def test_token_dies_without_wake(self, spark):
+        """Why the facility exists: voting to halt on logical state only,
+        the first relay swallows the token when halted vertices are not
+        woken by messages."""
+        from linkgraph import token_circulation
+
+        got, res = token_circulation(
+            self._ring(spark), max_supersteps=2 * self.N, wake_on_message=False
+        )
+        laps = dict(_rows(got, "id", "laps"))
+        assert laps[0] == 0
+        # the default (non-wake) stop fired almost immediately
+        assert res.supersteps < self.N
+
+    def test_wake_needs_message_tracking(self, spark):
+        from linkgraph import token_circulation
+
+        with pytest.raises(ValueError, match="track_messages"):
+            token_circulation(
+                self._ring(spark), max_supersteps=2, track_messages=False
+            )
