@@ -1196,4 +1196,18 @@ def oracle_sql() -> dict[str, str]:
         " SELECT array_to_string(members, ',') AS clique, sz::INT AS size"
         " FROM cliq WHERE sz = (SELECT MAX(sz) FROM cliq)"
     )
+    # multimodal_features: the feature vector itself comes from the
+    # stubbed decode, but the scalar projection the query returns
+    # (media_id, kind, n_bytes) is fully determined by synth_media's
+    # construction: payload = sha256-digest (32 bytes) repeated
+    # (4 + i % 7) times, kind cycling image/audio/video. Gating on it
+    # verifies the Arrow binary round-trip through mapInPandas
+    # preserves payload length exactly.
+    sql["multimodal_features"] = (
+        "SELECT i::BIGINT AS media_id,"
+        " CASE i % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'"
+        " ELSE 'video' END AS kind,"
+        " (32 * (4 + i % 7))::BIGINT AS n_bytes"
+        " FROM range(64) t(i)"
+    )
     return sql

@@ -63,9 +63,10 @@ def test_every_query_has_oracle_or_is_documented(spark):
     import __spark_entry__ as entrymod
 
     qs, os_ = entrymod.queries(), entrymod.oracle_sql()
-    rows_only = set(qs) - set(os_)
-    # only the stubbed-codec multimodal op may skip the SQL oracle:
-    # every hash-seeded pipeline (MinHash, SimHash, sign-LSH, IVF,
-    # sampling) now uses portable md5-derived constants and is gated
-    assert rows_only == {"multimodal_features"}
-    assert set(os_) <= set(qs)
+    # every query is oracle-gated — including multimodal_features, whose
+    # scalar projection (media_id, kind, n_bytes) is analytically
+    # determined by synth_media's construction even though the feature
+    # vector comes from the stubbed decode; every hash-seeded pipeline
+    # (MinHash, SimHash, sign-LSH, IVF, sampling) uses portable
+    # md5-derived constants so DuckDB reproduces it exactly
+    assert set(qs) == set(os_)
