@@ -50,6 +50,11 @@ from linkgraph.pipeline import (
 
 PR_UPDATES = 8
 DW_UPDATES = 6
+HITS_ITERS = 10
+KCORE_K = 6
+# unrolled oracle peel passes; the sf0.01 cascade at k=6 is 20 deep
+# (measured), +4 slack passes are no-ops at fixpoint
+KCORE_PASSES = 24
 BGD_UPDATES = 5
 LPA_STEPS = 4
 SSSP_HOPS = 12
@@ -164,6 +169,42 @@ def _q_dw_pagerank(spark, sf):
         edges, fixed_updates=DW_UPDATES, vertices=document_vertices(spark, sf)
     )
     return ranks.select("id", F.round("rank", 6).alias("dw_rank"))
+
+
+def _q_hits(spark, sf):
+    """HITS hubs/authorities — a user-defined VertexProgram with a
+    composite struct value and direction-tagged scatter (simultaneous
+    update, final sum-1 normalization); unrolled-CTE oracle."""
+    from linkgraph import hits
+
+    edges = document_edges(spark, sf)
+    scores, _ = hits(
+        edges,
+        iterations=HITS_ITERS,
+        vertices=document_vertices(spark, sf),
+        track_messages=False,
+    )
+    return scores.select(
+        "id",
+        F.round("authority", 6).alias("authority"),
+        F.round("hub", 6).alias("hub"),
+    )
+
+
+def _q_kcore(spark, sf):
+    """k-core membership + within-core degree by iterative peeling — a
+    user-defined VertexProgram on the DELTA plan (the active set is the
+    newly-peeled frontier); unrolled peel-pass oracle."""
+    from linkgraph import kcore
+
+    edges = document_edges(spark, sf)
+    out, _ = kcore(
+        edges,
+        KCORE_K,
+        vertices=document_vertices(spark, sf),
+        track_messages=False,
+    )
+    return out
 
 
 def _q_reachability(spark, sf):
@@ -423,6 +464,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sssp_hops": _q_sssp,
         "sssp_vertex_program": _q_sssp_vp,
         "degree_weighted_pagerank": _q_dw_pagerank,
+        "hits_scores": _q_hits,
+        "kcore_membership": _q_kcore,
         "reachability": _q_reachability,
         "exact_dedup": _q_exact_dedup,
         "token_count": _q_token_count,
@@ -516,6 +559,64 @@ def _dw_pagerank_sql(updates: int) -> str:
         "WITH "
         + ",\n".join(ctes)
         + f"\nSELECT id, ROUND(rank, 6) AS dw_rank FROM r{updates}"
+    )
+
+
+def _hits_sql(iters: int) -> str:
+    """Unrolled simultaneous-update HITS: a_i = sum of in-neighbors'
+    h_{i-1}, h_i = sum of out-neighbors' a_{i-1}; sum-1 normalization
+    after the final iteration, ROUND 6 (matches linkgraph.examples.hits
+    semantics exactly)."""
+    ctes = [
+        EDGES_CTES.strip(),
+        "s0 AS (SELECT doc_id AS id, 1.0::DOUBLE AS a, 1.0::DOUBLE AS h"
+        " FROM documents)",
+    ]
+    for i in range(1, iters + 1):
+        p = i - 1
+        ctes.append(
+            f"s{i} AS MATERIALIZED ("
+            f" SELECT v.id, COALESCE(ain.s, 0.0) AS a, COALESCE(hout.s, 0.0) AS h"
+            f" FROM s{p} v"
+            f" LEFT JOIN (SELECT e.dst AS id, SUM(p.h) AS s FROM edges e"
+            f"   JOIN s{p} p ON e.src = p.id GROUP BY e.dst) ain ON ain.id = v.id"
+            f" LEFT JOIN (SELECT e.src AS id, SUM(p.a) AS s FROM edges e"
+            f"   JOIN s{p} p ON e.dst = p.id GROUP BY e.src) hout ON hout.id = v.id)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT id, ROUND(a/(SELECT SUM(a) FROM s{iters}), 6) AS authority,"
+        + f" ROUND(h/(SELECT SUM(h) FROM s{iters}), 6) AS hub FROM s{iters}"
+    )
+
+
+def _kcore_sql(k: int, passes: int) -> str:
+    """Unrolled k-core peeling over the symmetrized graph: v0 = vertices
+    with total degree >= k, each pass keeps vertices with >= k surviving
+    neighbors; extra passes past the fixpoint are no-ops. Final row per
+    document: (in_core, degree within the surviving core)."""
+    ctes = [
+        EDGES_CTES.strip(),
+        SYM_CTE.strip(),
+        "deg0 AS (SELECT src AS id, COUNT(*) AS deg FROM sym GROUP BY src)",
+        f"v0 AS (SELECT d.doc_id AS id FROM documents d JOIN deg0 g"
+        f" ON g.id = d.doc_id WHERE g.deg >= {k})",
+    ]
+    for i in range(1, passes + 1):
+        ctes.append(
+            f"v{i} AS MATERIALIZED (SELECT e.src AS id FROM sym e"
+            f" JOIN v{i-1} s ON e.src = s.id JOIN v{i-1} t ON e.dst = t.id"
+            f" GROUP BY e.src HAVING COUNT(*) >= {k})"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT d.doc_id AS id,"
+        + " CASE WHEN a.id IS NULL THEN 0 ELSE 1 END AS in_core,"
+        + " COALESCE(cd.deg, 0) AS core_deg"
+        + f" FROM documents d LEFT JOIN v{passes} a ON a.id = d.doc_id"
+        + f" LEFT JOIN (SELECT e.src AS id, COUNT(*) AS deg FROM sym e"
+        + f"  JOIN v{passes} s ON e.src = s.id JOIN v{passes} t ON e.dst = t.id"
+        + f"  GROUP BY e.src) cd ON cd.id = d.doc_id"
     )
 
 
@@ -1024,6 +1125,8 @@ def oracle_sql() -> dict[str, str]:
             " GROUP BY doc.doc_id"
         ),
         "degree_weighted_pagerank": _dw_pagerank_sql(DW_UPDATES),
+        "hits_scores": _hits_sql(HITS_ITERS),
+        "kcore_membership": _kcore_sql(KCORE_K, KCORE_PASSES),
         "reachability": (
             "WITH RECURSIVE "
             + EDGES_CTES.strip()

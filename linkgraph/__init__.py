@@ -29,6 +29,8 @@ from .vertex_program import VertexProgram, run_vertex_program
 from .examples import (
     degree_weighted_pagerank,
     early_termination_demo,
+    hits,
+    kcore,
     message_overflow_demo,
     pagerank_struct_demo,
     pagerank_struct_program,
@@ -70,6 +72,8 @@ __all__ = [
     "sssp_program",
     "shortest_paths_vp",
     "degree_weighted_pagerank",
+    "hits",
+    "kcore",
     "token_circulation",
     "token_ring_program",
     "early_termination_demo",

@@ -365,3 +365,168 @@ def token_circulation(
         ),
         res,
     )
+
+
+def hits_program(n_iterations_hint: int | None = None) -> VertexProgram:
+    """HITS hubs-and-authorities (Kleinberg, JACM'99) — simultaneous
+    (Jacobi) update variant, written against the public API only.
+
+    A genuinely new user analytic (the reference ships no HITS job);
+    demonstrates two API capabilities at once:
+
+    - composite vertex value: ``struct<a double, h double>`` (the same
+      StateWritable shape as the reference's PageRankVertex2 composite,
+      PageRankVertex2.java:139-171);
+    - per-edge attributes driving DIRECTION-TAGGED scatter: the caller
+      passes the edge list unioned with its reverse, each row tagged
+      ``dir`` (+1 forward, -1 reversed), so one superstep computes both
+      half-updates:
+
+          a'(v) = sum_{u->v} h(u)     (forward edges carry h)
+          h'(v) = sum_{v->w} a(w)     (reversed edges carry a)
+
+    Both halves read the PREVIOUS iteration's values (simultaneous
+    update); scores are normalized to sum 1 after the loop, so the
+    unnormalized growth inside the loop cancels out.
+    """
+    one = F.lit(1.0)
+    zero = F.lit(0.0)
+    return VertexProgram(
+        init_expr=F.struct(one.alias("a"), one.alias("h")),
+        # dir > 0: forward edge src->dst, contribute sender's hub score
+        # to the target's authority; dir < 0: reversed row dst->src,
+        # contribute sender's authority to the target's hub score
+        message_expr=F.struct(
+            F.when(F.col("dir") > 0, F.col("value.h")).otherwise(zero).alias("a"),
+            F.when(F.col("dir") < 0, F.col("value.a")).otherwise(zero).alias("h"),
+        ),
+        combine_agg=F.struct(
+            F.sum("msg.a").alias("a"), F.sum("msg.h").alias("h")
+        ),
+        update_expr=F.struct(
+            F.coalesce(F.col("msg.a"), zero).alias("a"),
+            F.coalesce(F.col("msg.h"), zero).alias("h"),
+        ),
+        plan="outer",
+        weight_col="dir",
+    )
+
+
+def hits(
+    edges: DataFrame,
+    iterations: int = 10,
+    vertices: DataFrame | None = None,
+    **kwargs,
+) -> tuple[DataFrame, LoopResult]:
+    """Run :func:`hits_program` for a fixed number of simultaneous
+    updates over directed ``edges(src, dst)``. Returns
+    (DF(id, authority, hub) normalized to sum 1, LoopResult)."""
+    if vertices is None:
+        vertices = vertices_from_edges(edges)
+    tagged = edges.select("src", "dst", F.lit(1.0).alias("dir")).unionByName(
+        edges.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"),
+            F.lit(-1.0).alias("dir"),
+        )
+    )
+    state, res = run_vertex_program(
+        tagged,
+        hits_program(iterations),
+        vertices=vertices,
+        max_supersteps=iterations,
+        stop_when=lambda s: False,  # fixed-iteration mode
+        **kwargs,
+    )
+    sums = state.agg(
+        F.sum("value.a").alias("sa"), F.sum("value.h").alias("sh")
+    )
+    out = state.crossJoin(F.broadcast(sums)).select(
+        "id",
+        (F.col("value.a") / F.col("sa")).alias("authority"),
+        (F.col("value.h") / F.col("sh")).alias("hub"),
+    )
+    return out, res
+
+
+def kcore_program(k: int) -> VertexProgram:
+    """k-core decomposition by iterative peeling, written against the
+    public API only — a new user analytic (not shipped by the
+    reference) that exercises the DELTA plan end to end: the active
+    set is exactly the frontier of newly-removed vertices, the
+    message-driven shape Pregel peeling has on a real cluster.
+
+    Vertex value is ``struct<deg bigint, dead int>``: ``deg`` is the
+    degree within the currently-surviving subgraph (frozen at removal
+    time for removed vertices), ``dead`` flips to 1 once the vertex
+    leaves the candidate core. Each superstep, vertices removed in the
+    PREVIOUS superstep (the only active senders under the delta plan —
+    ``changed_expr`` fires solely on the dead transition) broadcast a
+    unit decrement to their neighbors; survivors whose degree drops
+    below ``k`` die and become the next frontier. Fixpoint (changed=0)
+    = no deaths this superstep = the k-core.
+
+    At fixpoint, a surviving vertex's ``deg`` equals its degree inside
+    the k-core subgraph (original degree minus every removed
+    neighbor) — returned as ``core_deg``.
+    """
+    dead_now = F.col("value.dead") == 1
+    new_deg = (F.col("value.deg") - F.coalesce(F.col("msg"), F.lit(0.0))).cast("long")
+    return VertexProgram(
+        init_expr=F.struct(
+            F.coalesce(F.col("deg"), F.lit(0)).cast("long").alias("deg"),
+            (F.coalesce(F.col("deg"), F.lit(0)) < k).cast("int").alias("dead"),
+        ),
+        # only newly-dead vertices are active senders; each notifies
+        # every neighbor of one lost degree
+        message_expr=F.lit(1.0),
+        combine_agg=F.sum("msg"),
+        update_expr=F.when(dead_now, F.col("value")).otherwise(
+            F.struct(
+                new_deg.alias("deg"),
+                (new_deg < k).cast("int").alias("dead"),
+            )
+        ),
+        # halting is on the dead TRANSITION only: degree decrements on
+        # a surviving vertex update its state but do not re-scatter it
+        changed_expr=F.col("_new.dead") != F.col("value.dead"),
+        plan="delta",
+        initial_active_expr=F.col("value.dead") == 1,
+        symmetrize_edges=True,
+    )
+
+
+def kcore(
+    edges: DataFrame,
+    k: int,
+    vertices: DataFrame | None = None,
+    max_supersteps: int = 100,
+    **kwargs,
+) -> tuple[DataFrame, LoopResult]:
+    """Peel directed ``edges(src, dst)`` (treated as undirected) to the
+    ``k``-core. Returns (DF(id, in_core int, core_deg bigint),
+    LoopResult); ``core_deg`` is the vertex's degree within the k-core
+    (0 for peeled vertices)."""
+    from .partitioning import symmetrize
+
+    if vertices is None:
+        vertices = vertices_from_edges(edges)
+    deg = (
+        symmetrize(edges)
+        .groupBy(F.col("src").alias("id"))
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    state, res = run_vertex_program(
+        edges,
+        kcore_program(k),
+        vertices=vertices,
+        vertex_attrs=deg,
+        max_supersteps=max_supersteps,
+        **kwargs,
+    )
+    alive = F.col("value.dead") == 0
+    out = state.select(
+        "id",
+        (~F.col("value.dead").cast("boolean")).cast("int").alias("in_core"),
+        F.when(alive, F.col("value.deg")).otherwise(F.lit(0)).cast("long").alias("core_deg"),
+    )
+    return out, res

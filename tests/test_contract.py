@@ -21,6 +21,8 @@ SUBSET = [
     "sssp_hops",
     "ngram_jaccard_pairs",
     "embedding_cosine_topk",
+    "hits_scores",
+    "kcore_membership",
 ]
 
 

@@ -25,6 +25,17 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
         if df[c].dtype == object:
+            # The driver's canonicalizer sort_values() raises
+            # "unhashable type" on list/ndarray cells (CORRECTNESS_r01
+            # kmeans_centers/maximum_cliques). Reproduce that strictness
+            # here instead of papering over it with str().
+            sample = df[c].dropna().head(20)
+            if any(isinstance(v, (list, tuple, dict, bytearray)) or
+                   type(v).__name__ == "ndarray" for v in sample):
+                raise TypeError(
+                    f"column {c!r} holds unhashable values; the driver "
+                    "canonicalizer would reject this query output"
+                )
             df[c] = df[c].astype(str)
     return df.sort_values(by=list(df.columns), ignore_index=True)
 
