@@ -229,6 +229,18 @@ def _q_token_count(spark, sf):
     )
 
 
+def _q_bpe_token_count(spark, sf):
+    """Whitespace + BPE-ish-regex token counts in one codegen pass."""
+    from linkgraph.pipeline import bpe_token_count
+
+    df = bpe_token_count(load_documents(spark, sf))
+    return df.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "n_subtokens",
+    )
+
+
 def _q_quality(spark, sf):
     q = quality_score(load_documents(spark, sf))
     return q.select(
@@ -469,6 +481,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reachability": _q_reachability,
         "exact_dedup": _q_exact_dedup,
         "token_count": _q_token_count,
+        "bpe_token_count": _q_bpe_token_count,
         "quality_score": _q_quality,
         "lang_id": _q_lang_id,
         "doc_fingerprint": _q_fingerprint,
@@ -1152,6 +1165,11 @@ def oracle_sql() -> dict[str, str]:
         ),
         "token_count": (
             "SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens FROM documents"
+        ),
+        "bpe_token_count": (
+            "SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens,"
+            " len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))::BIGINT"
+            " AS n_subtokens FROM documents"
         ),
         "quality_score": (
             "WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),"

@@ -11,6 +11,7 @@ from .dedup import (
     simhash_pairs,
 )
 from .textstats import (
+    bpe_token_count,
     doc_fingerprint,
     language_id,
     quality_score,
@@ -32,6 +33,7 @@ __all__ = [
     "simhash64",
     "simhash_pairs",
     "token_count",
+    "bpe_token_count",
     "quality_score",
     "language_id",
     "doc_fingerprint",

@@ -94,3 +94,25 @@ def doc_fingerprint(docs: DataFrame) -> DataFrame:
     return docs.select(
         "doc_id", F.substring(F.md5(F.col("text")), 1, 16).alias("fingerprint")
     )
+
+
+# BPE-style pre-tokenization, simplified to an engine-portable regex:
+# letter runs, digit runs, and single punctuation marks each count as
+# one subtoken (the GPT-2 pre-tokenizer split shape). Only the ASCII
+# space is treated as whitespace so Spark (Java regex) and the DuckDB
+# oracle (RE2) count identically.
+BPE_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def bpe_token_count(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, n_subtokens) — whitespace token count plus a
+    BPE-ish subtoken count from :data:`BPE_PATTERN`. Both are one
+    JVM-side expression over the text column (no Python), so the scan
+    stays a single whole-stage-codegen pass at any corpus size."""
+    return docs.select(
+        "doc_id",
+        F.size(_tokens()).alias("n_tokens"),
+        F.size(
+            F.expr(f"regexp_extract_all(text, '{BPE_PATTERN}', 0)")
+        ).cast("long").alias("n_subtokens"),
+    )

@@ -266,6 +266,28 @@ class TestTextStats:
         got = {r["doc_id"]: r["n_tokens"] for r in token_count(docs).collect()}
         assert got[0] == len("the quick brown fox jumps over the lazy dog near the old river bank".split())
 
+    def test_bpe_token_count_matches_python_re(self, spark):
+        import re
+
+        from linkgraph.pipeline import bpe_token_count
+        from linkgraph.pipeline.textstats import BPE_PATTERN
+
+        texts = [
+            "hello world",
+            "i can't stop; it's 2024-08-18!",
+            "x=f(3.14)+y_2 # a comment",
+            "",
+        ]
+        docs = spark.createDataFrame(
+            list(enumerate(texts)), "doc_id long, text string"
+        )
+        got = {
+            r["doc_id"]: r["n_subtokens"]
+            for r in bpe_token_count(docs).collect()
+        }
+        for i, t in enumerate(texts):
+            assert got[i] == len(re.findall(BPE_PATTERN, t)), t
+
 
 class TestIVFTopK:
     @pytest.fixture(scope="class")
