@@ -59,6 +59,8 @@ BGD_UPDATES = 5
 LPA_STEPS = 4
 SSSP_HOPS = 12
 JACCARD_T = 0.12
+KMV_K = 24  # bottom-k size; the synthetic vocab is tiny (~31 terms) so
+# a small k keeps the estimator in its non-degenerate regime at sf0.01
 TOPK = 10
 N_QUERY_VECS = 5
 # The driver's embeddings table is near-orthogonal noise (max pairwise
@@ -355,6 +357,14 @@ def _q_vocabulary(spark, sf):
     return vocabulary(load_documents(spark, sf), top_k=50)
 
 
+def _q_kmv_sketch(spark, sf):
+    """KMV bottom-k distinct-token sketch — oracle-verifiable sketch
+    tier of the vocabulary operator (exact tier: _q_vocabulary)."""
+    from linkgraph.pipeline import kmv_distinct_tokens
+
+    return kmv_distinct_tokens(load_documents(spark, sf), k=KMV_K)
+
+
 def _q_simhash(spark, sf):
     return simhash64(load_documents(spark, sf))
 
@@ -496,6 +506,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": _q_events_hourly,
         "minhash_lsh_pairs": _q_minhash_lsh,
         "dedup_clusters": _q_dedup_clusters,
+        "distinct_token_sketch": _q_kmv_sketch,
         "simhash64": _q_simhash,
         "simhash_pairs": _q_simhash_pairs,
         "embedding_lsh_topk": _q_lsh_topk,
@@ -1291,6 +1302,9 @@ def oracle_sql() -> dict[str, str]:
         " FROM t WHERE term <> ''"
         " GROUP BY term ORDER BY df DESC, tf DESC, term LIMIT 50"
     )
+    from linkgraph.pipeline.sketches import kmv_sql
+
+    sql["distinct_token_sketch"] = kmv_sql(KMV_K)
     sql["simhash64"] = _simhash_sql(2)
     sql["simhash_pairs"] = _simhash_pairs_sql(2, 7)
     # sign-LSH ANN: md5-derived hyperplanes embedded as literals;

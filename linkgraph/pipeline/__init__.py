@@ -18,6 +18,7 @@ from .textstats import (
     token_count,
     vocabulary,
 )
+from .sketches import kmv_distinct_tokens
 from .similarity import (
     cosine_topk,
     embedding_neardup_pairs,
@@ -38,6 +39,7 @@ __all__ = [
     "language_id",
     "doc_fingerprint",
     "vocabulary",
+    "kmv_distinct_tokens",
     "cosine_topk",
     "lsh_cosine_topk",
     "ivf_cosine_topk",

@@ -393,3 +393,49 @@ class TestVocabulary:
             key=lambda x: (-x[2], -x[1], x[0]),
         )[:10]
         assert [(r["term"], r["tf"], r["df"]) for r in got] == expect
+
+
+class TestKMVSketch:
+    def test_degenerate_small_vocab_is_exact(self, spark, docs):
+        from linkgraph.pipeline import kmv_distinct_tokens
+
+        row = kmv_distinct_tokens(docs, k=10000).collect()[0]
+        import itertools
+
+        vocab = set(
+            itertools.chain.from_iterable(
+                r["text"].split(" ") for r in docs.collect()
+            )
+        ) - {""}
+        assert row["k_used"] == len(vocab)
+        assert row["est_distinct"] == float(len(vocab))
+
+    def test_estimate_within_kmv_error_bound(self, spark):
+        from linkgraph.pipeline import kmv_distinct_tokens
+
+        # 200 docs x 40 tokens drawn from a 5000-term vocabulary
+        n_vocab, k = 5000, 256
+        docs = spark.range(200).select(
+            F.col("id").alias("doc_id"),
+            F.expr(
+                "array_join(transform(sequence(1, 40),"
+                " j -> concat('t', CAST((id * 40 + j * j * 7) % 5000 AS STRING))), ' ')"
+            ).alias("text"),
+        )
+        true_distinct = (
+            docs.select(F.explode(F.split("text", " ")).alias("t"))
+            .filter(F.col("t") != "")
+            .distinct()
+            .count()
+        )
+        row = kmv_distinct_tokens(docs, k=k).collect()[0]
+        assert row["k_used"] == k
+        # KMV relative std-error ~ 1/sqrt(k) = 6.25%; allow 4 sigma
+        assert abs(row["est_distinct"] - true_distinct) / true_distinct < 0.25
+
+    def test_deterministic(self, spark, docs):
+        from linkgraph.pipeline import kmv_distinct_tokens
+
+        a = kmv_distinct_tokens(docs, k=8).collect()[0]
+        b = kmv_distinct_tokens(docs, k=8).collect()[0]
+        assert a == b
