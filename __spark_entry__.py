@@ -63,6 +63,10 @@ KMV_K = 24  # bottom-k size; the synthetic vocab is tiny (~31 terms) so
 # a small k keeps the estimator in its non-degenerate regime at sf0.01
 TOPK = 10
 N_QUERY_VECS = 5
+TFIDF_TOPK = 3
+# decontamination probes: two phrases drawn from the synthetic vocab
+# (real hits) + one that can never occur (exercises the zero path)
+CONTAM_PROBES = ["key agg row", "spark order", "quux zilch never"]
 # The driver's embeddings table is near-orthogonal noise (max pairwise
 # cosine 0.51 at sf0.01) — 0.4 exercises the near-dup path with a
 # non-trivial answer set; real corpora run the 0.95 default.
@@ -357,6 +361,32 @@ def _q_vocabulary(spark, sf):
     return vocabulary(load_documents(spark, sf), top_k=50)
 
 
+def _q_tfidf(spark, sf):
+    """Per-document top-k terms by smoothed TF-IDF (score rounded to
+    6dp before ranking, ties to term asc — engine-independent order)."""
+    from linkgraph.pipeline import tfidf_top_terms
+
+    return tfidf_top_terms(load_documents(spark, sf), top_k=TFIDF_TOPK)
+
+
+def _q_normalize(spark, sf):
+    """Canonical pre-dedup normalization + fingerprint, one codegen
+    scan (lower/regexp_replace/trim/md5 are all JVM built-ins)."""
+    from linkgraph.pipeline import normalize_text
+
+    return normalize_text(load_documents(spark, sf))
+
+
+def _q_contamination(spark, sf):
+    """Benchmark decontamination: broadcast probe strings, flag docs
+    containing any (the exact-substring tier of eval contamination
+    checking)."""
+    from linkgraph.pipeline import contamination_check
+
+    probes = spark.createDataFrame([(p,) for p in CONTAM_PROBES], "probe STRING")
+    return contamination_check(load_documents(spark, sf), probes)
+
+
 def _q_kmv_sketch(spark, sf):
     """KMV bottom-k distinct-token sketch — oracle-verifiable sketch
     tier of the vocabulary operator (exact tier: _q_vocabulary)."""
@@ -497,6 +527,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": _q_fingerprint,
         "ngram_jaccard_pairs": _q_jaccard,
         "vocabulary": _q_vocabulary,
+        "tfidf_top_terms": _q_tfidf,
+        "normalize_text": _q_normalize,
+        "contamination_check": _q_contamination,
         "embedding_cosine_topk": _q_topk,
         "customer_orders_by_nation": _q_customer_orders,
         "pricing_summary": _q_pricing_summary,
@@ -1301,6 +1334,46 @@ def oracle_sql() -> dict[str, str]:
         " SELECT term, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df"
         " FROM t WHERE term <> ''"
         " GROUP BY term ORDER BY df DESC, tf DESC, term LIMIT 50"
+    )
+    # per-doc top-k terms by smoothed TF-IDF; score ROUND(..,6)
+    # BEFORE ranking, ties to term asc (k mirrors _q_tfidf)
+    sql["tfidf_top_terms"] = (
+        "WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term"
+        " FROM documents),"
+        " tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t"
+        "  WHERE term <> '' GROUP BY doc_id, term),"
+        " df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),"
+        " nn AS (SELECT COUNT(*)::DOUBLE AS n FROM documents),"
+        " scored AS (SELECT tf.doc_id, tf.term, tf.tf,"
+        "  ROUND(tf.tf * (ln(((SELECT n FROM nn) + 1) / (df.df + 1)) + 1.0), 6)"
+        "  AS score FROM tf JOIN df USING (term))"
+        " SELECT doc_id, term, tf, score FROM ("
+        "  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id"
+        "   ORDER BY score DESC, term ASC) AS rn FROM scored)"
+        f" WHERE rn <= {TFIDF_TOPK}"
+    )
+    # canonical normalization: pattern shared verbatim with
+    # linkgraph.pipeline.textstats.NORM_PATTERN (ASCII classes only, so
+    # Java regex and DuckDB RE2 agree)
+    sql["normalize_text"] = (
+        "WITH n AS (SELECT doc_id,"
+        " trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm_text"
+        " FROM documents)"
+        " SELECT doc_id, norm_text,"
+        " substr(md5(norm_text), 1, 16) AS norm_fingerprint FROM n"
+    )
+    # decontamination: probe literals shared with _q_contamination;
+    # CAST(SUM .. AS BIGINT) — DuckDB SUM(int) returns HUGEINT, which
+    # pandas would widen away from Spark's LONG
+    probe_values = ", ".join(f"('{p}')" for p in CONTAM_PROBES)
+    sql["contamination_check"] = (
+        f"WITH probes AS (SELECT * FROM (VALUES {probe_values}) p(probe))"
+        " SELECT doc_id,"
+        " CAST(SUM(CASE WHEN contains(text, probe) THEN 1 ELSE 0 END) AS BIGINT)"
+        "  AS n_hits,"
+        " CAST(MAX(CASE WHEN contains(text, probe) THEN 1 ELSE 0 END) AS INT)"
+        "  AS contaminated"
+        " FROM documents CROSS JOIN probes GROUP BY doc_id"
     )
     from linkgraph.pipeline.sketches import kmv_sql
 

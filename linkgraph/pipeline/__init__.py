@@ -12,9 +12,12 @@ from .dedup import (
 )
 from .textstats import (
     bpe_token_count,
+    contamination_check,
     doc_fingerprint,
     language_id,
+    normalize_text,
     quality_score,
+    tfidf_top_terms,
     token_count,
     vocabulary,
 )
@@ -39,6 +42,9 @@ __all__ = [
     "language_id",
     "doc_fingerprint",
     "vocabulary",
+    "tfidf_top_terms",
+    "normalize_text",
+    "contamination_check",
     "kmv_distinct_tokens",
     "cosine_topk",
     "lsh_cosine_topk",

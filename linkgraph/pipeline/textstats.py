@@ -7,7 +7,7 @@ Operates on any DF with (doc_id BIGINT, text STRING).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # tiny deterministic stopword list shared with the oracle SQL
@@ -102,6 +102,93 @@ def doc_fingerprint(docs: DataFrame) -> DataFrame:
 # space is treated as whitespace so Spark (Java regex) and the DuckDB
 # oracle (RE2) count identically.
 BPE_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def tfidf_top_terms(docs: DataFrame, top_k: int = 5) -> DataFrame:
+    """(doc_id, term, tf, score) — each document's ``top_k`` terms by
+    smoothed TF-IDF (idf = ln((N+1)/(df+1)) + 1, score = tf*idf rounded
+    to 6dp BEFORE ranking so the order is engine-independent; ties break
+    on term asc).
+
+    The 100 TB shape: one explode + a (doc_id, term) partial/final
+    count, a per-term df aggregate (small — vocabulary-sized) that
+    re-joins on term, the corpus size as a broadcast one-row aggregate
+    (no driver-side count), and a per-document window for the top-k —
+    partitioned by doc_id, so each task ranks only its own documents'
+    terms. No global sort, no collect.
+    """
+    terms = docs.select(
+        "doc_id", F.explode(_tokens()).alias("term")
+    ).filter(F.col("term") != "")
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # tf is unique per (doc, term), so df is a plain count over it
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            F.round(
+                F.col("tf")
+                * (F.log((F.col("n_docs") + 1) / (F.col("df") + 1)) + 1.0),
+                6,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= top_k)
+        .drop("rn")
+    )
+
+
+# normalization regex shared (verbatim) with the DuckDB oracle: Java
+# regex and RE2 agree on this pattern — ASCII classes only
+NORM_PATTERN = "[^a-z0-9]+"
+
+
+def normalize_text(docs: DataFrame) -> DataFrame:
+    """(doc_id, norm_text, norm_fingerprint) — canonical pre-dedup
+    normalization: lowercase, collapse every non-alphanumeric run to a
+    single space, trim; fingerprint = 16-hex-char md5 prefix of the
+    normalized text. One whole-stage-codegen scan (lower +
+    regexp_replace + trim + md5 are all JVM built-ins), so it runs at
+    parquet-read speed at any corpus size. Composes with
+    :func:`~linkgraph.pipeline.dedup.exact_duplicates` for
+    normalization-invariant exact dedup."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), NORM_PATTERN, " "))
+    return docs.select(
+        "doc_id",
+        norm.alias("norm_text"),
+        F.substring(F.md5(norm), 1, 16).alias("norm_fingerprint"),
+    )
+
+
+def contamination_check(docs: DataFrame, probes: DataFrame) -> DataFrame:
+    """(doc_id, n_hits, contaminated) — benchmark decontamination:
+    flag documents containing any probe string (the exact-substring
+    tier of eval-set contamination checking; probes are benchmark
+    n-grams/answers).
+
+    ``probes`` must have a ``probe`` STRING column. The probe set is
+    small relative to the corpus (benchmarks are KBs, the corpus is
+    TBs), so it broadcasts: the plan is a BroadcastNestedLoopJoin that
+    streams the corpus once — per-doc cost is len(probes) substring
+    scans, JVM-side ``contains``, no shuffle of the text column. The
+    groupBy shuffles only (doc_id, tiny int) pairs.
+    """
+    hits = docs.crossJoin(F.broadcast(probes.select("probe"))).select(
+        "doc_id",
+        F.col("text").contains(F.col("probe")).cast("int").alias("hit"),
+    )
+    return hits.groupBy("doc_id").agg(
+        F.sum("hit").alias("n_hits"),
+        (F.sum("hit") > 0).cast("int").alias("contaminated"),
+    )
 
 
 def bpe_token_count(docs: DataFrame) -> DataFrame:

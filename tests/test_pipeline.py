@@ -288,6 +288,65 @@ class TestTextStats:
         for i, t in enumerate(texts):
             assert got[i] == len(re.findall(BPE_PATTERN, t)), t
 
+    def test_tfidf_matches_pure_python(self, docs):
+        import math
+
+        from linkgraph.pipeline import tfidf_top_terms
+
+        rows = {r["doc_id"]: r["text"] for r in docs.collect()}
+        n = len(rows)
+        tf = {
+            d: {t: txt.split(" ").count(t) for t in set(txt.split(" ")) if t}
+            for d, txt in rows.items()
+        }
+        df = {}
+        for terms in tf.values():
+            for t in terms:
+                df[t] = df.get(t, 0) + 1
+        expected = {}
+        for d, terms in tf.items():
+            scored = sorted(
+                (
+                    (-round(c * (math.log((n + 1) / (df[t] + 1)) + 1.0), 6), t)
+                    for t, c in terms.items()
+                ),
+            )[:2]
+            expected[d] = [(t, -s) for s, t in scored]
+        got = tfidf_top_terms(docs, top_k=2).collect()
+        by_doc = {}
+        for r in sorted(got, key=lambda r: (r["doc_id"], -r["score"], r["term"])):
+            by_doc.setdefault(r["doc_id"], []).append((r["term"], r["score"]))
+        assert by_doc == expected
+
+    def test_normalize_text_canonicalizes(self, spark):
+        from linkgraph.pipeline import normalize_text
+
+        docs = spark.createDataFrame(
+            [
+                (0, "Hello,   World! 42"),
+                (1, "hello world 42"),
+                (2, "totally-DIFFERENT"),
+            ],
+            "doc_id long, text string",
+        )
+        rows = {r["doc_id"]: r for r in normalize_text(docs).collect()}
+        assert rows[0]["norm_text"] == "hello world 42"
+        # punctuation/case variants collapse to the same fingerprint
+        assert rows[0]["norm_fingerprint"] == rows[1]["norm_fingerprint"]
+        assert rows[2]["norm_fingerprint"] != rows[0]["norm_fingerprint"]
+
+    def test_contamination_check_counts_probe_hits(self, spark, docs):
+        from linkgraph.pipeline import contamination_check
+
+        probes = spark.createDataFrame(
+            [("quick brown fox",), ("lazy dog",), ("no such probe xyzzy",)],
+            "probe string",
+        )
+        got = {r["doc_id"]: r for r in contamination_check(docs, probes).collect()}
+        assert got[0]["n_hits"] == 2 and got[0]["contaminated"] == 1
+        assert got[3]["n_hits"] == 0 and got[3]["contaminated"] == 0
+        assert len(got) == docs.count()  # every doc gets a row
+
 
 class TestIVFTopK:
     @pytest.fixture(scope="class")
