@@ -50,6 +50,8 @@ from linkgraph.pipeline import (
 
 PR_UPDATES = 8
 DW_UPDATES = 6
+PPR_UPDATES = 6
+PPR_SOURCES = [0, 7]  # teleport seed set for personalized PageRank
 HITS_ITERS = 10
 KCORE_K = 6
 # unrolled oracle peel passes; the sf0.01 cascade at k=6 is 20 deep
@@ -175,6 +177,21 @@ def _q_dw_pagerank(spark, sf):
         edges, fixed_updates=DW_UPDATES, vertices=document_vertices(spark, sf)
     )
     return ranks.select("id", F.round("rank", 6).alias("dw_rank"))
+
+
+def _q_ppr(spark, sf):
+    """Personalized PageRank (teleport to a seed set) — a user-defined
+    VertexProgram; unrolled-CTE oracle with the personalized prior."""
+    from linkgraph import personalized_pagerank
+
+    edges = document_edges(spark, sf)
+    ranks, _ = personalized_pagerank(
+        edges,
+        PPR_SOURCES,
+        fixed_updates=PPR_UPDATES,
+        vertices=document_vertices(spark, sf),
+    )
+    return ranks.select("id", F.round("rank", 6).alias("ppr"))
 
 
 def _q_hits(spark, sf):
@@ -516,6 +533,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sssp_hops": _q_sssp,
         "sssp_vertex_program": _q_sssp_vp,
         "degree_weighted_pagerank": _q_dw_pagerank,
+        "personalized_pagerank": _q_ppr,
         "hits_scores": _q_hits,
         "kcore_membership": _q_kcore,
         "reachability": _q_reachability,
@@ -616,6 +634,37 @@ def _dw_pagerank_sql(updates: int) -> str:
         "WITH "
         + ",\n".join(ctes)
         + f"\nSELECT id, ROUND(rank, 6) AS dw_rank FROM r{updates}"
+    )
+
+
+def _ppr_sql(updates: int, sources: list[int]) -> str:
+    """Unrolled personalized PageRank: prior = 1/|S| on the seed set,
+    0 elsewhere; r = 0.15*prior + 0.85*sum(in-msgs). The 1/|S| literal
+    is the same Python double the engine passes to F.lit (repr
+    round-trips it exactly)."""
+    src_list = ", ".join(str(int(s)) for s in sources)
+    share = repr(1.0 / len(sources))
+    ctes = [
+        EDGES_CTES.strip(),
+        "odeg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src)",
+        f"pri AS (SELECT doc_id AS id,"
+        f" CASE WHEN doc_id IN ({src_list}) THEN {share} ELSE 0.0 END AS prior"
+        f" FROM documents)",
+        "r0 AS (SELECT id, prior AS rank FROM pri)",
+    ]
+    for i in range(1, updates + 1):
+        ctes.append(
+            f"r{i} AS MATERIALIZED ("
+            f" SELECT v.id, 0.15*p.prior + 0.85*COALESCE(s.msum, 0.0) AS rank"
+            f" FROM r{i-1} v JOIN pri p ON p.id = v.id LEFT JOIN ("
+            f"   SELECT e.dst AS id, SUM(x.rank / o.outdeg) AS msum"
+            f"   FROM edges e JOIN r{i-1} x ON e.src = x.id JOIN odeg o ON o.src = e.src"
+            f"   GROUP BY e.dst) s ON v.id = s.id)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT id, ROUND(rank, 6) AS ppr FROM r{updates}"
     )
 
 
@@ -1182,6 +1231,7 @@ def oracle_sql() -> dict[str, str]:
             " GROUP BY doc.doc_id"
         ),
         "degree_weighted_pagerank": _dw_pagerank_sql(DW_UPDATES),
+        "personalized_pagerank": _ppr_sql(PPR_UPDATES, PPR_SOURCES),
         "hits_scores": _hits_sql(HITS_ITERS),
         "kcore_membership": _kcore_sql(KCORE_K, KCORE_PASSES),
         "reachability": (

@@ -33,6 +33,7 @@ from .examples import (
     kcore,
     message_overflow_demo,
     pagerank_struct_demo,
+    personalized_pagerank,
     pagerank_struct_program,
     shortest_paths_vp,
     sssp_program,
@@ -72,6 +73,7 @@ __all__ = [
     "sssp_program",
     "shortest_paths_vp",
     "degree_weighted_pagerank",
+    "personalized_pagerank",
     "hits",
     "kcore",
     "token_circulation",

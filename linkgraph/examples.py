@@ -297,6 +297,65 @@ def degree_weighted_pagerank(
     return state.select("id", F.col("value").alias("rank")), res
 
 
+def personalized_pagerank(
+    edges: DataFrame,
+    sources: list[int],
+    damping: float = 0.85,
+    fixed_updates: int | None = None,
+    tol: float = 1e-6,
+    max_supersteps: int = 60,
+    vertices: DataFrame | None = None,
+    **kwargs,
+) -> tuple[DataFrame, LoopResult]:
+    """Personalized PageRank — random walks teleport back to a source
+    SET instead of the uniform prior (the standard seed-centric ranking
+    for "important relative to these repos/files" queries):
+
+        r_v = (1-d) * 1[v in S]/|S|  +  d * sum_{u->v} r_u / outdeg(u)
+
+    A user program against the public API alone (no engine edits):
+    the teleport prior is a plain column expression over ``id``, so the
+    whole spec is three expressions. Initial value = the prior (all
+    mass on the sources). Dangling vertices send nothing, as in
+    :func:`~linkgraph.algorithms.pagerank.pagerank`'s fixed-update
+    mode; the reference's compute() analogue is PageRankVertex.java:
+    124-145 with the teleport term personalized.
+    """
+    if not sources:
+        raise ValueError("personalized_pagerank: empty source set")
+    ids = [int(x) for x in sources]
+    prior = (
+        F.when(F.col("id").isin(ids), F.lit(1.0 / len(ids)))
+        .otherwise(F.lit(0.0))
+    )
+    prog = VertexProgram(
+        init_expr=prior,
+        message_expr=F.col("value") / F.col("outdeg"),
+        combine_agg=F.sum("msg"),
+        update_expr=(
+            F.lit(1.0 - damping) * prior
+            + F.lit(damping) * F.coalesce(F.col("msg"), F.lit(0.0))
+        ),
+        delta_expr=F.abs(F.col("_new") - F.col("value")),
+        plan="outer",
+    )
+    if fixed_updates is not None:
+        stop = lambda s: False  # noqa: E731
+        max_iter = fixed_updates
+    else:
+        stop = lambda s: s.delta is not None and s.delta <= tol  # noqa: E731
+        max_iter = max_supersteps
+    state, res = run_vertex_program(
+        edges,
+        prog,
+        vertices=vertices,
+        max_supersteps=max_iter,
+        stop_when=stop,
+        **kwargs,
+    )
+    return state.select("id", F.col("value").alias("rank")), res
+
+
 def token_ring_program(wake_on_message: bool = True) -> VertexProgram:
     """Token circulation on a directed cycle — the set-union wake-up demo.
 
