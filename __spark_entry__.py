@@ -521,6 +521,21 @@ def _q_multimodal(spark, sf):
     )
 
 
+def _q_multimodal_raw(spark, sf):
+    """REAL decode tier: RAWI/RAWA payloads decoded to pixels/PCM, then
+    resize + feature-extract in the Arrow batches. The feature values
+    come from seeded-numpy payloads (not SQL-expressible) but the
+    scalar projection is fully determined by synth_raw_media's
+    construction, so gating it verifies the decode path ran (a length
+    mismatch or bad magic raises inside the UDF) and the binary
+    round-trip was exact."""
+    from linkgraph.pipeline.multimodal import extract_features, synth_raw_media
+
+    return extract_features(synth_raw_media(spark, n=48), decode_stub="raw").drop(
+        "feature"
+    ).withColumn("n_bytes", F.col("n_bytes").cast("long"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "edge_derivation": _q_edges,
@@ -564,6 +579,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup_pairs": _q_embedding_neardup,
         "embedding_ivf_topk": _q_ivf_topk,
         "multimodal_features": _q_multimodal,
+        "multimodal_raw_decode": _q_multimodal_raw,
         "graph_sample": _q_graph_sample,
         "kmeans_centers": _q_kmeans,
         "maximum_cliques": _q_maximum_cliques,
@@ -1461,6 +1477,18 @@ def oracle_sql() -> dict[str, str]:
     # (4 + i % 7) times, kind cycling image/audio/video. Gating on it
     # verifies the Arrow binary round-trip through mapInPandas
     # preserves payload length exactly.
+    # multimodal_raw_decode: synth_raw_media's payload lengths are a
+    # closed form of the row index — RAWI = 9-byte header + H*W*3
+    # pixels with H = 8*(2 + i%3), W = 8*(2 + (i//2)%3); RAWA = 12-byte
+    # header + 2 bytes per sample with n = 800*(1 + i%5)
+    sql["multimodal_raw_decode"] = (
+        "SELECT i::BIGINT AS media_id,"
+        " CASE WHEN i % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,"
+        " CASE WHEN i % 2 = 0"
+        "  THEN 9 + (8 * (2 + i % 3)) * (8 * (2 + (i // 2) % 3)) * 3"
+        "  ELSE 12 + 2 * 800 * (1 + i % 5) END::BIGINT AS n_bytes"
+        " FROM range(48) t(i)"
+    )
     sql["multimodal_features"] = (
         "SELECT i::BIGINT AS media_id,"
         " CASE i % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'"

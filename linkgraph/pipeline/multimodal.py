@@ -2,11 +2,19 @@
 columns with typed metadata.
 
 The Spark-side contract is real and tested — schema, partition-aware
-mapInPandas batching, Arrow round-trip of binary payloads; the actual
-media decode is STUBBED (this container ships no image/audio codecs):
-``decode_stub="fake"`` produces a deterministic fake feature vector from
-the bytes, ``decode_stub="raise"`` raises NotImplementedError where a
-real decoder (PIL/torchaudio/ffmpeg) would plug in.
+mapInPandas batching, Arrow round-trip of binary payloads. Decode has
+two tiers:
+
+- **Real decode** for the self-describing raw formats RAWI (header +
+  uint8 H×W×C pixels) and RAWA (header + int16 PCM samples), defined in
+  this module: :func:`decode_raw_image` / :func:`decode_raw_audio` are
+  complete numpy decoders, and ``decode_stub="raw"`` runs the full
+  decode → resize (block-mean pooling) → feature-extract pipeline on
+  actual pixel/sample data inside the Arrow batches.
+- **Stub** for container formats (PNG/WAV/MP4 — this container ships no
+  codecs): ``decode_stub="fake"`` produces a deterministic fake feature
+  from the bytes, ``decode_stub="raise"`` raises NotImplementedError
+  where a real codec (PIL/torchaudio/ffmpeg) would plug in.
 """
 
 from __future__ import annotations
@@ -73,14 +81,150 @@ def synth_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------
+# RAWI / RAWA: self-describing raw formats with complete numpy codecs.
+# RAWI: b"RAWI" | height u16-be | width u16-be | channels u8 | pixels u8
+# RAWA: b"RAWA" | sample_rate u32-be | n_samples u32-be | samples i16-be
+# ---------------------------------------------------------------------
+
+_RAWI_MAGIC = b"RAWI"
+_RAWA_MAGIC = b"RAWA"
+
+
+def encode_raw_image(pixels: np.ndarray) -> bytes:
+    """uint8 (H, W, C) array -> RAWI bytes."""
+    a = np.asarray(pixels, dtype=np.uint8)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, c = a.shape
+    header = _RAWI_MAGIC + h.to_bytes(2, "big") + w.to_bytes(2, "big") + c.to_bytes(1, "big")
+    return header + a.tobytes()
+
+
+def decode_raw_image(payload: bytes) -> np.ndarray:
+    """RAWI bytes -> uint8 (H, W, C) array. A real decoder: validates
+    the magic, parses the header, checks the pixel-buffer length."""
+    if payload[:4] != _RAWI_MAGIC:
+        raise ValueError("not a RAWI payload")
+    h = int.from_bytes(payload[4:6], "big")
+    w = int.from_bytes(payload[6:8], "big")
+    c = payload[8]
+    body = payload[9:]
+    if len(body) != h * w * c:
+        raise ValueError(f"RAWI length mismatch: {len(body)} != {h}*{w}*{c}")
+    return np.frombuffer(body, dtype=np.uint8).reshape(h, w, c)
+
+
+def encode_raw_audio(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """int16 1-D array -> RAWA bytes."""
+    s = np.asarray(samples, dtype=">i2")
+    header = (
+        _RAWA_MAGIC
+        + int(sample_rate).to_bytes(4, "big")
+        + int(s.shape[0]).to_bytes(4, "big")
+    )
+    return header + s.tobytes()
+
+
+def decode_raw_audio(payload: bytes) -> tuple[np.ndarray, int]:
+    """RAWA bytes -> (int16 samples, sample_rate)."""
+    if payload[:4] != _RAWA_MAGIC:
+        raise ValueError("not a RAWA payload")
+    rate = int.from_bytes(payload[4:8], "big")
+    n = int.from_bytes(payload[8:12], "big")
+    body = payload[12:]
+    if len(body) != 2 * n:
+        raise ValueError(f"RAWA length mismatch: {len(body)} != 2*{n}")
+    return np.frombuffer(body, dtype=">i2").astype(np.int16), rate
+
+
+def resize_image(pixels: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Block-mean downsample to (out_h, out_w, C) — the resize step of
+    the decode pipeline, pure numpy. Requires integer downscale factors
+    (pad-free); synth_raw_media sizes are multiples of 8."""
+    h, w, c = pixels.shape
+    fh, fw = h // out_h, w // out_w
+    if fh < 1 or fw < 1 or h % out_h or w % out_w:
+        raise ValueError(f"resize {h}x{w} -> {out_h}x{out_w}: non-integer factor")
+    a = pixels[: out_h * fh, : out_w * fw].astype(np.float32)
+    return a.reshape(out_h, fh, out_w, fw, c).mean(axis=(1, 3))
+
+
+def image_feature(pixels: np.ndarray, grid: int = 2) -> np.ndarray:
+    """float32[4 + grid*grid]: per-channel means (RGB-or-gray padded to
+    3) + overall std + block-mean grayscale grid — a real, deterministic
+    feature of the decoded pixels."""
+    a = pixels.astype(np.float32) / 255.0
+    ch = a.mean(axis=(0, 1))
+    ch = np.pad(ch, (0, 3 - len(ch)))[:3]
+    gray = a.mean(axis=2, keepdims=True)
+    g = resize_image((gray * 255).astype(np.uint8), grid, grid)[:, :, 0] / 255.0
+    return np.concatenate([ch, [a.std()], g.ravel()]).astype(np.float32)
+
+
+def audio_feature(samples: np.ndarray, rate: int, pad_to: int = 8) -> np.ndarray:
+    """float32[pad_to]: duration_sec, rms, zero-crossing rate, peak,
+    mean, std (zero-padded) — real statistics of the decoded PCM."""
+    s = samples.astype(np.float32) / 32768.0
+    zcr = float(np.mean(np.abs(np.diff(np.signbit(s).astype(np.int8))))) if len(s) > 1 else 0.0
+    feats = np.array(
+        [
+            len(s) / rate,
+            float(np.sqrt(np.mean(s**2))),
+            zcr,
+            float(np.abs(s).max(initial=0.0)),
+            float(s.mean()),
+            float(s.std()),
+        ],
+        dtype=np.float32,
+    )
+    return np.pad(feats, (0, pad_to - len(feats)))
+
+
+def synth_raw_media(spark, n: int = 48, seed: int = 42) -> DataFrame:
+    """Deterministic media table whose payloads are REAL encoded RAWI
+    images / RAWA audio (seeded numpy), so the decode path operates on
+    actual pixel/sample data."""
+    rows = []
+    for i in range(n):
+        rng = np.random.default_rng(seed * 100_003 + i)
+        if i % 2 == 0:
+            h, w = 8 * (2 + i % 3), 8 * (2 + (i // 2) % 3)
+            pixels = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            rows.append(
+                (i, "image", "image/x-rawi", w, h, None, bytearray(encode_raw_image(pixels)))
+            )
+        else:
+            n_samp = 800 * (1 + i % 5)
+            samples = rng.integers(-20000, 20000, size=n_samp, dtype=np.int16)
+            rows.append(
+                (
+                    i,
+                    "audio",
+                    "audio/x-rawa",
+                    None,
+                    None,
+                    1000 * n_samp // 16000,
+                    bytearray(encode_raw_audio(samples, 16000)),
+                )
+            )
+    n_slices = max(1, min(n // 16, spark.sparkContext.defaultParallelism))
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, n_slices), MEDIA_SCHEMA
+    )
+
+
 def extract_features(
     media: DataFrame, feat_dim: int = 8, decode_stub: str = "fake"
 ) -> DataFrame:
     """Decode/feature-extract via mapInPandas (Arrow-batched binary).
 
-    Real pipeline: decode payload -> resize/frame-sample -> embed.
-    Here the decode step is the stub; batching, schema and partitioning
-    are the real thing.
+    ``decode_stub="raw"`` is the REAL pipeline — decode RAWI/RAWA
+    payloads, resize (block-mean), extract pixel/PCM statistics.
+    ``"fake"`` keeps the deterministic byte-moment stand-in for
+    container formats whose codecs this container lacks; ``"raise"``
+    marks where PIL/ffmpeg would plug in. Batching, schema and
+    partitioning are identical across all three.
     """
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -90,8 +234,18 @@ def extract_features(
                     "media decode requires PIL/ffmpeg — not available in this container"
                 )
             feats = []
-            for payload in pdf["payload"]:
-                b = np.frombuffer(bytes(payload), dtype=np.uint8)
+            for payload, kind in zip(pdf["payload"], pdf["kind"]):
+                raw = bytes(payload)
+                if decode_stub == "raw":
+                    if kind == "image":
+                        f = image_feature(decode_raw_image(raw))
+                    elif kind == "audio":
+                        f = audio_feature(*decode_raw_audio(raw))
+                    else:
+                        raise ValueError(f"raw decode: unsupported kind {kind!r}")
+                    feats.append(f[:feat_dim].astype(np.float32))
+                    continue
+                b = np.frombuffer(raw, dtype=np.uint8)
                 # deterministic fake "embedding": moments of byte chunks
                 chunks = np.array_split(b.astype(np.float32), feat_dim)
                 feats.append(np.array([c.mean() / 255.0 for c in chunks], dtype=np.float32))

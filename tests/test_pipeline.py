@@ -250,6 +250,63 @@ class TestMultimodal:
             extract_features(media, decode_stub="raise").collect()
         assert "NotImplementedError" in str(exc.value) or "decode" in str(exc.value)
 
+    def test_raw_codec_roundtrip_exact(self):
+        import numpy as np
+
+        from linkgraph.pipeline.multimodal import (
+            decode_raw_audio,
+            decode_raw_image,
+            encode_raw_audio,
+            encode_raw_image,
+        )
+
+        rng = np.random.default_rng(7)
+        pixels = rng.integers(0, 256, size=(16, 24, 3), dtype=np.uint8)
+        assert (decode_raw_image(encode_raw_image(pixels)) == pixels).all()
+        samples = rng.integers(-32768, 32768, size=1000, dtype=np.int16)
+        dec, rate = decode_raw_audio(encode_raw_audio(samples, 22050))
+        assert rate == 22050 and (dec == samples).all()
+        with pytest.raises(ValueError):
+            decode_raw_image(b"PNG!" + bytes(16))
+        with pytest.raises(ValueError):
+            decode_raw_image(encode_raw_image(pixels)[:-1])
+
+    def test_raw_decode_features_match_numpy(self, spark):
+        import numpy as np
+
+        from linkgraph.pipeline.multimodal import (
+            audio_feature,
+            decode_raw_audio,
+            decode_raw_image,
+            extract_features,
+            image_feature,
+            synth_raw_media,
+        )
+
+        media = synth_raw_media(spark, n=12)
+        got = {
+            r["media_id"]: np.array(r["feature"], dtype=np.float32)
+            for r in extract_features(media, decode_stub="raw").collect()
+        }
+        for r in media.collect():
+            raw = bytes(r["payload"])
+            if r["kind"] == "image":
+                exp = image_feature(decode_raw_image(raw))[:8]
+            else:
+                exp = audio_feature(*decode_raw_audio(raw))[:8]
+            np.testing.assert_allclose(got[r["media_id"]], exp, rtol=1e-6)
+
+    def test_resize_is_block_mean(self):
+        import numpy as np
+
+        from linkgraph.pipeline.multimodal import resize_image
+
+        pixels = np.arange(8 * 8 * 1, dtype=np.uint8).reshape(8, 8, 1)
+        small = resize_image(pixels, 2, 2)
+        # each output cell is the mean of its 4x4 block
+        exp = pixels.astype(np.float32).reshape(2, 4, 2, 4, 1).mean(axis=(1, 3))
+        np.testing.assert_allclose(small, exp)
+
     def test_frame_sample_plan(self, spark):
         from linkgraph.pipeline.multimodal import frame_sample_plan, synth_media
 
