@@ -43,8 +43,10 @@ from .examples import (
 from .mutation import add_vertices, delete_edges_of, delete_vertices
 from .sources import adjacency_text_graph, ring_graph, write_vertex_text
 from .streaming import (
+    degree_stream,
     document_stats_stream,
     events_hourly_stream,
+    stream_edges,
     run_available_now,
     stream_documents,
     stream_events,
@@ -93,6 +95,8 @@ __all__ = [
     "write_vertex_text",
     "stream_documents",
     "stream_events",
+    "stream_edges",
+    "degree_stream",
     "document_stats_stream",
     "events_hourly_stream",
     "run_available_now",

@@ -73,6 +73,56 @@ def run_available_now(
     return q
 
 
+def stream_edges(spark: SparkSession, path: str) -> DataFrame:
+    """File-stream of an edges directory (src BIGINT, dst BIGINT) —
+    incremental link-graph ingest: each newly landed parquet file is one
+    micro-batch of edge arrivals."""
+    schema = spark.read.parquet(path).schema
+    return spark.readStream.schema(schema).parquet(path)
+
+
+def degree_stream(edges: DataFrame) -> DataFrame:
+    """Incremental out-degree maintenance over a streaming edge feed —
+    the stateful-graph-ingest tier (applyInPandasWithState): state is
+    the running out-degree per source vertex; every micro-batch emits
+    the updated (src, outdeg) row for each vertex that received new
+    edges, so a downstream consumer always has current degrees without
+    rescanning the edge history.
+
+    Scale shape: one long of state per DISTINCT source vertex,
+    hash-partitioned by the groupBy — the streaming twin of the batch
+    ``out_degrees`` aggregate. The per-batch work is proportional to
+    the batch, not the accumulated graph. At 100 TB you would back the
+    state with RocksDB and add TTL for retired vertices; the operator
+    contract is unchanged.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("src", T.LongType()),
+            T.StructField("outdeg", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType([T.StructField("n", T.LongType())])
+
+    def bump(key, pdfs, state):
+        new = sum(len(pdf) for pdf in pdfs)
+        cur = (state.get[0] if state.exists else 0) + new
+        state.update((cur,))
+        yield pd.DataFrame({"src": [key[0]], "outdeg": [cur]})
+
+    return edges.groupBy("src").applyInPandasWithState(
+        bump,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def dedup_stream(docs: DataFrame) -> DataFrame:
     """Streaming exact dedup — the custom stateful operator tier
     (applyInPandasWithState): emit each distinct text exactly once, at

@@ -90,6 +90,56 @@ class TestStreaming:
         assert got == {h("aaa bbb"): 0, h("ccc ddd"): 1, h("eee fff"): 4}
         assert len(got) == batch.select("text").distinct().count()
 
+    def test_degree_stream_incremental_updates(self, spark, tmp_path):
+        """Stateful incremental degree maintenance: each micro-batch
+        emits the RUNNING degree, and the final emission per vertex
+        equals the batch out_degrees aggregate."""
+        from linkgraph.partitioning import out_degrees
+        from linkgraph.streaming import degree_stream, run_available_now
+
+        schema = "src LONG, dst LONG"
+        d = tmp_path / "edges"
+        d.mkdir()
+        spark.createDataFrame(
+            [(0, 1), (0, 2), (1, 2)], schema
+        ).coalesce(1).write.parquet(str(d / "f0"))
+        spark.createDataFrame(
+            [(0, 3), (2, 0)], schema
+        ).coalesce(1).write.parquet(str(d / "f1"))
+
+        src = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(d / "f*"))
+        )
+        updates = []
+        q = (
+            degree_stream(src)
+            .writeStream.trigger(availableNow=True)
+            .outputMode("append")
+            .foreachBatch(
+                lambda df, bid: updates.append((bid, {r["src"]: r["outdeg"] for r in df.collect()}))
+            )
+            .option("checkpointLocation", str(tmp_path / "ck_deg"))
+            .start()
+        )
+        q.awaitTermination()
+
+        final = {}
+        for _, batch in sorted(updates):
+            final.update(batch)
+        batch_deg = {
+            r["src"]: r["outdeg"]
+            for r in out_degrees(spark.read.parquet(str(d / "f0"), str(d / "f1"))).collect()
+        }
+        assert final == batch_deg  # {0: 3, 1: 1, 2: 1}
+        # the state carried across micro-batches: vertex 0 was seen in
+        # both files, so some emission shows its pre-total running count
+        all_zero_emissions = [b[0] for _, b in sorted(updates) if 0 in b]
+        assert all_zero_emissions == sorted(all_zero_emissions)
+        if len(all_zero_emissions) > 1:
+            assert all_zero_emissions[0] < batch_deg[0]
+
     def test_dedup_stream_equals_batch_tier_when_id_ordered(self, spark, tmp_path):
         from linkgraph.pipeline import exact_duplicates
         from linkgraph.streaming import dedup_stream, stream_documents
