@@ -45,7 +45,7 @@ def _build_parser() -> argparse.ArgumentParser:
         choices=[
             "pagerank", "cc", "lpa", "triangles", "sssp",
             "reachability", "sample", "cliques", "derive",
-            "dedup", "vocab",
+            "dedup", "vocab", "ppr", "hits", "kcore",
         ],
     )
     src = p.add_argument_group("input (exactly one)")
@@ -86,6 +86,10 @@ def _build_parser() -> argparse.ArgumentParser:
                    help="dedup: xxhash64 shingle hashing (production mode) instead "
                    "of the oracle-portable md5-digit hashing")
     p.add_argument("--top-k", type=int, default=50, help="vocab: number of terms")
+    p.add_argument("--sources", type=int, nargs="+", default=[0],
+                   help="ppr: teleport seed vertex ids")
+    p.add_argument("--k", type=int, default=3, help="kcore: core order k")
+    p.add_argument("--iterations", type=int, default=20, help="hits: fixed iterations")
     p.add_argument("--directed", action="store_true",
                    help="cc/lpa/triangles: consume edges as-given instead of symmetrizing")
     p.add_argument("--metrics-output", help="write per-superstep metrics JSON lines here")
@@ -216,6 +220,26 @@ def main(argv: list[str] | None = None) -> None:
             max_supersteps=args.max_supersteps,
             **common,
         )
+    elif args.algorithm == "ppr":
+        from .examples import personalized_pagerank
+
+        out, res = personalized_pagerank(
+            edges,
+            args.sources,
+            damping=args.damping,
+            tol=args.tol,
+            max_supersteps=args.max_supersteps,
+            fixed_updates=args.fixed_updates,
+            **common,
+        )
+    elif args.algorithm == "hits":
+        from .examples import hits
+
+        out, res = hits(edges, iterations=args.iterations, **common)
+    elif args.algorithm == "kcore":
+        from .examples import kcore
+
+        out, res = kcore(edges, args.k, max_supersteps=args.max_supersteps, **common)
     elif args.algorithm == "cliques":
         from .algorithms.cliques import maximum_cliques
 
