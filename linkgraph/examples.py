@@ -316,10 +316,10 @@ def personalized_pagerank(
     A user program against the public API alone (no engine edits):
     the teleport prior is a plain column expression over ``id``, so the
     whole spec is three expressions. Initial value = the prior (all
-    mass on the sources). Dangling vertices send nothing, as in
-    :func:`~linkgraph.algorithms.pagerank.pagerank`'s fixed-update
-    mode; the reference's compute() analogue is PageRankVertex.java:
-    124-145 with the teleport term personalized.
+    mass on the sources). Dangling vertices send nothing, as in the
+    engine PageRank's fixed-update mode; the reference's compute()
+    analogue is PageRankVertex.java:124-145 with the teleport term
+    personalized.
     """
     if not sources:
         raise ValueError("personalized_pagerank: empty source set")
