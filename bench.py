@@ -109,12 +109,32 @@ def main() -> None:
         "total_sec": round(sum(v for v in timings.values() if v > 0), 3),
     }
 
+    # Compact scaling summary only — the full per-step traces live in
+    # BENCH/scaling.json / BENCH/runs/*.jsonl; embedding them here made
+    # the r1 bench line too large for the driver's tail capture to parse.
     scaling_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH", "scaling.json")
     if os.path.exists(scaling_path):
         try:
             with open(scaling_path) as f:
-                out["scaling"] = json.load(f)
-        except (OSError, json.JSONDecodeError):
+                sc = json.load(f)
+            out["scaling"] = {
+                "workload": sc.get("workload"),
+                "levels": [
+                    {
+                        "cores": lv["cores"],
+                        "n_edges": lv["n_edges"],
+                        "steady_edges_per_sec_per_superstep": lv.get(
+                            "steady_edges_per_sec_per_superstep",
+                            lv.get("edges_per_sec_per_superstep"),
+                        ),
+                    }
+                    for lad in sc.get("ladders", [])
+                    for lv in lad.get("levels", [])
+                ],
+                "pairs": sc.get("pairs", []),
+                "detail": "BENCH/scaling.json",
+            }
+        except (OSError, json.JSONDecodeError, KeyError, TypeError):
             pass
 
     spark.stop()
