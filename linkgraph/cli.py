@@ -107,11 +107,11 @@ def _load_edges(spark: SparkSession, args) -> DataFrame:
             F.col("src").cast("long"), F.col("dst").cast("long")
         )
     if args.adjacency_text:
-        from .sources import adjacency_text_graph
+        from linkgraph.sources import adjacency_text_graph
 
         _, edges = adjacency_text_graph(spark, args.adjacency_text)
         return edges
-    from .derive import derive_graph
+    from linkgraph.derive import derive_graph
 
     code = spark.read.load(args.code_table)
     _, edges = derive_graph(code)
@@ -121,13 +121,13 @@ def _load_edges(spark: SparkSession, args) -> DataFrame:
 def main(argv: list[str] | None = None) -> None:
     args = _build_parser().parse_args(argv)
 
-    from .session import get_spark
+    from linkgraph.session import get_spark
 
     spark = get_spark(app_name=f"linkgraph-{args.algorithm}")
 
     ckpt = None
     if args.checkpoint:
-        from .checkpoint import CheckpointManager
+        from linkgraph.checkpoint import CheckpointManager
 
         ckpt = CheckpointManager(spark, args.checkpoint, every=args.checkpoint_every)
 
@@ -138,7 +138,7 @@ def main(argv: list[str] | None = None) -> None:
             F.col("doc_id").cast("long"), F.col("text")
         )
         if args.algorithm == "dedup":
-            from .pipeline.dedup import dedup_clusters
+            from linkgraph.pipeline.dedup import dedup_clusters
 
             out = dedup_clusters(
                 docs,
@@ -147,7 +147,7 @@ def main(argv: list[str] | None = None) -> None:
                 portable=not args.fast_hash,
             )
         else:
-            from .pipeline.textstats import vocabulary
+            from linkgraph.pipeline.textstats import vocabulary
 
             out = vocabulary(docs, top_k=args.top_k)
         out.write.format(args.format).mode("overwrite").save(args.output)
@@ -164,7 +164,7 @@ def main(argv: list[str] | None = None) -> None:
     if args.algorithm == "derive":
         out = edges
     elif args.algorithm == "pagerank":
-        from .algorithms.pagerank import pagerank
+        from linkgraph.algorithms.pagerank import pagerank
 
         out, res = pagerank(
             edges,
@@ -175,7 +175,7 @@ def main(argv: list[str] | None = None) -> None:
             **common,
         )
     elif args.algorithm == "cc":
-        from .algorithms.cc import connected_components
+        from linkgraph.algorithms.cc import connected_components
 
         out, res = connected_components(
             edges,
@@ -184,7 +184,7 @@ def main(argv: list[str] | None = None) -> None:
             **common,
         )
     elif args.algorithm == "lpa":
-        from .algorithms.lpa import label_propagation
+        from linkgraph.algorithms.lpa import label_propagation
 
         out, res = label_propagation(
             edges,
@@ -193,13 +193,13 @@ def main(argv: list[str] | None = None) -> None:
             **common,
         )
     elif args.algorithm == "sssp":
-        from .algorithms.sssp import shortest_paths
+        from linkgraph.algorithms.sssp import shortest_paths
 
         out, res = shortest_paths(
             edges, source=args.source, max_supersteps=args.max_supersteps, **common
         )
     elif args.algorithm == "reachability":
-        from .algorithms.reachability import reachability
+        from linkgraph.algorithms.reachability import reachability
 
         out, reachable, res = reachability(
             edges,
@@ -211,7 +211,7 @@ def main(argv: list[str] | None = None) -> None:
         )
         print(json.dumps({"reachable": reachable}), file=sys.stderr)
     elif args.algorithm == "sample":
-        from .algorithms.sampling import graph_sample
+        from linkgraph.algorithms.sampling import graph_sample
 
         out, res = graph_sample(
             edges,
@@ -221,7 +221,7 @@ def main(argv: list[str] | None = None) -> None:
             **common,
         )
     elif args.algorithm == "ppr":
-        from .examples import personalized_pagerank
+        from linkgraph.examples import personalized_pagerank
 
         out, res = personalized_pagerank(
             edges,
@@ -233,19 +233,19 @@ def main(argv: list[str] | None = None) -> None:
             **common,
         )
     elif args.algorithm == "hits":
-        from .examples import hits
+        from linkgraph.examples import hits
 
         out, res = hits(edges, iterations=args.iterations, **common)
     elif args.algorithm == "kcore":
-        from .examples import kcore
+        from linkgraph.examples import kcore
 
         out, res = kcore(edges, args.k, max_supersteps=args.max_supersteps, **common)
     elif args.algorithm == "cliques":
-        from .algorithms.cliques import maximum_cliques
+        from linkgraph.algorithms.cliques import maximum_cliques
 
         out = maximum_cliques(edges)
     else:  # triangles — non-iterative
-        from .algorithms.triangles import triangle_counts
+        from linkgraph.algorithms.triangles import triangle_counts
 
         out = triangle_counts(edges, symmetrize_edges=not args.directed)
 
