@@ -50,6 +50,8 @@ from linkgraph.pipeline import (
 
 PR_UPDATES = 8
 DW_UPDATES = 6
+REPO_MOD = 25  # repo key for the rollup queries: repo(d) = d % 25
+WPR_UPDATES = 8  # weighted-PageRank updates over the repo rollup
 PPR_UPDATES = 6
 PPR_SOURCES = [0, 7]  # teleport seed set for personalized PageRank
 HITS_ITERS = 10
@@ -177,6 +179,41 @@ def _q_dw_pagerank(spark, sf):
         edges, fixed_updates=DW_UPDATES, vertices=document_vertices(spark, sf)
     )
     return ranks.select("id", F.round("rank", 6).alias("dw_rank"))
+
+
+def _q_repo_rollup(spark, sf):
+    """Repo-granularity rollup of the link graph (north_star: "vertices
+    are repos/files"): the file/doc graph aggregated by repo key with
+    reference-count edge weights — linkgraph.derive.derive_repo_graph's
+    aggregation shape on the oracle-derivable arithmetic graph (repo key
+    = doc_id % REPO_MOD, so DuckDB computes the identical rollup)."""
+    edges = document_edges(spark, sf)
+    return (
+        edges.select(
+            (F.col("src") % REPO_MOD).alias("src_repo"),
+            (F.col("dst") % REPO_MOD).alias("dst_repo"),
+        )
+        .filter(F.col("src_repo") != F.col("dst_repo"))
+        .groupBy("src_repo", "dst_repo")
+        .agg(F.count(F.lit(1)).cast("long").alias("weight"))
+    )
+
+
+def _q_weighted_repo_pagerank(spark, sf):
+    """Edge-weighted PageRank over the repo rollup — the user-defined
+    weighted_pagerank VertexProgram (rank mass splits by edge weight);
+    unrolled weighted-CTE oracle."""
+    from linkgraph import weighted_pagerank
+
+    redges = _q_repo_rollup(spark, sf).select(
+        F.col("src_repo").alias("src"),
+        F.col("dst_repo").alias("dst"),
+        F.col("weight").cast("double").alias("weight"),
+    )
+    ranks, _ = weighted_pagerank(redges, fixed_updates=WPR_UPDATES)
+    return ranks.select(
+        F.col("id").alias("repo"), F.round("rank", 6).alias("wpr")
+    )
 
 
 def _q_ppr(spark, sf):
@@ -548,6 +585,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sssp_hops": _q_sssp,
         "sssp_vertex_program": _q_sssp_vp,
         "degree_weighted_pagerank": _q_dw_pagerank,
+        "repo_rollup": _q_repo_rollup,
+        "weighted_repo_pagerank": _q_weighted_repo_pagerank,
         "personalized_pagerank": _q_ppr,
         "hits_scores": _q_hits,
         "kcore_membership": _q_kcore,
@@ -650,6 +689,49 @@ def _dw_pagerank_sql(updates: int) -> str:
         "WITH "
         + ",\n".join(ctes)
         + f"\nSELECT id, ROUND(rank, 6) AS dw_rank FROM r{updates}"
+    )
+
+
+_REPO_EDGES_CTE = (
+    "repo_edges AS ("
+    f" SELECT src % {REPO_MOD} AS src_repo, dst % {REPO_MOD} AS dst_repo,"
+    "  CAST(COUNT(*) AS BIGINT) AS weight"
+    "  FROM edges"
+    f" WHERE src % {REPO_MOD} != dst % {REPO_MOD}"
+    "  GROUP BY src_repo, dst_repo)"
+)
+
+
+def _weighted_repo_pagerank_sql(updates: int) -> str:
+    """Unrolled edge-weighted PageRank over the repo rollup: rank mass
+    splits across out-edges proportionally to edge weight
+    (w_uv / wsum_u); vertices = endpoints of the rollup edges; dangling
+    mass not redistributed (matches linkgraph.examples.weighted_pagerank
+    and the reference's PageRankVertex dangling semantics)."""
+    ctes = [
+        EDGES_CTES.strip(),
+        _REPO_EDGES_CTE,
+        "re AS (SELECT src_repo AS src, dst_repo AS dst,"
+        " CAST(weight AS DOUBLE) AS weight FROM repo_edges)",
+        "rv AS (SELECT DISTINCT src AS id FROM re"
+        " UNION SELECT DISTINCT dst AS id FROM re)",
+        "nn AS (SELECT COUNT(*)::DOUBLE AS n FROM rv)",
+        "ws AS (SELECT src, SUM(weight) AS wsum FROM re GROUP BY src)",
+        "r0 AS (SELECT id, 1.0/(SELECT n FROM nn) AS rank FROM rv)",
+    ]
+    for i in range(1, updates + 1):
+        ctes.append(
+            f"r{i} AS MATERIALIZED ("
+            f" SELECT v.id, 0.15/(SELECT n FROM nn) + 0.85*COALESCE(s.msum, 0.0) AS rank"
+            f" FROM r{i-1} v LEFT JOIN ("
+            f"   SELECT e.dst AS id, SUM(p.rank * e.weight / w.wsum) AS msum"
+            f"   FROM re e JOIN r{i-1} p ON e.src = p.id JOIN ws w ON w.src = e.src"
+            f"   GROUP BY e.dst) s ON v.id = s.id)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT id AS repo, ROUND(rank, 6) AS wpr FROM r{updates}"
     )
 
 
@@ -1247,6 +1329,14 @@ def oracle_sql() -> dict[str, str]:
             " GROUP BY doc.doc_id"
         ),
         "degree_weighted_pagerank": _dw_pagerank_sql(DW_UPDATES),
+        "repo_rollup": (
+            "WITH "
+            + EDGES_CTES.strip()
+            + ", "
+            + _REPO_EDGES_CTE
+            + " SELECT src_repo, dst_repo, weight FROM repo_edges"
+        ),
+        "weighted_repo_pagerank": _weighted_repo_pagerank_sql(WPR_UPDATES),
         "personalized_pagerank": _ppr_sql(PPR_UPDATES, PPR_SOURCES),
         "hits_scores": _hits_sql(HITS_ITERS),
         "kcore_membership": _kcore_sql(KCORE_K, KCORE_PASSES),

@@ -9,7 +9,7 @@ and resume. See SURVEY.md for the full reference mapping.
 """
 
 from .session import get_spark
-from .derive import derive_edges, derive_files, derive_graph
+from .derive import derive_edges, derive_files, derive_graph, derive_repo_graph
 from .partitioning import build_adjacency, symmetrize
 from .checkpoint import CheckpointManager
 from .algorithms import (
@@ -39,6 +39,7 @@ from .examples import (
     sssp_program,
     token_circulation,
     token_ring_program,
+    weighted_pagerank,
 )
 from .mutation import add_vertices, delete_edges_of, delete_vertices
 from .sources import adjacency_text_graph, ring_graph, write_vertex_text
@@ -57,6 +58,7 @@ __all__ = [
     "derive_edges",
     "derive_files",
     "derive_graph",
+    "derive_repo_graph",
     "build_adjacency",
     "symmetrize",
     "CheckpointManager",
@@ -76,6 +78,7 @@ __all__ = [
     "shortest_paths_vp",
     "degree_weighted_pagerank",
     "personalized_pagerank",
+    "weighted_pagerank",
     "hits",
     "kcore",
     "token_circulation",

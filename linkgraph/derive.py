@@ -86,3 +86,49 @@ def derive_graph(code_files: DataFrame, id_mode: str = "hash") -> tuple[DataFram
     vertices = files.select("id", "repo", "path", "sha256")
     edges = derive_edges(files)
     return vertices, edges
+
+
+def derive_repo_graph(code_files: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Repo-granularity rollup of the link graph (the north_star's other
+    vertex granularity: "vertices are repos/files").
+
+    Returns ``(vertices(id, repo, n_files), edges(src, dst, weight))``
+    where ``weight`` counts the distinct file-level import references
+    crossing the repo pair — i.e. the file graph aggregated by repo, so
+    a repo pair linked by many files outweighs one linked by a single
+    import. Intra-repo references are dropped (they are not edges at
+    repo granularity). Repo ids are ``xxhash64(repo)`` — per-row
+    computable, same scale rationale as file ids.
+
+    Execution shape: the same regexp scatter + fqn equi-join as
+    :func:`derive_edges`, then ONE aggregation keyed by the repo pair.
+    At 10^12 files the repo graph is many orders smaller than the file
+    graph, so this is the standard first step before whole-corpus
+    analytics (rank repos, not files).
+    """
+    files = derive_files(code_files, id_mode="hash")
+    refs = files.select(
+        F.col("repo").alias("src_repo"),
+        F.col("id").alias("src_file"),
+        F.explode(F.expr(f"regexp_extract_all(content, '{IMPORT_RE}', 1)")).alias(
+            "ref_fqn"
+        ),
+    ).distinct()
+    targets = files.select(
+        F.col("fqn").alias("ref_fqn"), F.col("repo").alias("dst_repo")
+    ).distinct()
+    repo_edges = (
+        refs.join(targets, "ref_fqn")
+        .filter(F.col("src_repo") != F.col("dst_repo"))
+        .groupBy("src_repo", "dst_repo")
+        .agg(F.count(F.lit(1)).alias("weight"))
+        .select(
+            F.xxhash64("src_repo").alias("src"),
+            F.xxhash64("dst_repo").alias("dst"),
+            F.col("weight").cast("long").alias("weight"),
+        )
+    )
+    repo_vertices = files.groupBy("repo").agg(
+        F.count(F.lit(1)).alias("n_files")
+    ).select(F.xxhash64("repo").alias("id"), "repo", "n_files")
+    return repo_vertices, repo_edges
