@@ -45,6 +45,7 @@ def _build_parser() -> argparse.ArgumentParser:
         choices=[
             "pagerank", "cc", "lpa", "triangles", "sssp",
             "reachability", "sample", "cliques", "derive",
+            "derive-repo", "wpr",
             "dedup", "vocab", "ppr", "hits", "kcore",
         ],
     )
@@ -153,6 +154,40 @@ def main(argv: list[str] | None = None) -> None:
         out.write.format(args.format).mode("overwrite").save(args.output)
         return
 
+    if args.algorithm in ("derive-repo", "wpr"):
+        # repo-granularity tier: weighted edges either read directly
+        # (src, dst, weight) or rolled up from a source-code table
+        if args.edges:
+            wedges = spark.read.load(args.edges).select(
+                F.col("src").cast("long"),
+                F.col("dst").cast("long"),
+                F.col("weight").cast("double"),
+            )
+        elif args.code_table:
+            from linkgraph.derive import derive_repo_graph
+
+            _, wedges = derive_repo_graph(spark.read.load(args.code_table))
+        else:
+            raise SystemExit(f"{args.algorithm} requires --edges or --code-table")
+        if args.algorithm == "derive-repo":
+            out = wedges
+        else:
+            from linkgraph.examples import weighted_pagerank
+
+            out, res = weighted_pagerank(
+                wedges,
+                damping=args.damping,
+                tol=args.tol,
+                max_supersteps=args.max_supersteps,
+                fixed_updates=args.fixed_updates,
+                num_partitions=args.num_partitions,
+                ckpt=ckpt,
+                resume=not args.no_resume,
+            )
+            _write_metrics(args, res)
+        out.write.format(args.format).mode("overwrite").save(args.output)
+        return
+
     edges = _load_edges(spark, args)
     common = dict(
         num_partitions=args.num_partitions,
@@ -252,17 +287,21 @@ def main(argv: list[str] | None = None) -> None:
     out.write.format(args.format).mode("overwrite").save(args.output)
 
     if res is not None:
-        lines = [h.to_json() for h in res.history]
-        if args.metrics_output:
-            with open(args.metrics_output, "w") as f:
-                f.write("\n".join(lines) + "\n")
-        summary = {
-            "algorithm": args.algorithm,
-            "supersteps": res.supersteps,
-            "converged": res.converged,
-            "total_wall_sec": round(sum(h.wall_sec for h in res.history), 3),
-        }
-        print(json.dumps(summary), file=sys.stderr)
+        _write_metrics(args, res)
+
+
+def _write_metrics(args, res) -> None:
+    lines = [h.to_json() for h in res.history]
+    if args.metrics_output:
+        with open(args.metrics_output, "w") as f:
+            f.write("\n".join(lines) + "\n")
+    summary = {
+        "algorithm": args.algorithm,
+        "supersteps": res.supersteps,
+        "converged": res.converged,
+        "total_wall_sec": round(sum(h.wall_sec for h in res.history), 3),
+    }
+    print(json.dumps(summary), file=sys.stderr)
 
 
 if __name__ == "__main__":

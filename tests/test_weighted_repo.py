@@ -142,6 +142,50 @@ class TestWeightedPagerank:
         assert 0.0 < total <= 1.0 + 1e-9
 
 
+class TestCliWpr:
+    def test_wpr_and_derive_repo_subcommands(self, spark, tmp_path):
+        """CLI drive: derive-repo rolls a code table up to weighted repo
+        edges; wpr ranks them; outputs round-trip through parquet."""
+        from linkgraph import cli
+
+        code = synth_code_files(spark, n_repos=10, files_per_repo=6)
+        code_path = str(tmp_path / "code")
+        code.write.parquet(code_path)
+
+        redges_path = str(tmp_path / "repo_edges")
+        cli.main(
+            ["derive-repo", "--code-table", code_path, "--output", redges_path]
+        )
+        redges = spark.read.parquet(redges_path)
+        assert set(redges.columns) == {"src", "dst", "weight"}
+        assert redges.count() > 0
+
+        ranks_path = str(tmp_path / "wpr")
+        metrics_path = str(tmp_path / "m.jsonl")
+        cli.main(
+            [
+                "wpr", "--edges", redges_path, "--output", ranks_path,
+                "--fixed-updates", "6", "--metrics-output", metrics_path,
+            ]
+        )
+        got = {
+            r["id"]: r["rank"] for r in spark.read.parquet(ranks_path).collect()
+        }
+        exp_df, _ = weighted_pagerank(
+            redges.select(
+                "src", "dst", F.col("weight").cast("double").alias("weight")
+            ),
+            fixed_updates=6,
+            track_messages=False,
+        )
+        exp = {r["id"]: r["rank"] for r in exp_df.collect()}
+        assert got.keys() == exp.keys()
+        for i in exp:
+            assert got[i] == pytest.approx(exp[i], abs=1e-12)
+        with open(metrics_path) as f:
+            assert len(f.read().strip().splitlines()) == 6
+
+
 class TestRepoPagerankEndToEnd:
     def test_rank_repo_graph(self, spark):
         """The north-star pipeline at repo granularity: code table ->
