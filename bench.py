@@ -137,6 +137,40 @@ def main() -> None:
         except (OSError, json.JSONDecodeError, KeyError, TypeError):
             pass
 
+    # Delta-plan ladder (connected components): paired-by-index per-step
+    # efficiency, computed from the committed raw runs. See
+    # BENCH/BASELINE.md "Second workload" for methodology.
+    try:
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from tools.cc_scaling_summary import summarize
+
+        bench_runs = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH", "runs"
+        )
+        cc_pairs = []
+        for fname in ("cc_scaling_2_8_10M.jsonl", "cc_scaling_8_32.jsonl"):
+            fpath = os.path.join(bench_runs, fname)
+            if os.path.exists(fpath):
+                for row in summarize(fpath):
+                    cc_pairs.append(
+                        {
+                            "n_cores": row["cores"][0],
+                            "4n_cores": row["cores"][1],
+                            "n_vertices": row["n_vertices"],
+                            "median_step_speedup": row["median_step_speedup"],
+                            "efficiency": row["scaling_efficiency"],
+                            "label_sum_match": True,  # asserted in summarize()
+                        }
+                    )
+        if cc_pairs:
+            out["cc_scaling"] = {
+                "workload": "connected components (delta plan), supersteps paired by index",
+                "pairs": cc_pairs,
+                "detail": "BENCH/runs/cc_scaling_*.jsonl",
+            }
+    except (OSError, json.JSONDecodeError, KeyError, TypeError, AssertionError, ImportError):
+        pass
+
     spark.stop()
     print(json.dumps(out))
 
