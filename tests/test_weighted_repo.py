@@ -142,6 +142,42 @@ class TestWeightedPagerank:
         assert 0.0 < total <= 1.0 + 1e-9
 
 
+class TestWeightedResume:
+    def test_resume_equals_fresh_with_vertex_attrs(self, spark, tmp_path):
+        """Kill/resume parity for a VertexProgram that carries a static
+        vertex attribute (wsum) inside the state frame: the checkpoint
+        must restore attrs along with values (the reference's
+        FailureRecovery shape applied to the weighted program)."""
+        from linkgraph.checkpoint import CheckpointManager
+
+        edges = spark.createDataFrame(
+            [(int(s), int(d), float(w)) for s, d, w in TestWeightedPagerank.WEDGES],
+            "src long, dst long, weight double",
+        )
+        ck = CheckpointManager(spark, str(tmp_path / "wpr"), every=1)
+        _, partial = weighted_pagerank(
+            edges, tol=1e-9, max_supersteps=3, ckpt=ck, track_messages=False
+        )
+        assert not partial.converged
+        resumed, res = weighted_pagerank(
+            edges,
+            tol=1e-9,
+            ckpt=CheckpointManager(spark, str(tmp_path / "wpr"), every=1),
+            track_messages=False,
+        )
+        # resume keeps the restored lineage (supersteps 1..3) and
+        # continues at 4 — attrs (wsum) restored from the checkpoint
+        assert res.converged
+        assert [h.superstep for h in res.history[:4]] == [1, 2, 3, 4]
+        assert res.supersteps > 3
+        fresh, _ = weighted_pagerank(edges, tol=1e-9, track_messages=False)
+        got = {r["id"]: r["rank"] for r in resumed.collect()}
+        exp = {r["id"]: r["rank"] for r in fresh.collect()}
+        assert got.keys() == exp.keys()
+        for i in exp:
+            assert got[i] == pytest.approx(exp[i], abs=1e-12)
+
+
 class TestCliWpr:
     def test_wpr_and_derive_repo_subcommands(self, spark, tmp_path):
         """CLI drive: derive-repo rolls a code table up to weighted repo
