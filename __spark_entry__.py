@@ -52,6 +52,7 @@ PR_UPDATES = 8
 DW_UPDATES = 6
 REPO_MOD = 25  # repo key for the rollup queries: repo(d) = d % 25
 WPR_UPDATES = 8  # weighted-PageRank updates over the repo rollup
+LINKPRED_MIN_COMMON = 3  # link prediction: >=3 shared neighbors
 PPR_UPDATES = 6
 PPR_SOURCES = [0, 7]  # teleport seed set for personalized PageRank
 HITS_ITERS = 10
@@ -213,6 +214,23 @@ def _q_weighted_repo_pagerank(spark, sf):
     ranks, _ = weighted_pagerank(redges, fixed_updates=WPR_UPDATES)
     return ranks.select(
         F.col("id").alias("repo"), F.round("rank", 6).alias("wpr")
+    )
+
+
+def _q_link_prediction(spark, sf):
+    """Common-neighbor link prediction (Jaccard + Adamic-Adar over the
+    symmetrized graph, non-adjacent pairs with >= LINKPRED_MIN_COMMON
+    shared neighbors) — wedge-join + anti-join, all JVM-side."""
+    from linkgraph import common_neighbor_scores
+
+    edges = document_edges(spark, sf)
+    scores = common_neighbor_scores(edges, min_common=LINKPRED_MIN_COMMON)
+    return scores.select(
+        "u",
+        "v",
+        "common",
+        F.round("jaccard", 6).alias("jaccard"),
+        F.round("adamic_adar", 6).alias("adamic_adar"),
     )
 
 
@@ -587,6 +605,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree_weighted_pagerank": _q_dw_pagerank,
         "repo_rollup": _q_repo_rollup,
         "weighted_repo_pagerank": _q_weighted_repo_pagerank,
+        "link_prediction": _q_link_prediction,
         "personalized_pagerank": _q_ppr,
         "hits_scores": _q_hits,
         "kcore_membership": _q_kcore,
@@ -1337,6 +1356,30 @@ def oracle_sql() -> dict[str, str]:
             + " SELECT src_repo, dst_repo, weight FROM repo_edges"
         ),
         "weighted_repo_pagerank": _weighted_repo_pagerank_sql(WPR_UPDATES),
+        "link_prediction": (
+            "WITH "
+            + EDGES_CTES.strip()
+            + ", "
+            + SYM_CTE.strip()
+            + ","
+            " sdeg AS (SELECT src, COUNT(*) AS dg FROM sym GROUP BY src),"
+            " wedges AS ("
+            "   SELECT l.src AS u, r.src AS v, l.dst AS b"
+            "   FROM sym l JOIN sym r ON l.dst = r.dst AND l.src < r.src),"
+            " pairs AS ("
+            "   SELECT w.u, w.v, CAST(COUNT(*) AS BIGINT) AS common,"
+            "          SUM(1.0 / LN(CAST(db.dg AS DOUBLE))) AS aa"
+            "   FROM wedges w JOIN sdeg db ON db.src = w.b"
+            "   GROUP BY w.u, w.v"
+            f"  HAVING COUNT(*) >= {LINKPRED_MIN_COMMON}),"
+            " nonadj AS ("
+            "   SELECT p.* FROM pairs p"
+            "   WHERE NOT EXISTS (SELECT 1 FROM sym s WHERE s.src = p.u AND s.dst = p.v))"
+            " SELECT n.u, n.v, n.common,"
+            "   ROUND(n.common / CAST(du.dg + dv.dg - n.common AS DOUBLE), 6) AS jaccard,"
+            "   ROUND(n.aa, 6) AS adamic_adar"
+            " FROM nonadj n JOIN sdeg du ON du.src = n.u JOIN sdeg dv ON dv.src = n.v"
+        ),
         "personalized_pagerank": _ppr_sql(PPR_UPDATES, PPR_SOURCES),
         "hits_scores": _hits_sql(HITS_ITERS),
         "kcore_membership": _kcore_sql(KCORE_K, KCORE_PASSES),

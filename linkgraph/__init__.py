@@ -21,6 +21,7 @@ from .algorithms import (
     pagerank,
     reachability,
     shortest_paths,
+    common_neighbor_scores,
     triangle_counts,
     triangle_total,
 )
@@ -65,6 +66,7 @@ __all__ = [
     "pagerank",
     "connected_components",
     "label_propagation",
+    "common_neighbor_scores",
     "triangle_counts",
     "triangle_total",
     "shortest_paths",

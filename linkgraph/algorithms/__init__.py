@@ -1,6 +1,7 @@
 from .pagerank import pagerank
 from .cc import connected_components
 from .lpa import label_propagation
+from .linkpred import common_neighbor_scores
 from .triangles import triangle_counts, triangle_total
 from .sssp import shortest_paths
 from .reachability import reachability
@@ -14,6 +15,7 @@ __all__ = [
     "pagerank",
     "connected_components",
     "label_propagation",
+    "common_neighbor_scores",
     "triangle_counts",
     "triangle_total",
     "shortest_paths",

@@ -1,0 +1,83 @@
+"""Link prediction (common-neighbor scores) vs a brute-force oracle."""
+
+from __future__ import annotations
+
+import math
+from itertools import combinations
+
+import pytest
+
+from linkgraph import common_neighbor_scores
+from linkgraph.synth import WEBMAPCOMPLEX, adjacency_to_edges, edges_df
+
+
+def _python_scores(directed_edges, min_common=2, max_center_degree=None):
+    nbrs: dict[int, set[int]] = {}
+    for s, d in directed_edges:
+        if s == d:
+            continue
+        nbrs.setdefault(s, set()).add(d)
+        nbrs.setdefault(d, set()).add(s)
+    out = {}
+    for u, v in combinations(sorted(nbrs), 2):
+        if v in nbrs[u]:
+            continue
+        cn = nbrs[u] & nbrs[v]
+        if max_center_degree is not None:
+            cn = {b for b in cn if len(nbrs[b]) <= max_center_degree}
+        if len(cn) < min_common:
+            continue
+        common = len(cn)
+        out[(u, v)] = (
+            common,
+            common / (len(nbrs[u]) + len(nbrs[v]) - common),
+            sum(1.0 / math.log(len(nbrs[b])) for b in cn),
+        )
+    return out
+
+
+@pytest.fixture(scope="module")
+def webmap_edges():
+    return adjacency_to_edges(WEBMAPCOMPLEX)
+
+
+class TestCommonNeighborScores:
+    def test_matches_bruteforce(self, spark, webmap_edges):
+        got_df = common_neighbor_scores(edges_df(spark, webmap_edges), min_common=2)
+        got = {
+            (r["u"], r["v"]): (r["common"], r["jaccard"], r["adamic_adar"])
+            for r in got_df.collect()
+        }
+        exp = _python_scores(webmap_edges, min_common=2)
+        assert got.keys() == exp.keys()
+        for k, (c, j, a) in exp.items():
+            assert got[k][0] == c
+            assert got[k][1] == pytest.approx(j, abs=1e-12)
+            assert got[k][2] == pytest.approx(a, abs=1e-12)
+
+    def test_center_degree_cap(self, spark, webmap_edges):
+        """The scale knob drops high-degree centers exactly — same rule
+        as the brute-force oracle applying the same cap."""
+        got_df = common_neighbor_scores(
+            edges_df(spark, webmap_edges), min_common=1, max_center_degree=3
+        )
+        got = {
+            (r["u"], r["v"]): r["common"] for r in got_df.collect()
+        }
+        exp = {
+            k: c
+            for k, (c, _j, _a) in _python_scores(
+                webmap_edges, min_common=1, max_center_degree=3
+            ).items()
+        }
+        assert got == exp
+
+    def test_no_adjacent_pairs_and_ordering(self, spark, webmap_edges):
+        df = common_neighbor_scores(edges_df(spark, webmap_edges), min_common=1)
+        rows = df.collect()
+        assert all(r["u"] < r["v"] for r in rows)
+        sym = set()
+        for s, d in webmap_edges:
+            sym.add((s, d))
+            sym.add((d, s))
+        assert all((r["u"], r["v"]) not in sym for r in rows)
