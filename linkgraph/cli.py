@@ -45,7 +45,7 @@ def _build_parser() -> argparse.ArgumentParser:
         choices=[
             "pagerank", "cc", "lpa", "triangles", "sssp",
             "reachability", "sample", "cliques", "derive",
-            "derive-repo", "wpr",
+            "derive-repo", "wpr", "linkpred",
             "dedup", "vocab", "ppr", "hits", "kcore",
         ],
     )
@@ -90,6 +90,11 @@ def _build_parser() -> argparse.ArgumentParser:
     p.add_argument("--sources", type=int, nargs="+", default=[0],
                    help="ppr: teleport seed vertex ids")
     p.add_argument("--k", type=int, default=3, help="kcore: core order k")
+    p.add_argument("--min-common", type=int, default=2,
+                   help="linkpred: minimum shared neighbors per pair")
+    p.add_argument("--max-center-degree", type=int, default=None,
+                   help="linkpred: drop common-neighbor centers above this degree "
+                   "(bounds the hub wedge set at scale)")
     p.add_argument("--iterations", type=int, default=20, help="hits: fixed iterations")
     p.add_argument("--directed", action="store_true",
                    help="cc/lpa/triangles: consume edges as-given instead of symmetrizing")
@@ -275,6 +280,15 @@ def main(argv: list[str] | None = None) -> None:
         from linkgraph.examples import kcore
 
         out, res = kcore(edges, args.k, max_supersteps=args.max_supersteps, **common)
+    elif args.algorithm == "linkpred":
+        from linkgraph.algorithms.linkpred import common_neighbor_scores
+
+        out = common_neighbor_scores(
+            edges,
+            min_common=args.min_common,
+            max_center_degree=args.max_center_degree,
+            symmetrize_edges=not args.directed,
+        )
     elif args.algorithm == "cliques":
         from linkgraph.algorithms.cliques import maximum_cliques
 

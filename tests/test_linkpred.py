@@ -72,6 +72,25 @@ class TestCommonNeighborScores:
         }
         assert got == exp
 
+    def test_cli_subcommand(self, spark, webmap_edges, tmp_path):
+        from linkgraph import cli
+
+        edges_path = str(tmp_path / "edges")
+        edges_df(spark, webmap_edges).write.parquet(edges_path)
+        out_path = str(tmp_path / "scores")
+        cli.main(
+            ["linkpred", "--edges", edges_path, "--output", out_path,
+             "--min-common", "2"]
+        )
+        got = {
+            (r["u"], r["v"]): r["common"]
+            for r in spark.read.parquet(out_path).collect()
+        }
+        exp = {
+            k: c for k, (c, _j, _a) in _python_scores(webmap_edges, min_common=2).items()
+        }
+        assert got == exp
+
     def test_no_adjacent_pairs_and_ordering(self, spark, webmap_edges):
         df = common_neighbor_scores(edges_df(spark, webmap_edges), min_common=1)
         rows = df.collect()
