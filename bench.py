@@ -168,7 +168,16 @@ def main() -> None:
                 "pairs": cc_pairs,
                 "detail": "BENCH/runs/cc_scaling_*.jsonl",
             }
-    except (OSError, json.JSONDecodeError, KeyError, TypeError, AssertionError, ImportError):
+    except (
+        OSError,
+        json.JSONDecodeError,
+        KeyError,
+        TypeError,
+        AssertionError,
+        ImportError,
+        ZeroDivisionError,
+        ValueError,  # statistics.median on an empty ratio list
+    ):
         pass
 
     spark.stop()

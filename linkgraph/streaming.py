@@ -76,8 +76,18 @@ def run_available_now(
 def stream_edges(spark: SparkSession, path: str) -> DataFrame:
     """File-stream of an edges directory (src BIGINT, dst BIGINT) —
     incremental link-graph ingest: each newly landed parquet file is one
-    micro-batch of edge arrivals."""
-    schema = spark.read.parquet(path).schema
+    micro-batch of edge arrivals.
+
+    The schema is the documented contract, declared explicitly rather
+    than inferred from an eager read of the same path: inference throws
+    if the directory is still empty at stream-definition time (a normal
+    state for an ingest directory) and would silently adopt whatever
+    columns happen to be present instead of the (src, dst) contract."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [T.StructField("src", T.LongType()), T.StructField("dst", T.LongType())]
+    )
     return spark.readStream.schema(schema).parquet(path)
 
 

@@ -30,10 +30,18 @@ def summarize(path: str) -> list[dict]:
         assert a["label_sum"] == b["label_sum"], "answers differ between levels"
         assert a["supersteps"] == b["supersteps"], "frontier schedules differ"
         factor = b["cores"] / a["cores"]
+        # per_step_sec is rounded to 2dp by the ladder runner, so a
+        # collapsed-frontier superstep under ~5ms records as 0.0 (the
+        # 4M-probe regime BASELINE.md documents); a zero on either side
+        # carries no timing signal at that resolution — drop the pair
+        # instead of dividing by it.
         ratios = [
             sa / sb
-            for sa, sb in zip(a["per_step_sec"], b["per_step_sec"])
-        ][WARMUP_STEPS:]
+            for sa, sb in list(zip(a["per_step_sec"], b["per_step_sec"]))[WARMUP_STEPS:]
+            if sa > 0 and sb > 0
+        ]
+        if not ratios:
+            continue
         med = median(ratios)
         out.append(
             {
