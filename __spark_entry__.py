@@ -53,6 +53,10 @@ DW_UPDATES = 6
 REPO_MOD = 25  # repo key for the rollup queries: repo(d) = d % 25
 WPR_UPDATES = 8  # weighted-PageRank updates over the repo rollup
 LINKPRED_MIN_COMMON = 3  # link prediction: >=3 shared neighbors
+# link prediction hub cap (the production default): centers above this
+# degree are excluded from the wedge join in BOTH engines, so the gate
+# stays a full hash match with the cap active
+LINKPRED_MAX_CENTER_DEG = 10_000
 PPR_UPDATES = 6
 PPR_SOURCES = [0, 7]  # teleport seed set for personalized PageRank
 HITS_ITERS = 10
@@ -224,7 +228,11 @@ def _q_link_prediction(spark, sf):
     from linkgraph import common_neighbor_scores
 
     edges = document_edges(spark, sf)
-    scores = common_neighbor_scores(edges, min_common=LINKPRED_MIN_COMMON)
+    scores = common_neighbor_scores(
+        edges,
+        min_common=LINKPRED_MIN_COMMON,
+        max_center_degree=LINKPRED_MAX_CENTER_DEG,
+    )
     return scores.select(
         "u",
         "v",
@@ -1370,6 +1378,7 @@ def oracle_sql() -> dict[str, str]:
             "   SELECT w.u, w.v, CAST(COUNT(*) AS BIGINT) AS common,"
             "          SUM(1.0 / LN(CAST(db.dg AS DOUBLE))) AS aa"
             "   FROM wedges w JOIN sdeg db ON db.src = w.b"
+            f"  WHERE db.dg <= {LINKPRED_MAX_CENTER_DEG}"
             "   GROUP BY w.u, w.v"
             f"  HAVING COUNT(*) >= {LINKPRED_MIN_COMMON}),"
             " nonadj AS ("

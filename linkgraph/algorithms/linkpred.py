@@ -15,18 +15,26 @@ neither imports the other.
 
 Execution shape: one wedge join through the common neighbor b (the
 triangle join without the closing semi-join), then a groupBy on the
-pair and an anti-join against the existing edges. deg(b) >= 2 always
-holds for a common neighbor, so ln(deg(b)) is never zero. Everything is
-built-in Spark SQL — no Python in the plan.
+pair and an anti-join against the existing edges. In the default
+symmetrized mode deg(b) >= 2 always holds for a common neighbor (b is
+adjacent to both u and v), so ln(deg(b)) is never zero; in directed
+mode deg(b) is an OUT-degree and can be 1, so the Adamic-Adar term is
+guarded (a deg-1 center contributes to ``common`` but not to
+``adamic_adar``). Everything is built-in Spark SQL — no Python in the
+plan.
 
 Scale notes:
 - the wedge join shuffles on the center b; a hub's wedge set is
   quadratic in its degree. ``max_center_degree`` bounds that exactly
-  (drop centers above the cap BEFORE the self-join). This is the
-  standard approximation for Adamic-Adar at scale — a high-degree
-  center contributes at most 1/ln(cap) per pair, so capping changes
-  scores by a bounded, known amount; it is also pure SQL, so the DuckDB
-  oracle applies the identical cap and the gate stays exact.
+  (drop centers above the cap BEFORE the self-join) and DEFAULTS ON
+  (10_000): one 10^5-degree hub otherwise yields 10^10 wedge rows in a
+  single center group — the classic scale-killer. This is the standard
+  approximation for Adamic-Adar at scale — a dropped center is one
+  with >10^4 neighbors, contributing at most 1/ln(10^4) ~= 0.11 per
+  pair and near-zero link signal (it co-occurs with everything); it is
+  also pure SQL, so the DuckDB oracle applies the identical cap and
+  the gate stays exact. Pass ``None`` for the exact uncapped scores on
+  small graphs.
 - ``min_common`` prunes the candidate set map-side-aggregated before
   the anti-join; real deployments keep only pairs with >= 2 shared
   neighbors.
@@ -40,17 +48,22 @@ from pyspark.sql import functions as F
 from ..partitioning import symmetrize
 
 
+DEFAULT_MAX_CENTER_DEGREE = 10_000
+
+
 def common_neighbor_scores(
     edges: DataFrame,
     min_common: int = 2,
-    max_center_degree: int | None = None,
+    max_center_degree: int | None = DEFAULT_MAX_CENTER_DEGREE,
     symmetrize_edges: bool = True,
 ) -> DataFrame:
     """Score non-adjacent pairs by shared neighborhood.
 
     Returns DF(u, v, common, jaccard, adamic_adar) with u < v, only
     pairs NOT already connected and with at least ``min_common`` shared
-    neighbors.
+    neighbors. Centers with degree above ``max_center_degree`` are
+    excluded from the wedge join (see module docstring; ``None``
+    disables the cap).
     """
     e = symmetrize(edges) if symmetrize_edges else edges.select("src", "dst").distinct()
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
@@ -63,16 +76,30 @@ def common_neighbor_scores(
     right = e.select(F.col("dst").alias("b"), F.col("src").alias("v"))
     wedges = centers.join(right, "b").filter(F.col("u") < F.col("v"))
 
+    # deg_b >= 2 guard: in directed mode a common OUT-neighbor's
+    # out-degree can be 1, and 1/ln(1) divides by zero (which non-ANSI
+    # Spark folds to NULL and SUM silently skips). Make the skip
+    # explicit and deterministic: a deg-1 center counts toward `common`
+    # but contributes 0 to adamic_adar. A no-op in symmetrized mode.
+    aa_term = F.when(
+        F.col("deg_b") >= 2, F.lit(1.0) / F.log(F.col("deg_b").cast("double"))
+    ).otherwise(F.lit(0.0))
     pairs = wedges.groupBy("u", "v").agg(
         F.count(F.lit(1)).cast("long").alias("common"),
-        F.sum(F.lit(1.0) / F.log(F.col("deg_b").cast("double"))).alias("adamic_adar"),
+        F.sum(aa_term).alias("adamic_adar"),
     )
     if min_common > 1:
         pairs = pairs.filter(F.col("common") >= min_common)
 
-    # only NON-adjacent pairs: u < v and sym holds both directions, so
-    # one anti-join on (u, v) suffices
+    # only NON-adjacent pairs. Symmetrized mode holds both directions,
+    # so one (u, v) anti-join suffices; directed mode must exclude a
+    # pair adjacent in EITHER orientation (u->v or v->u), or a
+    # reverse-only edge would be reported as a non-adjacent prediction.
     existing = e.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    if not symmetrize_edges:
+        existing = existing.unionByName(
+            e.select(F.col("dst").alias("u"), F.col("src").alias("v"))
+        )
     pairs = pairs.join(existing, ["u", "v"], "left_anti")
 
     du = deg.select(F.col("src").alias("u"), F.col("deg").alias("deg_u"))

@@ -92,9 +92,9 @@ def _build_parser() -> argparse.ArgumentParser:
     p.add_argument("--k", type=int, default=3, help="kcore: core order k")
     p.add_argument("--min-common", type=int, default=2,
                    help="linkpred: minimum shared neighbors per pair")
-    p.add_argument("--max-center-degree", type=int, default=None,
+    p.add_argument("--max-center-degree", type=int, default=10_000,
                    help="linkpred: drop common-neighbor centers above this degree "
-                   "(bounds the hub wedge set at scale)")
+                   "(bounds the hub wedge set at scale; 0 = uncapped)")
     p.add_argument("--iterations", type=int, default=20, help="hits: fixed iterations")
     p.add_argument("--directed", action="store_true",
                    help="cc/lpa/triangles: consume edges as-given instead of symmetrizing")
@@ -286,7 +286,7 @@ def main(argv: list[str] | None = None) -> None:
         out = common_neighbor_scores(
             edges,
             min_common=args.min_common,
-            max_center_degree=args.max_center_degree,
+            max_center_degree=args.max_center_degree or None,
             symmetrize_edges=not args.directed,
         )
     elif args.algorithm == "cliques":

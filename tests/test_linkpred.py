@@ -91,6 +91,59 @@ class TestCommonNeighborScores:
         }
         assert got == exp
 
+    def test_directed_excludes_reverse_only_adjacency(self, spark):
+        """Directed mode: a pair adjacent ONLY via the reverse edge
+        (v->u) must still be excluded from the non-adjacent
+        predictions (advisor finding, round 2)."""
+        edges = [(1, 3), (2, 3), (2, 1)]  # (1,2) share out-nbr 3; edge 2->1
+        df = common_neighbor_scores(
+            edges_df(spark, edges), min_common=1, symmetrize_edges=False
+        )
+        got = {(r["u"], r["v"]) for r in df.collect()}
+        assert (1, 2) not in got
+        assert got == set()
+
+    def test_directed_deg1_center_adamic_adar_guard(self, spark):
+        """Directed mode: a common out-neighbor with out-degree 1 makes
+        1/ln(1) divide by zero; the guard contributes 0 to adamic_adar
+        (deterministically) while the center still counts in common."""
+        edges = [(1, 3), (2, 3), (3, 4)]  # center 3 has out-degree 1
+        df = common_neighbor_scores(
+            edges_df(spark, edges), min_common=1, symmetrize_edges=False
+        )
+        rows = {(r["u"], r["v"]): r for r in df.collect()}
+        assert (1, 2) in rows
+        r = rows[(1, 2)]
+        assert r["common"] == 1
+        assert r["adamic_adar"] == 0.0  # guarded, not NULL
+
+    def test_hub_cap_default_bounds_wedge_volume(self, spark):
+        """A 5000-degree hub under the default cap: hub-mediated pairs
+        never materialize (the wedge join would be ~12.5M rows for one
+        center), while low-degree-center pairs come through exactly."""
+        hub_edges = [(0, leaf) for leaf in range(1, 5001)]
+        side_edges = [(1, 6000), (2, 6000), (1, 6001), (2, 6001)]
+        df = common_neighbor_scores(
+            edges_df(spark, hub_edges + side_edges),
+            min_common=1,
+            max_center_degree=100,
+        )
+        rows = {(r["u"], r["v"]): r for r in df.collect()}
+        # only pairs mediated by low-degree centers survive: the two
+        # side centers connect (1,2); leaves 1 and 2 (degree 3) connect
+        # the hub and side centers to each other. NO leaf-leaf pair
+        # (their only common neighbor is the capped hub).
+        assert set(rows) == {(1, 2), (0, 6000), (0, 6001), (6000, 6001)}
+        assert all(r["common"] == 2 for r in rows.values())
+        # (1,2)'s centers have (symmetrized) degree 2 -> 2 * 1/ln(2)
+        assert rows[(1, 2)]["adamic_adar"] == pytest.approx(
+            2.0 / math.log(2.0), abs=1e-12
+        )
+        # the others' centers are leaves 1,2 with degree 3 -> 2 * 1/ln(3)
+        assert rows[(0, 6000)]["adamic_adar"] == pytest.approx(
+            2.0 / math.log(3.0), abs=1e-12
+        )
+
     def test_no_adjacent_pairs_and_ordering(self, spark, webmap_edges):
         df = common_neighbor_scores(edges_df(spark, webmap_edges), min_common=1)
         rows = df.collect()
