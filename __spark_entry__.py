@@ -424,7 +424,7 @@ def _q_events_hourly(spark, sf):
 
 
 def _q_minhash_lsh(spark, sf):
-    return minhash_lsh_pairs(load_documents(spark, sf), threshold=0.3)
+    return minhash_lsh_pairs(load_documents(spark, sf), threshold=0.3, portable=True)
 
 
 def _q_dedup_clusters(spark, sf):
@@ -432,7 +432,7 @@ def _q_dedup_clusters(spark, sf):
     closed by the CC superstep loop into dedup clusters."""
     from linkgraph.pipeline.dedup import dedup_clusters
 
-    return dedup_clusters(load_documents(spark, sf), threshold=0.3)
+    return dedup_clusters(load_documents(spark, sf), threshold=0.3, portable=True)
 
 
 def _q_vocabulary(spark, sf):
@@ -476,7 +476,7 @@ def _q_kmv_sketch(spark, sf):
 
 
 def _q_simhash(spark, sf):
-    return simhash64(load_documents(spark, sf))
+    return simhash64(load_documents(spark, sf), portable=True)
 
 
 def _q_simhash_pairs(spark, sf):
@@ -490,7 +490,7 @@ def _q_simhash_pairs(spark, sf):
     # WWW'07); the previous k=16 demo made each band a 3-bit filter
     # (8 buckets), which at sf0.1 ballooned to ~26M candidate pairs —
     # 65x the candidate volume for pairs that are not near-dups.
-    return simhash_pairs(load_documents(spark, sf), max_distance=7)
+    return simhash_pairs(load_documents(spark, sf), max_distance=7, portable=True)
 
 
 def _q_lsh_topk(spark, sf):
@@ -526,7 +526,11 @@ def _q_graph_sample(spark, sf):
 
     edges = document_edges(spark, sf)
     sel, _ = graph_sample(
-        edges, target_rate=0.3, seed=7, vertices=document_vertices(spark, sf)
+        edges,
+        target_rate=0.3,
+        seed=7,
+        vertices=document_vertices(spark, sf),
+        portable=True,
     )
     return sel
 

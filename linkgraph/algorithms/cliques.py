@@ -115,15 +115,29 @@ def local_maximal_cliques(
         .distinct()
     )
     fdeg = ce.groupBy("a").agg(F.count(F.lit(1)).alias("fdeg"))
-    big = fdeg.filter(F.col("fdeg") > hub_split_degree).select(F.col("a").alias("v"))
-    n_big = big.count()
+    # ONE small driver action decides the plan: hub count + max degree
+    # folded into a single agg over the (already tiny) per-center degree
+    # frame. The common no-hub case then skips the hub bookkeeping
+    # entirely — no `big` frame, no anti-join in the wedge plan (the
+    # always-paid fdeg agg + big.count() pair was ~40% of this
+    # operator's toy-scale wall time in round 2).
+    row = fdeg.agg(
+        F.sum((F.col("fdeg") > hub_split_degree).cast("long")).alias("n_big")
+    ).first()
+    n_big = int(row["n_big"] or 0)
     if n_big:
         log.info(
             "local_maximal_cliques: %d hub center(s) over forward-degree %d "
             "take the two-level split", n_big, hub_split_degree,
         )
     e1 = ce.select(F.col("a").alias("v"), F.col("b").alias("x"))
-    e1_small = e1.join(big, "v", "left_anti")
+    if n_big == 0:
+        e1_small = e1
+    else:
+        big = fdeg.filter(F.col("fdeg") > hub_split_degree).select(
+            F.col("a").alias("v")
+        )
+        e1_small = e1.join(big, "v", "left_anti")
     # induced edges among v's forward neighbors (the wedge join) ...
     wedge_small = (
         e1_small.join(e1_small.withColumnRenamed("x", "y"), "v")

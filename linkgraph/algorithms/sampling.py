@@ -9,14 +9,25 @@ aggregated selected fraction reaches the target rate (the reference's
 GlobalSamplingAggregator + fillingRate check).
 
 The reference draws from ``java.util.Random`` (run-dependent). Ours
-replaces the PRNG with counter-based hashing — an md5-digit coin over
+replaces the PRNG with counter-based hashing — a hash coin over
 ``(id, seed, superstep)`` — so the sample is a pure function of
-(graph, seed): reproducible across runs, partitionings, and cluster
-sizes, with the same per-superstep selection probabilities. All
-selection logic is JVM-side column expressions, and the coin uses only
-built-ins shared by Spark SQL and DuckDB (md5 + position-weighted hex
-digits), so the whole sampling run is oracle-checkable by unrolling the
-supersteps in SQL (``__spark_entry__._graph_sample_sql``).
+(graph, seed, mode): reproducible across runs, partitionings, and
+cluster sizes, with the same per-superstep selection probabilities.
+All selection logic is JVM-side column expressions. Two coin modes:
+
+- ``portable=False`` (production default): xxhash64 coins — one cheap
+  native hash per draw.
+- ``portable=True``: md5-digit coins whose value is reproducible in
+  any engine with md5 + integer arithmetic, so the whole sampling run
+  (seeding, expansion, fill-rate stopping) is oracle-checkable by
+  unrolling the supersteps in SQL (``__spark_entry__._graph_sample_sql``
+  uses :func:`seed_coin_sql`/:func:`edge_coin_sql`, the engine-neutral
+  digit-term spelling). Spark-side, the SAME value is computed with
+  one native ``conv(substr(md5(..)))`` call per coin
+  (:func:`linkgraph.phash.md5_digits_spark_sql`) — the inlined
+  digit-term form evaluated the md5 once per hex digit (up to 6x per
+  coin), which was the bulk of graph_sample's round-2 bench
+  regression.
 """
 
 from __future__ import annotations
@@ -27,27 +38,47 @@ from pyspark.sql import functions as F
 from ..checkpoint import CheckpointManager
 from ..graph import choose_partitions, vertices_from_edges
 from ..partitioning import build_adjacency
+from ..phash import md5_digits_spark_sql as _md5_digits_spark_sql
 from ..phash import md5_int_sql as _md5_int_sql
 from ..superstep import LoopResult, StepResult, iterate, iteration_conf
+
+
+def _seed_arg(id_sql: str, seed: int, k: int) -> str:
+    return f"concat_ws(':', 's', CAST({id_sql} AS STRING), '{seed}', '{k}')"
+
+
+def _edge_arg(src_sql: str, dst_sql: str, seed: int, k: int) -> str:
+    return (
+        f"concat_ws(':', 'e', CAST({src_sql} AS STRING),"
+        f" CAST({dst_sql} AS STRING), '{seed}', '{k}')"
+    )
 
 
 def seed_coin_sql(id_sql: str, seed: int, k: int, interval: int) -> str:
     """True when vertex ``id`` self-selects at superstep ``k``
     (probability 1/interval — GraphSampleVertex.java:156-170's
-    seed-interval draw, made deterministic)."""
-    arg = f"concat_ws(':', 's', CAST({id_sql} AS STRING), '{seed}', '{k}')"
-    return f"({_md5_int_sql(arg)} % {interval} = 0)"
+    seed-interval draw, made deterministic). Engine-neutral md5
+    digit-term spelling (valid in Spark SQL AND DuckDB) — used by the
+    oracle; the engine's portable mode computes the identical value via
+    the faster conv() spelling."""
+    return f"({_md5_int_sql(_seed_arg(id_sql, seed, k))} % {interval} = 0)"
 
 
 def edge_coin_sql(src_sql: str, dst_sql: str, seed: int, k: int, interval: int) -> str:
     """True when newly-selected ``src`` marks out-neighbor ``dst`` at
     superstep ``k`` (probability 1/interval — the reference's
-    sampling-interval draw over out-edges)."""
-    arg = (
-        f"concat_ws(':', 'e', CAST({src_sql} AS STRING),"
-        f" CAST({dst_sql} AS STRING), '{seed}', '{k}')"
-    )
-    return f"({_md5_int_sql(arg)} % {interval} = 0)"
+    sampling-interval draw over out-edges). Engine-neutral spelling;
+    see :func:`seed_coin_sql`."""
+    return f"({_md5_int_sql(_edge_arg(src_sql, dst_sql, seed, k))} % {interval} = 0)"
+
+
+def _spark_coin(arg_sql: str, interval: int, portable: bool) -> str:
+    """Spark-side coin: portable = conv-extracted md5 digits (same
+    value as the digit-term oracle spelling, md5 evaluated ONCE); fast
+    = xxhash64 (pmod: xxhash64 is signed)."""
+    if portable:
+        return f"({_md5_digits_spark_sql(f'md5({arg_sql})', 6)} % {interval} = 0)"
+    return f"(pmod(xxhash64({arg_sql}), {interval}) = 0)"
 
 
 def graph_sample(
@@ -62,9 +93,13 @@ def graph_sample(
     ckpt: CheckpointManager | None = None,
     resume: bool = True,
     track_messages: bool = True,
+    portable: bool = False,
 ) -> tuple[DataFrame, LoopResult]:
     """Returns (DF(id, selected BOOLEAN), LoopResult); the selected set
-    reaches ``target_rate`` of all vertices (or max_supersteps)."""
+    reaches ``target_rate`` of all vertices (or max_supersteps).
+    ``portable`` selects the coin family (see module docstring): both
+    are deterministic in (graph, seed), but they draw DIFFERENT
+    samples; portable=True is the oracle-checkable one."""
     p = choose_partitions(edges, lambda: edges.count(), num_partitions)
     if vertices is None:
         vertices = vertices_from_edges(edges)
@@ -86,7 +121,13 @@ def graph_sample(
         marked = (
             adj.join(senders, adj["src"] == senders["id"])
             .select(F.col("src"), F.explode("dsts").alias("id"))
-            .filter(F.expr(edge_coin_sql("src", "id", seed, k, sampling_interval)))
+            .filter(
+                F.expr(
+                    _spark_coin(
+                        _edge_arg("src", "id", seed, k), sampling_interval, portable
+                    )
+                )
+            )
             .select("id")
             .distinct()
         )
@@ -100,7 +141,9 @@ def graph_sample(
                 (
                     F.col("selected")
                     | F.coalesce(F.col("_m"), F.lit(False))
-                    | F.expr(seed_coin_sql("id", seed, k, seed_interval))
+                    | F.expr(
+                        _spark_coin(_seed_arg("id", seed, k), seed_interval, portable)
+                    )
                 ).alias("selected"),
                 F.col("_m").isNotNull().cast("long").alias("_msgs"),
             )

@@ -83,9 +83,9 @@ def _build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=42, help="sample determinism seed")
     p.add_argument("--threshold", type=float, default=0.4,
                    help="dedup: MinHash estimated-Jaccard cut for near-dup pairs")
-    p.add_argument("--fast-hash", action="store_true",
-                   help="dedup: xxhash64 shingle hashing (production mode) instead "
-                   "of the oracle-portable md5-digit hashing")
+    p.add_argument("--portable-hash", action="store_true",
+                   help="dedup: oracle-portable md5-digit shingle hashing instead "
+                   "of the default production xxhash64")
     p.add_argument("--top-k", type=int, default=50, help="vocab: number of terms")
     p.add_argument("--sources", type=int, nargs="+", default=[0],
                    help="ppr: teleport seed vertex ids")
@@ -150,7 +150,7 @@ def main(argv: list[str] | None = None) -> None:
                 docs,
                 threshold=args.threshold,
                 seed=args.seed,
-                portable=not args.fast_hash,
+                portable=args.portable_hash,
             )
         else:
             from linkgraph.pipeline.textstats import vocabulary

@@ -68,6 +68,22 @@ def md5_digits_sql(hex_sql: str, digits: int = 6, offset: int = 0) -> str:
     return f"({terms})"
 
 
+def md5_digits_spark_sql(hex_sql: str, digits: int = 6, offset: int = 0) -> str:
+    """Spark-only fast spelling of :func:`md5_digits_sql` — IDENTICAL
+    value, one native call: ``conv(substr(hex, o+1, d), 16, 10)``
+    instead of ``digits`` position-weighted substr/position terms
+    inside interpreted lambdas (measured: the digit terms, not the md5
+    itself, dominated portable-mode hashing cost). DuckDB has no
+    ``conv``, so the oracle keeps the digit-term spelling; parity is
+    asserted in tests/test_pipeline.py. ``digits`` <= 15 keeps the
+    value < 2^60, exact in BIGINT, same bound as md5_digits_sql."""
+    if not 1 <= digits <= 15:
+        raise ValueError("digits must be in [1, 15] to stay BIGINT-exact")
+    if not 0 <= offset <= 32 - digits:
+        raise ValueError("offset+digits must fit the 32-char md5 hex string")
+    return f"CAST(conv(substr({hex_sql}, {offset + 1}, {digits}), 16, 10) AS BIGINT)"
+
+
 def md5_int_sql(arg_sql: str, digits: int = 6, offset: int = 0) -> str:
     """:func:`md5_digits_sql` with the md5 inlined — fine for one-shot
     scalar draws (sampling coins); prefer the two-step form for arrays

@@ -16,13 +16,17 @@ Four tiers, scale-ordered:
 
 MinHash/SimHash parameters are seeded deterministically (md5-derived
 constants, linkgraph.phash) so runs are reproducible across sessions
-and cluster sizes — and, in the default ``portable=True`` mode, every
-arithmetic step is exact signed-64-bit integer math over md5-digit
-shingle hashes, so the full signature/banding/estimation pipeline is
-verifiable by the driver's DuckDB oracle (same expressions, same
-constants embedded as literals). ``portable=False`` swaps the shingle
-hash to JVM xxhash64 for production runs; the distributed shape is
-identical.
+and cluster sizes. The production default (``portable=False``) hashes
+shingles with JVM xxhash64 — the fast path a real deployment runs. The
+``portable=True`` mode swaps in md5-digit shingle hashes whose every
+arithmetic step is exact signed-64-bit integer math reproducible in
+DuckDB, so the full signature/banding/estimation pipeline is
+verifiable by the driver's SQL oracle (same expressions, same
+constants embedded as literals; the ``__spark_entry__`` query wrappers
+pin portable=True for exactly that). The distributed shape —
+bucketing, banding, partitioning, shuffle count — is identical in both
+modes, and tests/test_pipeline.py asserts pair-recall equivalence
+between them on planted near-dups.
 """
 
 from __future__ import annotations
@@ -34,7 +38,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
-from ..phash import md5_digits_sql, md5_randint
+from ..phash import md5_digits_spark_sql, md5_randint
 
 # MinHash universe: arithmetic stays below 2^62, exact in int64 /
 # BIGINT in numpy, Spark, and DuckDB alike (no overflow wrapping to
@@ -98,14 +102,14 @@ _TOKEN_HASHES = "transform(toks, t -> xxhash64(t))"
 
 def _shingle_hash_sql(shingles_sql: str, portable: bool) -> str:
     """Array of per-shingle integer hashes. Portable: 28-bit md5-digit
-    (bit-identical in DuckDB); fast: xxhash64 folded into [0, 2^31).
-    The portable form hashes each shingle ONCE (inner transform) and
-    extracts digits from the hex string in a second pass — inlining the
-    md5 into the digit terms would evaluate it per hex char."""
+    (value-identical in DuckDB, which spells the extraction with
+    position-weighted digit terms; Spark uses one native conv() call —
+    md5 referenced once, so it evaluates once); fast: xxhash64 folded
+    into [0, 2^31)."""
     if portable:
         return (
-            f"transform(transform({shingles_sql}, s -> md5(s)),"
-            f" h -> {md5_digits_sql('h', _SHINGLE_DIGITS)})"
+            f"transform({shingles_sql},"
+            f" s -> {md5_digits_spark_sql('md5(s)', _SHINGLE_DIGITS)})"
         )
     return f"transform({shingles_sql}, s -> pmod(xxhash64(s), {MINHASH_P}))"
 
@@ -184,7 +188,7 @@ def minhash_signatures(
     num_hashes: int = 64,
     shingle_n: int = 3,
     seed: int = 42,
-    portable: bool = True,
+    portable: bool = False,
 ) -> DataFrame:
     """(doc_id, sig array<bigint>) MinHash signatures.
 
@@ -313,7 +317,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.4,
     seed: int = 42,
     max_bucket_size: int | None = 100_000,
-    portable: bool = True,
+    portable: bool = False,
 ) -> DataFrame:
     """Candidate near-dup pairs via LSH banding, verified with the
     signature-estimated Jaccard.
@@ -374,7 +378,7 @@ def minhash_lsh_pairs(
 
 
 def simhash64(
-    docs: DataFrame, shingle_n: int = 2, seed: int = 42, portable: bool = True
+    docs: DataFrame, shingle_n: int = 2, seed: int = 42, portable: bool = False
 ) -> DataFrame:
     """(doc_id, simhash BIGINT) — 64-bit SimHash over word n-grams.
 
@@ -454,8 +458,8 @@ def simhash64(
         )
         hashed = hexed.select(
             "doc_id",
-            F.expr(f"transform(hx, h -> {md5_digits_sql('h', 8, 0)})").alias("hs_hi"),
-            F.expr(f"transform(hx, h -> {md5_digits_sql('h', 8, 8)})").alias("hs_lo"),
+            F.expr(f"transform(hx, h -> {md5_digits_spark_sql('h', 8, 0)})").alias("hs_hi"),
+            F.expr(f"transform(hx, h -> {md5_digits_spark_sql('h', 8, 8)})").alias("hs_lo"),
         )
     else:
         # shingle hashes from per-token hashes (no shingle strings, see
@@ -483,7 +487,7 @@ def simhash_pairs(
     seed: int = 42,
     fingerprints: DataFrame | None = None,
     max_bucket_size: int | None = 100_000,
-    portable: bool = True,
+    portable: bool = False,
 ) -> DataFrame:
     """(doc_a, doc_b, hamming) — near-duplicate pairs within Hamming
     distance ``max_distance`` over 64-bit SimHash fingerprints.
@@ -571,7 +575,7 @@ def dedup_clusters(
     threshold: float = 0.4,
     seed: int = 42,
     max_bucket_size: int | None = 100_000,
-    portable: bool = True,
+    portable: bool = False,
 ) -> DataFrame:
     """(doc_id, cluster, is_representative) — near-duplicate clusters:
     MinHash-LSH pair edges closed transitively by min-label connected
