@@ -76,6 +76,18 @@ TFIDF_TOPK = 3
 # decontamination probes: two phrases drawn from the synthetic vocab
 # (real hits) + one that can never occur (exercises the zero path)
 CONTAM_PROBES = ["key agg row", "spark order", "quux zilch never"]
+# n-gram decontamination tier: probe "benchmark documents". The first
+# two open with real sf0.01 document prefixes (verbatim-excerpt runs >
+# 1), the third is vocab soup (scattered single-3-gram hits), the
+# fourth can never match (zero path). NGRAM_N=3 because the synthetic
+# vocab is ~31 words — real corpora run 8-13.
+NGRAM_PROBES = [
+    "key agg row scan slow fast table value part hash",
+    "batch window spark order data column agg join small line",
+    "table value fast spark a the line sort group big",
+    "quux zilch never occurs anywhere at all in this corpus",
+]
+NGRAM_N = 3
 # The driver's embeddings table is near-orthogonal noise (max pairwise
 # cosine 0.51 at sf0.01) — 0.4 exercises the near-dup path with a
 # non-trivial answer set; real corpora run the 0.95 default.
@@ -467,6 +479,18 @@ def _q_contamination(spark, sf):
     return contamination_check(load_documents(spark, sf), probes)
 
 
+def _q_ngram_decontaminate(spark, sf):
+    """N-gram-overlap decontamination (the industry-default tier):
+    matched-position counts + longest verbatim run per document,
+    portable string-key mode so the DuckDB oracle reproduces it."""
+    from linkgraph.pipeline import ngram_decontaminate
+
+    probes = spark.createDataFrame([(p,) for p in NGRAM_PROBES], "probe STRING")
+    return ngram_decontaminate(
+        load_documents(spark, sf), probes, n=NGRAM_N, portable=True
+    )
+
+
 def _q_kmv_sketch(spark, sf):
     """KMV bottom-k distinct-token sketch — oracle-verifiable sketch
     tier of the vocabulary operator (exact tier: _q_vocabulary)."""
@@ -633,6 +657,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": _q_tfidf,
         "normalize_text": _q_normalize,
         "contamination_check": _q_contamination,
+        "ngram_decontamination": _q_ngram_decontaminate,
         "embedding_cosine_topk": _q_topk,
         "customer_orders_by_nation": _q_customer_orders,
         "pricing_summary": _q_pricing_summary,
@@ -1586,6 +1611,42 @@ def oracle_sql() -> dict[str, str]:
         " CAST(MAX(CASE WHEN contains(text, probe) THEN 1 ELSE 0 END) AS INT)"
         "  AS contaminated"
         " FROM documents CROSS JOIN probes GROUP BY doc_id"
+    )
+    # n-gram decontamination: positional shingles on both sides, matched
+    # positions via the probe n-gram set, longest consecutive run via
+    # the pos - row_number() grouping trick — identical plan shape to
+    # the engine's window (params mirror _q_ngram_decontaminate)
+    m = NGRAM_N - 1
+    ngram_probe_values = ", ".join(f"('{p}')" for p in NGRAM_PROBES)
+    sql["ngram_decontamination"] = (
+        f"WITH toks AS (SELECT doc_id, string_split(text, ' ') AS toks"
+        f" FROM documents),"
+        f" posd AS (SELECT doc_id, toks,"
+        f"  unnest(generate_series(1, greatest(len(toks) - {m}, 0))) AS pos"
+        f"  FROM toks),"
+        f" gsh AS (SELECT doc_id, pos,"
+        f"  array_to_string(toks[pos:pos+{m}], ' ') AS sh FROM posd),"
+        f" probes AS (SELECT * FROM (VALUES {ngram_probe_values}) p(probe)),"
+        f" ptoks AS (SELECT string_split(probe, ' ') AS toks FROM probes),"
+        f" ppos AS (SELECT toks,"
+        f"  unnest(generate_series(1, greatest(len(toks) - {m}, 0))) AS pos"
+        f"  FROM ptoks),"
+        f" psh AS (SELECT DISTINCT array_to_string(toks[pos:pos+{m}], ' ') AS sh"
+        f"  FROM ppos),"
+        f" matched AS (SELECT g.doc_id, g.pos FROM gsh g JOIN psh p ON p.sh = g.sh),"
+        f" grps AS (SELECT doc_id, pos,"
+        f"  pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp"
+        f"  FROM matched),"
+        f" runs AS (SELECT doc_id, grp, COUNT(*) AS run FROM grps"
+        f"  GROUP BY doc_id, grp),"
+        f" agg AS (SELECT doc_id, SUM(run) AS n_matched, MAX(run) AS max_run"
+        f"  FROM runs GROUP BY doc_id)"
+        f" SELECT d.doc_id,"
+        f"  CAST(COALESCE(a.n_matched, 0) AS BIGINT) AS n_matched_ngrams,"
+        f"  CAST(COALESCE(a.max_run, 0) AS BIGINT) AS max_run_len,"
+        f"  CAST(CASE WHEN COALESCE(a.n_matched, 0) > 0 THEN 1 ELSE 0 END AS INT)"
+        f"   AS contaminated"
+        f" FROM documents d LEFT JOIN agg a USING (doc_id)"
     )
     from linkgraph.pipeline.sketches import kmv_sql
 

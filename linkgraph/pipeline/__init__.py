@@ -13,6 +13,7 @@ from .dedup import (
 from .textstats import (
     bpe_token_count,
     contamination_check,
+    ngram_decontaminate,
     doc_fingerprint,
     language_id,
     normalize_text,
@@ -45,6 +46,7 @@ __all__ = [
     "tfidf_top_terms",
     "normalize_text",
     "contamination_check",
+    "ngram_decontaminate",
     "kmv_distinct_tokens",
     "cosine_topk",
     "lsh_cosine_topk",

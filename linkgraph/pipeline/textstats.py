@@ -191,6 +191,70 @@ def contamination_check(docs: DataFrame, probes: DataFrame) -> DataFrame:
     )
 
 
+def ngram_decontaminate(
+    docs: DataFrame, probes: DataFrame, n: int = 8, portable: bool = False
+) -> DataFrame:
+    """(doc_id, n_matched_ngrams, max_run_len, contaminated) — the
+    n-gram-overlap tier of benchmark decontamination (the industry
+    default is 8-13-gram overlap; :func:`contamination_check` is the
+    exact-substring tier). A corpus document is flagged when any of its
+    word n-grams also appears in the probe suite; the output carries
+    both the total matched-position count and the longest CONSECUTIVE
+    run of matched positions (a long run means a verbatim excerpt, not
+    coincidental phrase reuse).
+
+    ``probes`` must have a ``probe`` STRING column (benchmark
+    documents / answer strings — tokenized with the same whitespace
+    rule as the corpus).
+
+    100 TB shape: the probe suite's distinct n-gram set is tiny
+    relative to the corpus (benchmarks are MBs), so it BROADCASTS and
+    the corpus streams once through a posexplode + broadcast semi-join
+    — the text column never shuffles. Only MATCHED (doc_id, pos) rows
+    (O(contamination), near-zero on a clean corpus) reach the run-length
+    window, which partitions by doc_id. In the production default the
+    join key is xxhash64 of the n-gram (8 bytes broadcast per probe
+    n-gram, one cheap hash per corpus position); ``portable=True`` joins
+    the raw n-gram strings so the DuckDB oracle reproduces the result
+    verbatim — identical output either way up to 64-bit collisions.
+    """
+    shingle = F.expr(
+        f"transform(sequence(1, greatest(size(toks) - {n - 1}, 0)),"
+        f" i -> concat_ws(' ', slice(toks, i, {n})))"
+    )
+    key = (lambda c: F.col(c)) if portable else (lambda c: F.xxhash64(F.col(c)))
+    corpus = (
+        docs.select("doc_id", F.split("text", " ").alias("toks"))
+        .select("doc_id", F.posexplode(shingle).alias("pos", "sh"))
+        .select("doc_id", (F.col("pos") + 1).alias("pos"), key("sh").alias("k"))
+    )
+    probe_sh = (
+        probes.select(F.split("probe", " ").alias("toks"))
+        .select(F.explode(shingle).alias("sh"))
+        .select(key("sh").alias("k"))
+        .distinct()
+    )
+    matched = corpus.join(F.broadcast(probe_sh), "k", "left_semi")
+    # longest consecutive run: positions grouped by (pos - row_number)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    runs = (
+        matched.withColumn("grp", F.col("pos") - F.row_number().over(w))
+        .groupBy("doc_id", "grp")
+        .agg(F.count(F.lit(1)).alias("run"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("run").alias("n_matched_ngrams"),
+            F.max("run").alias("max_run_len"),
+        )
+    )
+    return docs.select("doc_id").join(runs, "doc_id", "left_outer").select(
+        "doc_id",
+        F.coalesce("n_matched_ngrams", F.lit(0)).cast("long").alias("n_matched_ngrams"),
+        F.coalesce("max_run_len", F.lit(0)).cast("long").alias("max_run_len"),
+        (F.coalesce("n_matched_ngrams", F.lit(0)) > 0).cast("int").alias("contaminated"),
+    )
+
+
 def bpe_token_count(docs: DataFrame) -> DataFrame:
     """(doc_id, n_tokens, n_subtokens) — whitespace token count plus a
     BPE-ish subtoken count from :data:`BPE_PATTERN`. Both are one

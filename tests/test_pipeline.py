@@ -380,6 +380,56 @@ class TestMultimodal:
         assert len(rows) == exp
 
 
+class TestNgramDecontamination:
+    @pytest.fixture(scope="class")
+    def planted(self, spark):
+        """A corpus with planted benchmark contamination: doc 10 embeds
+        a verbatim 12-token excerpt of the probe (run of 12-n+1), doc 11
+        reuses one scattered probe phrase twice, doc 12 is clean."""
+        probe = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
+        rows = [
+            (10, "intro words then " + probe + " trailing words here"),
+            (11, "alpha bravo charlie unrelated filler alpha bravo charlie more"),
+            (12, "totally clean document with none of the benchmark phrases"),
+        ]
+        docs = spark.createDataFrame(rows, DOC_SCHEMA)
+        probes = spark.createDataFrame([(probe,)], "probe STRING")
+        return docs, probes
+
+    def _collect(self, docs, probes, n, portable):
+        from linkgraph.pipeline import ngram_decontaminate
+
+        return {
+            r["doc_id"]: (r["n_matched_ngrams"], r["max_run_len"], r["contaminated"])
+            for r in ngram_decontaminate(docs, probes, n=n, portable=portable).collect()
+        }
+
+    def test_planted_contamination_runs(self, planted):
+        docs, probes = planted
+        got = self._collect(docs, probes, n=3, portable=False)
+        # doc 10: the 12-token excerpt contributes 12-3+1 = 10
+        # consecutive matched positions
+        assert got[10] == (10, 10, 1)
+        # doc 11: "alpha bravo charlie" appears twice, never consecutive
+        assert got[11] == (2, 1, 1)
+        # doc 12: clean — zero row present (all docs reported)
+        assert got[12] == (0, 0, 0)
+
+    def test_fast_and_portable_modes_agree(self, planted):
+        docs, probes = planted
+        assert self._collect(docs, probes, 3, True) == self._collect(
+            docs, probes, 3, False
+        )
+
+    def test_wider_n_requires_longer_overlap(self, planted):
+        docs, probes = planted
+        got = self._collect(docs, probes, n=8, portable=False)
+        # the verbatim excerpt still matches at n=8 (12-8+1 = 5 runs)...
+        assert got[10] == (5, 5, 1)
+        # ...but the scattered 3-token reuse no longer does
+        assert got[11] == (0, 0, 0)
+
+
 class TestTextStats:
     def test_token_count(self, docs):
         got = {r["doc_id"]: r["n_tokens"] for r in token_count(docs).collect()}
