@@ -67,6 +67,11 @@ KCORE_PASSES = 24
 BGD_UPDATES = 5
 LPA_STEPS = 4
 SSSP_HOPS = 12
+# weighted SSSP: oracle-derivable edge weight 1 + (src+dst) % 5 and an
+# unrolled Bellman-Ford oracle; the sf0.01 fixpoint is 7 supersteps
+# (measured), unrolled with >2x slack (extra passes are no-ops) and the
+# engine ASSERTS convergence so a deeper future fixture fails loudly
+WSSSP_STEPS = 16
 JACCARD_T = 0.12
 KMV_K = 24  # bottom-k size; the synthetic vocab is tiny (~31 terms) so
 # a small k keeps the estimator in its non-degenerate regime at sf0.01
@@ -186,6 +191,33 @@ def _q_sssp_vp(spark, sf):
     return dist
 
 
+def _q_sssp_weighted(spark, sf):
+    """Weighted SSSP through the public VertexProgram weight_col path
+    (row-per-edge scatter): weight = 1 + (src+dst) % 5, derivable in
+    SQL, so the full weighted delta-plan relaxation is oracle-gated by
+    an unrolled Bellman-Ford CTE."""
+    from linkgraph import shortest_paths_vp
+
+    edges = document_edges(spark, sf).withColumn(
+        "w", (F.lit(1) + (F.col("src") + F.col("dst")) % 5).cast("double")
+    )
+    dist, res = shortest_paths_vp(
+        edges,
+        source=0,
+        weight_col="w",
+        vertices=document_vertices(spark, sf),
+        max_supersteps=4 * WSSSP_STEPS,
+        track_messages=False,
+    )
+    if not res.converged or res.supersteps > WSSSP_STEPS:
+        raise RuntimeError(
+            f"weighted SSSP needed {res.supersteps} supersteps "
+            f"(converged={res.converged}); the unrolled oracle covers "
+            f"{WSSSP_STEPS} — raise WSSSP_STEPS"
+        )
+    return dist.select("id", F.round("distance", 6).alias("distance"))
+
+
 def _q_dw_pagerank(spark, sf):
     """Degree-weighted PageRank — a user-defined VertexProgram (degree-
     proportional teleport prior), oracle-checked via an unrolled CTE."""
@@ -296,12 +328,21 @@ def _q_kcore(spark, sf):
     from linkgraph import kcore
 
     edges = document_edges(spark, sf)
-    out, _ = kcore(
+    out, res = kcore(
         edges,
         KCORE_K,
         vertices=document_vertices(spark, sf),
         track_messages=False,
     )
+    # the unrolled oracle peels KCORE_PASSES times; a deeper cascade
+    # would make it silently under-peel — fail LOUDLY instead (one
+    # engine superstep = one peel wave, so supersteps bound the depth)
+    if not res.converged or res.supersteps > KCORE_PASSES:
+        raise RuntimeError(
+            f"k-core peel ran {res.supersteps} supersteps "
+            f"(converged={res.converged}); the unrolled oracle covers "
+            f"{KCORE_PASSES} passes — raise KCORE_PASSES"
+        )
     return out
 
 
@@ -638,6 +679,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_total": _q_triangle_total,
         "sssp_hops": _q_sssp,
         "sssp_vertex_program": _q_sssp_vp,
+        "sssp_weighted": _q_sssp_weighted,
         "degree_weighted_pagerank": _q_dw_pagerank,
         "repo_rollup": _q_repo_rollup,
         "weighted_repo_pagerank": _q_weighted_repo_pagerank,
@@ -717,6 +759,38 @@ def _pagerank_sql(updates: int) -> str:
         )
     return (
         "WITH " + ",\n".join(ctes) + f"\nSELECT id, ROUND(rank, 6) AS pr FROM r{updates}"
+    )
+
+
+def _weighted_sssp_sql(steps: int) -> str:
+    """Unrolled Bellman-Ford over the derivable weights
+    (1 + (src+dst) % 5): d_i(v) = min(d_{i-1}(v), min over in-edges of
+    d_{i-1}(u) + w). ``steps`` passes reach fixpoint with slack
+    (asserted engine-side in _q_sssp_weighted); NULL = unreachable,
+    matching the engine's surface."""
+    ctes = [
+        EDGES_CTES.strip(),
+        "we AS (SELECT src, dst, CAST(1 + (src + dst) % 5 AS DOUBLE) AS w"
+        " FROM edges)",
+        "d0 AS (SELECT doc_id AS id,"
+        " CASE WHEN doc_id = 0 THEN 0.0 END AS dist FROM documents)",
+    ]
+    for i in range(1, steps + 1):
+        ctes.append(
+            f"d{i} AS MATERIALIZED ("
+            f" SELECT v.id, CASE"
+            f"  WHEN m.md IS NULL THEN v.dist"
+            f"  WHEN v.dist IS NULL THEN m.md"
+            f"  ELSE LEAST(v.dist, m.md) END AS dist"
+            f" FROM d{i-1} v LEFT JOIN ("
+            f"   SELECT e.dst AS id, MIN(p.dist + e.w) AS md"
+            f"   FROM we e JOIN d{i-1} p ON e.src = p.id AND p.dist IS NOT NULL"
+            f"   GROUP BY e.dst) m ON m.id = v.id)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT id, ROUND(dist, 6) AS distance FROM d{steps}"
     )
 
 
@@ -1544,6 +1618,9 @@ def oracle_sql() -> dict[str, str]:
     # identical contract, different engine path (public VertexProgram
     # API vs built-in algorithm) — same hop-bounded oracle
     sql["sssp_vertex_program"] = sql["sssp_hops"]
+    # weighted SSSP via the VertexProgram weight_col path: unrolled
+    # Bellman-Ford over the derivable weights (steps mirror WSSSP_STEPS)
+    sql["sssp_weighted"] = _weighted_sssp_sql(WSSSP_STEPS)
     # IMRU kmeans: unrolled Lloyd iterations (deterministic init /
     # ties / update — see _kmeans_sql); K/ITERS must mirror _q_kmeans
     sql["kmeans_centers"] = _kmeans_sql(5, 5)
