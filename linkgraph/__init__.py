@@ -29,6 +29,8 @@ from .imru import batch_gradient_descent, imru_run, kmeans
 from .vertex_program import VertexProgram, run_vertex_program
 from .examples import (
     degree_weighted_pagerank,
+    graph_mutation_program,
+    graph_mutation_vp,
     early_termination_demo,
     hits,
     kcore,
@@ -95,6 +97,8 @@ __all__ = [
     "add_vertices",
     "delete_vertices",
     "delete_edges_of",
+    "graph_mutation_program",
+    "graph_mutation_vp",
     "adjacency_text_graph",
     "ring_graph",
     "write_vertex_text",

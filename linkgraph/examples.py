@@ -660,3 +660,66 @@ def kcore(
         F.when(alive, F.col("value.deg")).otherwise(F.lit(0)).cast("long").alias("core_deg"),
     )
     return out, res
+
+
+def graph_mutation_program() -> VertexProgram:
+    """The reference's GraphMutationVertex demo
+    (GraphMutationVertex.java:47-70) written against the PUBLIC
+    VertexProgram mutation channels alone — no engine internals:
+
+    - superstep 1: every vertex with id < 100 deletes itself when
+      id % 2 == 0 or id % 3 == 0, otherwise spawns vertex 100*id with
+      value 0.0 (the insert channel);
+    - superstep 2: vertex 1900 (spawned by 19 at superstep 1, visible
+      from superstep 2 — the reference's insert-visibility rule)
+      deletes itself.
+
+    Values never change, so the run halts the first superstep that
+    neither spawns nor changes anything; the surviving vertex set is
+    the reference's expected/GraphMutation golden (reproduced in
+    tests/test_parity_extras.py).
+    """
+    doomed = (F.col("id") < 100) & (
+        (F.col("id") % 2 == 0) | (F.col("id") % 3 == 0)
+    )
+    no_ids = F.expr("CAST(array() AS ARRAY<BIGINT>)")
+    no_adds = F.expr("CAST(array() AS ARRAY<STRUCT<id: BIGINT, value: DOUBLE>>)")
+    return VertexProgram(
+        init_expr=F.lit(0.0),
+        message_expr=F.lit(0.0),
+        combine_agg=F.min("msg"),
+        update_expr=F.col("value"),
+        changed_expr=F.lit(False),
+        plan="outer",
+        mutate_delete_expr=F.when(
+            (F.col("superstep") == 1) & doomed, F.array(F.col("id"))
+        )
+        .when(
+            (F.col("superstep") == 2) & (F.col("id") == 1900),
+            F.array(F.col("id")),
+        )
+        .otherwise(no_ids),
+        mutate_add_expr=F.when(
+            (F.col("superstep") == 1) & (F.col("id") < 100) & ~doomed,
+            F.array(
+                F.struct(
+                    (F.col("id") * 100).cast("bigint").alias("id"),
+                    F.lit(0.0).alias("value"),
+                )
+            ),
+        ).otherwise(no_adds),
+    )
+
+
+def graph_mutation_vp(
+    edges: DataFrame,
+    vertices: DataFrame | None = None,
+    **kwargs,
+) -> tuple[DataFrame, LoopResult]:
+    """Run :func:`graph_mutation_program`; returns (DF(id, value),
+    LoopResult). The spawn-then-self-delete schedule needs one superstep
+    per mutation wave plus the quiescent one that ends the run."""
+    state, res = run_vertex_program(
+        edges, graph_mutation_program(), vertices=vertices, **kwargs
+    )
+    return state.select("id", "value"), res

@@ -69,6 +69,10 @@ class VertexProgram:
       ``update_expr`` (NULL when the vertex received nothing);
     - ``F.col("outdeg")`` — the sender's total out-degree inside
       ``message_expr``;
+    - ``F.col("superstep")`` — the current superstep number (the
+      reference's getSuperstep()) inside ``update_expr`` /
+      ``changed_expr`` / the mutation expressions ("superstep" is a
+      reserved column name on the update side);
     - any vertex-attribute column supplied via ``vertex_attrs``;
     - ``F.col(weight_col)`` — the per-edge weight inside
       ``message_expr`` when ``weight_col`` is set.
@@ -99,6 +103,39 @@ class VertexProgram:
     # of the value (relay/request-reply patterns), where a quiescent
     # vertex must still forward what it was sent.
     wake_on_message: bool = False
+    # Declarative graph-mutation channels — the reference's
+    # compute()-issued Vertex.addVertex / deleteVertex calls
+    # (Vertex.java:581-620), which flow out of the superstep dataflow on
+    # dedicated insert/delete channels into B-tree insert/delete
+    # operators (JobGenOuterJoin.java:175-190). Spark rendition: the
+    # expressions are evaluated over each UPDATED vertex row (columns
+    # id, value = old value, _new = updated value, superstep, attrs) and
+    # the emitted rows are applied to the state BETWEEN supersteps —
+    # a vertex inserted at superstep k is first visible at k+1, same
+    # visibility rule as the reference.
+    #
+    # - ``mutate_add_expr``: ARRAY<STRUCT<id, value>> of vertices to
+    #   insert. Inserting an id that already exists is a no-op upsert
+    #   (B-tree insert of a present key); duplicate spawns of one id
+    #   collapse to one row. Inserted vertices start live (_changed /
+    #   active true — they scatter next superstep), with NULL attrs and
+    #   no out-edges (the adjacency is fixed; the reference's addVertex
+    #   carries edges only when the user builds them, which this
+    #   surface does not model).
+    # - ``mutate_delete_expr``: ARRAY<id> of vertices to delete (own id
+    #   or others'). Deleted vertices leave the state, so they neither
+    #   scatter nor receive (in-flight messages to them drop in the
+    #   state join — the reference drops the vertex tuple with its
+    #   adjacency). A deletion does NOT count as a change: a superstep
+    #   whose only effect is deletion still ends the run if nothing
+    #   changed (matches the reference, where deleted vertices simply
+    #   stop existing and the rest have voted to halt).
+    #
+    # Emitting an empty array (or NULL) mutates nothing. Mutation
+    # supersteps re-evaluate the update pipeline once per channel, so
+    # reserve these for programs that actually mutate.
+    mutate_add_expr: Column | None = None
+    mutate_delete_expr: Column | None = None
     # plan="auto": the runtime OUTER->INNER switch (the reference's
     # JobGen.switchPlan, JobGen.java:1012-1020, driven by IDriver's plan
     # choice): supersteps scatter from EVERY vertex (outer) until the
@@ -214,7 +251,9 @@ def run_vertex_program(
         msgs = scatter(senders).groupBy("id").agg(program.combine_agg.alias("msg"))
 
         base = state.drop("active") if tracks_active else state
-        joined = base.join(msgs, "id", "left_outer")
+        joined = base.join(msgs, "id", "left_outer").withColumn(
+            "superstep", F.lit(k)
+        )
         if program.update_kernel is not None:
             new_val = _kernel_column(joined, program.update_kernel, attr_cols)
         else:
@@ -224,6 +263,7 @@ def run_vertex_program(
             *attr_cols,
             F.col("value"),
             new_val.alias("_new"),
+            F.col("superstep"),
             F.col("msg").isNotNull().cast("long").alias("_vp_got_msg"),
         )
         out_cols = [
@@ -249,6 +289,39 @@ def run_vertex_program(
                 active_next = active_next | (F.col("_msgs") == 1)
             new = new.withColumn("active", active_next)
         new = new.drop("_vp_changed")
+        # mutation channels (insert/delete between supersteps — see the
+        # VertexProgram field docs). Deletes first, then inserts: an id
+        # deleted and re-inserted in one superstep lands as a fresh row.
+        if program.mutate_delete_expr is not None:
+            dels = upd.select(
+                F.explode(program.mutate_delete_expr).alias("id")
+            ).distinct()
+            new = new.join(dels, "id", "left_anti")
+        if program.mutate_add_expr is not None:
+            spawned = upd.select(F.explode(program.mutate_add_expr).alias("_nv"))
+            proj = []
+            for f in new.schema.fields:
+                if f.name == "id":
+                    proj.append(F.col("_nv.id").cast(f.dataType).alias("id"))
+                elif f.name == "value":
+                    proj.append(F.col("_nv.value").cast(f.dataType).alias("value"))
+                elif f.name == "active":
+                    proj.append(F.lit(True).alias("active"))
+                elif f.name == "_changed":
+                    proj.append(F.lit(True).alias("_changed"))
+                elif f.name == "_msgs":
+                    proj.append(F.lit(0).cast(f.dataType).alias("_msgs"))
+                elif f.name == "_delta":
+                    proj.append(F.lit(0.0).cast(f.dataType).alias("_delta"))
+                else:  # static vertex attrs: NULL for spawned vertices
+                    proj.append(F.lit(None).cast(f.dataType).alias(f.name))
+            adds = (
+                spawned.select(*proj)
+                .dropDuplicates(["id"])
+                # upsert semantics: an existing id keeps its row
+                .join(new.select("id"), "id", "left_anti")
+            )
+            new = new.unionByName(adds)
         return StepResult(state=new, messages=msgs)
 
     if stop_when is not None:

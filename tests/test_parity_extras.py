@@ -28,6 +28,62 @@ class TestGraphMutation:
         assert set(got) == GOLDEN_MUTATION
         assert all(v == 0.0 for v in got.values())
 
+    def test_golden_via_public_vertex_program_api(self, spark, webmap_edges):
+        """The same GraphMutation golden reproduced by a USER program
+        written against the public VertexProgram mutation channels only
+        (mutate_add_expr / mutate_delete_expr) — the reference's
+        compute()-issued addVertex/deleteVertex surface."""
+        from linkgraph import graph_mutation_vp
+
+        verts = spark.range(20).select(F.col("id"))
+        out, res = graph_mutation_vp(
+            webmap_edges, vertices=verts, track_messages=False
+        )
+        got = {r["id"]: r["value"] for r in out.collect()}
+        assert set(got) == GOLDEN_MUTATION
+        assert all(v == 0.0 for v in got.values())
+        # superstep 1 spawns (insert channel), superstep 2 deletes 1900
+        # (visible one superstep after its insertion), superstep 3 is
+        # quiescent -- deletion alone does not extend the run
+        assert res.supersteps <= 3
+
+    def test_mutation_channels_insert_visibility_and_upsert(self, spark):
+        """A vertex inserted at superstep k is first visible at k+1;
+        inserting an existing id is a no-op upsert; deleting a vertex
+        drops in-flight messages to it."""
+        from linkgraph import VertexProgram, run_vertex_program
+
+        edges = edges_df(spark, [(1, 2), (2, 3)])
+        prog = VertexProgram(
+            init_expr=F.col("id").cast("double"),
+            message_expr=F.lit(1.0),
+            combine_agg=F.min("msg"),
+            update_expr=F.col("value"),
+            changed_expr=F.lit(False),
+            plan="outer",
+            # superstep 1: vertex 1 spawns 99 AND re-spawns existing 2
+            # with a different value (must be a no-op); vertex 3
+            # deletes itself
+            mutate_add_expr=F.when(
+                (F.col("superstep") == 1) & (F.col("id") == 1),
+                F.expr(
+                    "array(named_struct('id', CAST(99 AS BIGINT),"
+                    " 'value', CAST(-1.0 AS DOUBLE)),"
+                    " named_struct('id', CAST(2 AS BIGINT),"
+                    " 'value', CAST(-7.0 AS DOUBLE)))"
+                ),
+            ).otherwise(F.expr("CAST(array() AS ARRAY<STRUCT<id: BIGINT, value: DOUBLE>>)")),
+            mutate_delete_expr=F.when(
+                (F.col("superstep") == 1) & (F.col("id") == 3),
+                F.array(F.col("id")),
+            ).otherwise(F.expr("CAST(array() AS ARRAY<BIGINT>)")),
+        )
+        state, res = run_vertex_program(edges, prog, track_messages=False)
+        got = {r["id"]: r["value"] for r in state.collect()}
+        assert set(got) == {1, 2, 99}          # 3 deleted, 99 inserted
+        assert got[2] == 2.0                   # upsert kept the old row
+        assert got[99] == -1.0                 # spawned value carried
+
 
 class TestGraphSample:
     def test_reaches_target_and_deterministic(self, webmap_edges):
