@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from linkgraph import (
     connected_components,
+    connected_components_hashmin,
     label_propagation,
     pagerank,
     reachability,
@@ -143,6 +144,18 @@ def _q_pagerank(spark, sf):
 def _q_cc(spark, sf):
     edges = document_edges(spark, sf)
     comp, _ = connected_components(edges, vertices=document_vertices(spark, sf))
+    return comp
+
+
+def _q_cc_hashmin(spark, sf):
+    """Alternating-star (hash-to-min) CC — same contract as _q_cc
+    (component = min id of the undirected component), reached in
+    O(log n) diameter-independent rounds; shares the reachability
+    oracle with connected_components."""
+    edges = document_edges(spark, sf)
+    comp, _ = connected_components_hashmin(
+        edges, vertices=document_vertices(spark, sf)
+    )
     return comp
 
 
@@ -674,6 +687,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree_distribution": _q_degree_distribution,
         "pagerank": _q_pagerank,
         "connected_components": _q_cc,
+        "connected_components_hashmin": _q_cc_hashmin,
         "label_propagation": _q_lpa,
         "triangles_per_vertex": _q_triangles,
         "triangle_total": _q_triangle_total,
@@ -1780,4 +1794,7 @@ def oracle_sql() -> dict[str, str]:
         " (32 * (4 + i % 7))::BIGINT AS n_bytes"
         " FROM range(64) t(i)"
     )
+    # the two CC engines share one contract (component = min id of the
+    # undirected component) and therefore one oracle
+    sql["connected_components_hashmin"] = sql["connected_components"]
     return sql

@@ -14,6 +14,7 @@ from .partitioning import build_adjacency, symmetrize
 from .checkpoint import CheckpointManager
 from .algorithms import (
     connected_components,
+    connected_components_hashmin,
     graph_sample,
     label_propagation,
     local_maximal_cliques,
@@ -67,6 +68,7 @@ __all__ = [
     "CheckpointManager",
     "pagerank",
     "connected_components",
+    "connected_components_hashmin",
     "label_propagation",
     "common_neighbor_scores",
     "triangle_counts",

@@ -1,5 +1,5 @@
 from .pagerank import pagerank
-from .cc import connected_components
+from .cc import connected_components, connected_components_hashmin
 from .lpa import label_propagation
 from .linkpred import common_neighbor_scores
 from .triangles import triangle_counts, triangle_total
@@ -14,6 +14,7 @@ __all__ = [
     "maximum_cliques",
     "pagerank",
     "connected_components",
+    "connected_components_hashmin",
     "label_propagation",
     "common_neighbor_scores",
     "triangle_counts",

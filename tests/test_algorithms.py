@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 
 from linkgraph import (
     connected_components,
+    connected_components_hashmin,
     label_propagation,
     pagerank,
     shortest_paths,
@@ -98,6 +99,52 @@ class TestConnectedComponents:
     def test_clique_fixture(self, clique_edges):
         comp, _ = connected_components(clique_edges)
         exp = cc_oracle(adjacency_to_edges(CLIQUE), set(range(1, 8)))
+        assert _to_dict(comp, "id", "component") == exp
+
+
+class TestHashMinCC:
+    """Alternating large-star/small-star CC (Kiveris et al.) — must
+    agree exactly with the min-label engine (shared contract: component
+    label = min id), while converging diameter-independently."""
+
+    def test_matches_oracle_basic(self, spark):
+        edges = [(1, 2), (2, 3), (3, 1), (10, 11), (12, 12)]
+        comp, res = connected_components_hashmin(edges_df(spark, edges))
+        exp = cc_oracle(edges, {1, 2, 3, 10, 11, 12})
+        assert _to_dict(comp, "id", "component") == exp
+        assert res.converged
+
+    def test_diameter_independent_rounds(self, spark):
+        # a 64-hop path: min-label propagation needs ~64 supersteps,
+        # star contraction collapses it in O(log n) rounds
+        edges = [(i, i + 1) for i in range(64)]
+        comp, res = connected_components_hashmin(edges_df(spark, edges))
+        assert res.converged
+        assert res.supersteps <= 12
+        assert _to_dict(comp, "id", "component") == {i: 0 for i in range(65)}
+
+    def test_matches_minlabel_on_random_graph(self, spark):
+        import random
+
+        rng = random.Random(1234)
+        edges = [(rng.randrange(300), rng.randrange(300)) for _ in range(500)]
+        e = edges_df(spark, edges)
+        ref, _ = connected_components(e)
+        got, res = connected_components_hashmin(e)
+        assert res.converged
+        assert _to_dict(got, "id", "component") == _to_dict(ref, "id", "component")
+
+    def test_empty_and_selfloop_graphs(self, spark):
+        comp, res = connected_components_hashmin(edges_df(spark, [(7, 7)]))
+        assert res.converged
+        assert _to_dict(comp, "id", "component") == {7: 7}
+
+    def test_vertices_param_adds_isolated(self, spark):
+        verts = spark.createDataFrame([(i,) for i in range(6)], "id long")
+        comp, _ = connected_components_hashmin(
+            edges_df(spark, [(0, 1)]), vertices=verts
+        )
+        exp = {0: 0, 1: 0, 2: 2, 3: 3, 4: 4, 5: 5}
         assert _to_dict(comp, "id", "component") == exp
 
 
