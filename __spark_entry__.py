@@ -28,6 +28,8 @@ from pyspark.sql import functions as F
 from linkgraph import (
     connected_components,
     connected_components_hashmin,
+    clustering_coefficients,
+    transitivity,
     label_propagation,
     pagerank,
     reachability,
@@ -170,6 +172,25 @@ def _q_lpa(spark, sf):
 def _q_triangles(spark, sf):
     edges = document_edges(spark, sf)
     return triangle_counts(edges, vertices=document_vertices(spark, sf))
+
+
+def _q_clustering(spark, sf):
+    """Local clustering coefficient + degree + through-triangles per
+    document vertex (undirected simple graph)."""
+    edges = document_edges(spark, sf)
+    return clustering_coefficients(
+        edges, vertices=document_vertices(spark, sf)
+    ).select(
+        "id", "degree", "triangles", F.round("coeff", 6).alias("coeff")
+    )
+
+
+def _q_transitivity(spark, sf):
+    """Global transitivity: closed/open wedge ratio of the doc graph."""
+    edges = document_edges(spark, sf)
+    return transitivity(edges).select(
+        F.round("transitivity", 6).alias("transitivity")
+    )
 
 
 def _q_triangle_total(spark, sf):
@@ -691,6 +712,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_propagation": _q_lpa,
         "triangles_per_vertex": _q_triangles,
         "triangle_total": _q_triangle_total,
+        "clustering_coefficient": _q_clustering,
+        "transitivity": _q_transitivity,
         "sssp_hops": _q_sssp,
         "sssp_vertex_program": _q_sssp_vp,
         "sssp_weighted": _q_sssp_weighted,
@@ -1797,4 +1820,38 @@ def oracle_sql() -> dict[str, str]:
     # the two CC engines share one contract (component = min id of the
     # undirected component) and therefore one oracle
     sql["connected_components_hashmin"] = sql["connected_components"]
+    # triangle participation (all three corners) + degrees over the
+    # undirected simple doc graph — mirrors
+    # linkgraph/algorithms/triangles.py::clustering_coefficients
+    _cc_corners = (
+        " se AS (SELECT src, dst FROM sym WHERE src <> dst),"
+        " lower_e AS (SELECT src AS b, dst AS a FROM se WHERE dst < src),"
+        " upper_e AS (SELECT src AS b, dst AS c FROM se WHERE dst > src),"
+        " wedges AS (SELECT a, b, c FROM lower_e JOIN upper_e USING (b)),"
+        " closed AS (SELECT w.a, w.b, w.c FROM wedges w"
+        "   JOIN se e ON e.src = w.a AND e.dst = w.c),"
+        " corners AS (SELECT a AS id FROM closed"
+        "   UNION ALL SELECT b FROM closed UNION ALL SELECT c FROM closed),"
+        " pv AS (SELECT id, COUNT(*) AS triangles FROM corners GROUP BY id),"
+        " vdeg AS (SELECT src AS id, COUNT(*) AS degree FROM se GROUP BY src)"
+    )
+    sql["clustering_coefficient"] = (
+        WS + "," + _cc_corners +
+        " SELECT d.doc_id AS id, COALESCE(g.degree, 0) AS degree,"
+        " COALESCE(pv.triangles, 0) AS triangles,"
+        " ROUND(CASE WHEN COALESCE(g.degree, 0) >= 2"
+        "  THEN 2.0 * COALESCE(pv.triangles, 0) / (g.degree * (g.degree - 1))"
+        "  ELSE 0.0 END, 6) AS coeff"
+        " FROM documents d"
+        " LEFT JOIN vdeg g ON g.id = d.doc_id"
+        " LEFT JOIN pv ON pv.id = d.doc_id"
+    )
+    sql["transitivity"] = (
+        WS + "," + _cc_corners + ","
+        " t3 AS (SELECT COALESCE(SUM(triangles), 0) AS t3 FROM pv),"
+        " wz AS (SELECT COALESCE(SUM((degree * (degree - 1)) // 2), 0) AS w FROM vdeg)"
+        " SELECT ROUND(CASE WHEN w > 0 THEN t3 / CAST(w AS DOUBLE)"
+        "  ELSE 0.0 END, 6) AS transitivity"
+        " FROM t3, wz"
+    )
     return sql

@@ -23,6 +23,8 @@ from .algorithms import (
     reachability,
     shortest_paths,
     common_neighbor_scores,
+    clustering_coefficients,
+    transitivity,
     triangle_counts,
     triangle_total,
 )
@@ -71,6 +73,8 @@ __all__ = [
     "connected_components_hashmin",
     "label_propagation",
     "common_neighbor_scores",
+    "clustering_coefficients",
+    "transitivity",
     "triangle_counts",
     "triangle_total",
     "shortest_paths",

@@ -2,7 +2,7 @@ from .pagerank import pagerank
 from .cc import connected_components, connected_components_hashmin
 from .lpa import label_propagation
 from .linkpred import common_neighbor_scores
-from .triangles import triangle_counts, triangle_total
+from .triangles import clustering_coefficients, transitivity, triangle_counts, triangle_total
 from .sssp import shortest_paths
 from .reachability import reachability
 from .sampling import graph_sample
@@ -17,6 +17,8 @@ __all__ = [
     "connected_components_hashmin",
     "label_propagation",
     "common_neighbor_scores",
+    "clustering_coefficients",
+    "transitivity",
     "triangle_counts",
     "triangle_total",
     "shortest_paths",

@@ -80,3 +80,77 @@ def triangle_total(
         .first()
     )
     return int(row["t"] or 0)
+
+
+def _participation(edges: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(undirected simple edge set, per-vertex triangle PARTICIPATION).
+
+    Unlike :func:`triangle_counts` (reference attribution: each triangle
+    counted once, at its smallest vertex), clustering coefficients need
+    each triangle counted at ALL THREE corners. Same ordered wedge join,
+    with the center retained and the closed (a, b, c) rows exploded to
+    their corners — one extra narrow stage over the closed set (whose
+    size is the triangle count, not the wedge count).
+    """
+    e = symmetrize(edges).filter(F.col("src") != F.col("dst"))
+    lower = e.filter(F.col("dst") < F.col("src")).selectExpr("src AS b", "dst AS a")
+    upper = e.filter(F.col("dst") > F.col("src")).selectExpr("src AS b", "dst AS c")
+    wedges = lower.join(upper, "b").select("a", "b", "c")
+    closing = e.selectExpr("src AS a", "dst AS c")
+    closed = wedges.join(closing, ["a", "c"], "inner")
+    corners = closed.select(
+        F.explode(F.array("a", "b", "c")).alias("id")
+    )
+    per_vertex = corners.groupBy("id").agg(F.count(F.lit(1)).alias("triangles"))
+    return e, per_vertex
+
+
+def clustering_coefficients(
+    edges: DataFrame,
+    vertices: DataFrame | None = None,
+) -> DataFrame:
+    """Per-vertex local clustering coefficient over the undirected
+    simple graph (self-loops dropped, direction ignored).
+
+    DF(id, degree, triangles, coeff) where ``triangles`` counts the
+    triangles THROUGH the vertex and
+    ``coeff = 2*triangles / (degree*(degree-1))`` (0 for degree < 2).
+    Scale shape: one wedge join (shuffles on the center — the same
+    hub-quadratic term every triangle algorithm has, AQE skew-split
+    territory) plus one degree aggregate; no iteration.
+    """
+    e, per_vertex = _participation(edges)
+    degrees = e.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )
+    verts = vertices.select("id") if vertices is not None else vertices_from_edges(edges)
+    return (
+        verts.join(degrees, "id", "left_outer")
+        .join(per_vertex, "id", "left_outer")
+        .selectExpr(
+            "id",
+            "COALESCE(degree, 0L) AS degree",
+            "COALESCE(triangles, 0L) AS triangles",
+            "CASE WHEN COALESCE(degree, 0L) >= 2"
+            " THEN 2.0D * COALESCE(triangles, 0L) / (degree * (degree - 1))"
+            " ELSE 0.0D END AS coeff",
+        )
+    )
+
+
+def transitivity(edges: DataFrame) -> DataFrame:
+    """Global transitivity (one row: DF(transitivity)) —
+    3*triangles / wedges over the undirected simple graph, the standard
+    closed-to-open wedge ratio. 0.0 when the graph has no wedges."""
+    e, per_vertex = _participation(edges)
+    # sum of per-corner participation already equals 3 * n_triangles
+    tri3 = per_vertex.agg(F.sum("triangles").alias("t3"))
+    wedge = (
+        e.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .agg(F.sum(F.expr("(d * (d - 1)) div 2")).alias("w"))
+    )
+    return tri3.crossJoin(wedge).selectExpr(
+        "CASE WHEN COALESCE(w, 0) > 0"
+        " THEN COALESCE(t3, 0) / CAST(w AS DOUBLE) ELSE 0.0D END AS transitivity"
+    )

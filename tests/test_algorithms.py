@@ -8,9 +8,11 @@ import pytest
 from pyspark.sql import functions as F
 
 from linkgraph import (
+    clustering_coefficients,
     connected_components,
     connected_components_hashmin,
     label_propagation,
+    transitivity,
     pagerank,
     shortest_paths,
     triangle_counts,
@@ -188,6 +190,50 @@ class TestTriangles:
     def test_self_loops_ignored(self, spark):
         e = edges_df(spark, [(1, 1), (1, 2), (2, 3), (1, 3)])
         assert triangle_total(e) == 1
+
+
+class TestClusteringCoefficients:
+    def _brute(self, edges, vertices):
+        from collections import defaultdict
+
+        nbrs = defaultdict(set)
+        for s, d in edges:
+            if s != d:
+                nbrs[s].add(d)
+                nbrs[d].add(s)
+        out = {}
+        for v in vertices:
+            deg = len(nbrs[v])
+            tri = sum(
+                1
+                for a in nbrs[v]
+                for b in nbrs[v]
+                if a < b and b in nbrs[a]
+            )
+            coeff = 2.0 * tri / (deg * (deg - 1)) if deg >= 2 else 0.0
+            out[v] = (deg, tri, round(coeff, 9))
+        return out
+
+    def test_matches_brute_force(self, spark):
+        import random
+
+        rng = random.Random(99)
+        edges = list({(rng.randrange(40), rng.randrange(40)) for _ in range(120)})
+        verts = {v for e in edges for v in e}
+        got = {
+            r["id"]: (r["degree"], r["triangles"], round(r["coeff"], 9))
+            for r in clustering_coefficients(edges_df(spark, edges)).collect()
+        }
+        assert got == self._brute(edges, verts)
+
+    def test_transitivity_closed_form(self, spark):
+        # triangle + pendant: 3 triangles-at-corners / 5 wedges = 0.6
+        e = edges_df(spark, [(1, 2), (2, 3), (3, 1), (1, 4)])
+        assert transitivity(e).collect()[0]["transitivity"] == pytest.approx(0.6)
+
+    def test_no_wedges_is_zero(self, spark):
+        e = edges_df(spark, [(1, 2)])
+        assert transitivity(e).collect()[0]["transitivity"] == 0.0
 
 
 class TestSSSP:
