@@ -536,6 +536,35 @@ def _q_tfidf(spark, sf):
     return tfidf_top_terms(load_documents(spark, sf), top_k=TFIDF_TOPK)
 
 
+PII_PLANT = (
+    " contact user{id}@mail.example.com at 10.2.3.4 or +44 20 7946 0958"
+)
+
+
+def _q_pii(spark, sf):
+    """PII scrub gate: plant a deterministic email+IP+phone snippet on
+    every 7th document (the base corpus is digit-free word salad), then
+    redact. One codegen scan; the oracle mirrors the plant and the
+    sequential regexp_replace pipeline verbatim."""
+    from linkgraph.pipeline import pii_redact
+
+    planted = load_documents(spark, sf).selectExpr(
+        "doc_id",
+        "concat(text, CASE WHEN doc_id % 7 = 0 THEN"
+        " concat(' contact user', CAST(doc_id AS STRING),"
+        " '@mail.example.com at 10.2.3.4 or +44 20 7946 0958')"
+        " ELSE '' END) AS text",
+    )
+    return pii_redact(planted)
+
+
+def _q_repetition(spark, sf):
+    """Gopher-style repetition quality signals per document."""
+    from linkgraph.pipeline import repetition_stats
+
+    return repetition_stats(load_documents(spark, sf))
+
+
 def _q_normalize(spark, sf):
     """Canonical pre-dedup normalization + fingerprint, one codegen
     scan (lower/regexp_replace/trim/md5 are all JVM built-ins)."""
@@ -735,6 +764,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocabulary": _q_vocabulary,
         "tfidf_top_terms": _q_tfidf,
         "normalize_text": _q_normalize,
+        "pii_redaction": _q_pii,
+        "repetition_stats": _q_repetition,
         "contamination_check": _q_contamination,
         "ngram_decontamination": _q_ngram_decontaminate,
         "embedding_cosine_topk": _q_topk,
@@ -1845,6 +1876,59 @@ def oracle_sql() -> dict[str, str]:
         " FROM documents d"
         " LEFT JOIN vdeg g ON g.id = d.doc_id"
         " LEFT JOIN pv ON pv.id = d.doc_id"
+    )
+    # PII scrub — the plant and the email -> ip -> phone sequential
+    # replace mirror linkgraph/pipeline/textstats.py::pii_redact; the
+    # patterns are ASCII-only so Java regex and RE2 agree, and DuckDB
+    # needs the explicit 'g' flag Spark applies by default
+    from linkgraph.pipeline.textstats import PII_EMAIL, PII_IPV4, PII_PHONE
+
+    sql["pii_redaction"] = (
+        " WITH planted AS (SELECT doc_id, text ||"
+        "  CASE WHEN doc_id % 7 = 0 THEN ' contact user' ||"
+        "   CAST(doc_id AS VARCHAR) ||"
+        "   '@mail.example.com at 10.2.3.4 or +44 20 7946 0958'"
+        "  ELSE '' END AS text FROM documents),"
+        f" t1 AS (SELECT doc_id,"
+        f"  len(regexp_extract_all(text, '{PII_EMAIL}')) AS n_emails,"
+        f"  regexp_replace(text, '{PII_EMAIL}', '<EMAIL>', 'g') AS text"
+        f"  FROM planted),"
+        f" t2 AS (SELECT doc_id, n_emails,"
+        f"  len(regexp_extract_all(text, '{PII_IPV4}')) AS n_ips,"
+        f"  regexp_replace(text, '{PII_IPV4}', '<IP>', 'g') AS text"
+        f"  FROM t1),"
+        f" t3 AS (SELECT doc_id, n_emails, n_ips,"
+        f"  len(regexp_extract_all(text, '{PII_PHONE}')) AS n_phones,"
+        f"  regexp_replace(text, '{PII_PHONE}', '<PHONE>', 'g') AS text"
+        f"  FROM t2)"
+        " SELECT doc_id, text AS redacted_text, n_emails, n_ips, n_phones"
+        " FROM t3"
+    )
+    # Gopher repetition signals — mirrors textstats.repetition_stats
+    sql["repetition_stats"] = (
+        " WITH toks AS (SELECT doc_id,"
+        "   list_filter(string_split(text, ' '), t -> t <> '') AS toks"
+        "  FROM documents),"
+        " base AS (SELECT doc_id, len(toks) AS n_tokens,"
+        "   len(list_distinct(toks)) AS n_distinct FROM toks),"
+        " pos2 AS (SELECT doc_id, toks,"
+        "   unnest(generate_series(1, len(toks) - 1)) AS i FROM toks),"
+        " m2 AS (SELECT doc_id, MAX(c) AS m2 FROM ("
+        "   SELECT doc_id, toks[i] || ' ' || toks[i+1] AS g, COUNT(*) AS c"
+        "   FROM pos2 GROUP BY doc_id, g) GROUP BY doc_id),"
+        " pos3 AS (SELECT doc_id, toks,"
+        "   unnest(generate_series(1, len(toks) - 2)) AS i FROM toks),"
+        " m3 AS (SELECT doc_id, MAX(c) AS m3 FROM ("
+        "   SELECT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS g,"
+        "   COUNT(*) AS c FROM pos3 GROUP BY doc_id, g) GROUP BY doc_id)"
+        " SELECT b.doc_id, b.n_tokens,"
+        "  ROUND(CASE WHEN b.n_tokens > 0"
+        "   THEN 1.0 - b.n_distinct / CAST(b.n_tokens AS DOUBLE)"
+        "   ELSE 0.0 END, 6) AS dup_word_frac,"
+        "  ROUND(COALESCE(2.0 * m2.m2 / b.n_tokens, 0.0), 6) AS top2gram_frac,"
+        "  ROUND(COALESCE(3.0 * m3.m3 / b.n_tokens, 0.0), 6) AS top3gram_frac"
+        " FROM base b LEFT JOIN m2 ON m2.doc_id = b.doc_id"
+        " LEFT JOIN m3 ON m3.doc_id = b.doc_id"
     )
     sql["transitivity"] = (
         WS + "," + _cc_corners + ","

@@ -17,7 +17,9 @@ from .textstats import (
     doc_fingerprint,
     language_id,
     normalize_text,
+    pii_redact,
     quality_score,
+    repetition_stats,
     tfidf_top_terms,
     token_count,
     vocabulary,
@@ -38,6 +40,8 @@ __all__ = [
     "simhash64",
     "simhash_pairs",
     "token_count",
+    "pii_redact",
+    "repetition_stats",
     "bpe_token_count",
     "quality_score",
     "language_id",

@@ -92,7 +92,10 @@ def _token_hash_shingles_sql(n: int, fold: str | None = None) -> str:
     if fold:
         h = fold.format(h=h)
     return (
-        f"array_distinct(transform(sequence(1, greatest(size(th) - {n - 1}, 0)),"
+        # if(): sequence(1, 0) DESCENDS in Spark ([1,0]) and element_at/
+        # slice then hit index 0 — short docs need an explicit empty array
+        f"array_distinct(transform("
+        f" if(size(th) < {n}, array(), sequence(1, size(th) - {n - 1})),"
         f" i -> {h}))"
     )
 
@@ -123,8 +126,11 @@ def exact_duplicates(docs: DataFrame) -> DataFrame:
     )
 
 
+# if(): sequence(1, 0) DESCENDS in Spark ([1,0]) and slice then hits
+# index 0 — docs shorter than the shingle width need an explicit empty array
 _SHINGLES_FROM_TOKS = (
-    "array_distinct(transform(sequence(1, greatest(size(toks) - {m}, 0)),"
+    "array_distinct(transform("
+    " if(size(toks) < {n}, array(), sequence(1, size(toks) - {m})),"
     " i -> concat_ws(' ', slice(toks, i, {n}))))"
 )
 
@@ -350,7 +356,12 @@ def minhash_lsh_pairs(
     # 0.30 at 2M docs: the job was shuffle-bandwidth-bound); signatures
     # rejoin from the persisted frame only for the distinct candidate
     # pairs, which are O(near-dups), not O(docs * bands).
-    banded = sigs.select(
+    # Docs with NO shingles (shorter than shingle_n) carry the all-P
+    # sentinel signature: banding them would bucket every such doc
+    # together (pairwise Jaccard is undefined on empty shingle sets, and
+    # at web scale they form the worst pathological bucket). Signature
+    # values are mod P, so sig[1] = P identifies the sentinel exactly.
+    banded = sigs.filter(F.expr(f"element_at(sig, 1) <> {MINHASH_P}")).select(
         "doc_id",
         F.explode(
             F.expr(

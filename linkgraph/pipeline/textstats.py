@@ -218,8 +218,10 @@ def ngram_decontaminate(
     the raw n-gram strings so the DuckDB oracle reproduces the result
     verbatim — identical output either way up to 64-bit collisions.
     """
+    # if(): sequence(1, 0) DESCENDS in Spark ([1,0]) and slice then
+    # hits index 0 — docs/probes shorter than n need an explicit empty array
     shingle = F.expr(
-        f"transform(sequence(1, greatest(size(toks) - {n - 1}, 0)),"
+        f"transform(if(size(toks) < {n}, array(), sequence(1, size(toks) - {n - 1})),"
         f" i -> concat_ws(' ', slice(toks, i, {n})))"
     )
     key = (lambda c: F.col(c)) if portable else (lambda c: F.xxhash64(F.col(c)))
@@ -252,6 +254,97 @@ def ngram_decontaminate(
         F.coalesce("n_matched_ngrams", F.lit(0)).cast("long").alias("n_matched_ngrams"),
         F.coalesce("max_run_len", F.lit(0)).cast("long").alias("max_run_len"),
         (F.coalesce("n_matched_ngrams", F.lit(0)) > 0).cast("int").alias("contaminated"),
+    )
+
+
+# PII patterns shared VERBATIM with the DuckDB oracle — ASCII classes,
+# bounded quantifiers, no backrefs/lookaround, so Java regex (Spark) and
+# RE2 (DuckDB) match identically. Spark's regexp_replace is global by
+# default; the oracle must pass the 'g' flag.
+PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PII_IPV4 = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+PII_PHONE = "\\+?[0-9][0-9 ()-]{7,}[0-9]"
+
+
+def pii_redact(docs: DataFrame) -> DataFrame:
+    """(doc_id, redacted_text, n_emails, n_ips, n_phones) — PII scrub
+    for training corpora: emails, IPv4 addresses, then phone-shaped
+    digit runs are replaced by typed placeholder tokens, in that fixed
+    order (each count is taken on the text AS THE PREVIOUS STAGE LEFT
+    IT, so counts and replacements always agree — an email's digits can
+    never double-count as a phone).
+
+    One whole-stage-codegen scan: lower-level regexp_replace /
+    regexp_count built-ins only, no Python, no shuffle — runs at
+    parquet-read speed at any corpus size and composes with
+    normalize/dedup stages.
+    """
+    t0 = F.col("text")
+    t1 = F.regexp_replace(t0, PII_EMAIL, "<EMAIL>")
+    t2 = F.regexp_replace(t1, PII_IPV4, "<IP>")
+    t3 = F.regexp_replace(t2, PII_PHONE, "<PHONE>")
+    return docs.select(
+        "doc_id",
+        t3.alias("redacted_text"),
+        F.regexp_count(t0, F.lit(PII_EMAIL)).cast("long").alias("n_emails"),
+        F.regexp_count(t1, F.lit(PII_IPV4)).cast("long").alias("n_ips"),
+        F.regexp_count(t2, F.lit(PII_PHONE)).cast("long").alias("n_phones"),
+    )
+
+
+def repetition_stats(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, dup_word_frac, top2gram_frac, top3gram_frac)
+    — Gopher-style repetition quality signals (Rae et al. 2021 §A1.1):
+    the fraction of tokens that are repeats of an earlier token, and the
+    fraction of the document covered by its single most frequent word
+    2-gram / 3-gram. High values mean degenerate, loopy text a training
+    pipeline should drop.
+
+    Definitions (engine-portable, deterministic):
+    - dup_word_frac  = 1 - distinct_tokens / n_tokens
+    - topKgram_frac  = K * max_count(K-gram) / n_tokens  (0 when the
+      doc has fewer than K tokens)
+
+    100 TB shape: one explode per K plus partial/final counts keyed by
+    (doc_id, gram) — per-doc state, no global vocabulary, no window
+    over the token stream; the max-per-doc is a second tiny aggregate
+    over (doc_id, gram, count) rows.
+    """
+    toks = docs.select("doc_id", F.split("text", " ").alias("toks")).select(
+        "doc_id",
+        F.expr("filter(toks, t -> t <> '')").alias("toks"),
+    )
+    base = toks.select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).alias("n_distinct"),
+    )
+
+    def top_gram(k: int, name: str) -> DataFrame:
+        gram = F.expr(
+            f"transform(if(size(toks) < {k}, array(), sequence(1, size(toks) - {k - 1})),"
+            f" i -> concat_ws(' ', slice(toks, i, {k})))"
+        )
+        return (
+            toks.select("doc_id", F.explode(gram).alias("g"))
+            .groupBy("doc_id", "g")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .groupBy("doc_id")
+            .agg(F.max("c").alias(name))
+        )
+
+    return (
+        base.join(top_gram(2, "m2"), "doc_id", "left_outer")
+        .join(top_gram(3, "m3"), "doc_id", "left_outer")
+        .selectExpr(
+            "doc_id",
+            "n_tokens",
+            "ROUND(CASE WHEN n_tokens > 0"
+            " THEN 1.0D - n_distinct / CAST(n_tokens AS DOUBLE)"
+            " ELSE 0.0D END, 6) AS dup_word_frac",
+            "ROUND(COALESCE(2.0D * m2 / n_tokens, 0.0D), 6) AS top2gram_frac",
+            "ROUND(COALESCE(3.0D * m3 / n_tokens, 0.0D), 6) AS top3gram_frac",
+        )
     )
 
 

@@ -667,3 +667,93 @@ class TestKMVSketch:
         a = kmv_distinct_tokens(docs, k=8).collect()[0]
         b = kmv_distinct_tokens(docs, k=8).collect()[0]
         assert a == b
+
+
+class TestPIIRedact:
+    def test_planted_pii_redacted_and_counted(self, spark):
+        from linkgraph.pipeline import pii_redact
+
+        docs = spark.createDataFrame(
+            [
+                (0, "mail bob.smith+x@corp.example.org or 192.168.1.250 "
+                    "call +1 (555) 123-4567 today"),
+                (1, "two mails a@b.io and c.d@e.co.uk no numbers"),
+                (2, "clean text with no pii at all"),
+                (3, ""),
+            ],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r for r in pii_redact(docs).collect()}
+        assert out[0]["redacted_text"] == "mail <EMAIL> or <IP> call <PHONE> today"
+        assert (out[0]["n_emails"], out[0]["n_ips"], out[0]["n_phones"]) == (1, 1, 1)
+        assert out[1]["n_emails"] == 2 and "<EMAIL>" in out[1]["redacted_text"]
+        assert out[2]["redacted_text"] == "clean text with no pii at all"
+        assert out[3]["redacted_text"] == ""
+
+    def test_email_digits_never_count_as_phone(self, spark):
+        from linkgraph.pipeline import pii_redact
+
+        docs = spark.createDataFrame(
+            [(0, "reach 123456789@numbers.example.com ok")],
+            "doc_id long, text string",
+        )
+        r = pii_redact(docs).collect()[0]
+        assert r["n_emails"] == 1 and r["n_phones"] == 0
+        assert r["redacted_text"] == "reach <EMAIL> ok"
+
+
+class TestRepetitionStats:
+    def test_closed_form(self, spark):
+        from linkgraph.pipeline import repetition_stats
+
+        docs = spark.createDataFrame(
+            [
+                (1, "spam spam spam spam go go go go"),
+                (2, "all distinct words here"),
+                (3, ""),
+                (4, "one"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+        # doc 1: 8 tokens, 2 distinct; "spam spam" x3; "spam spam spam" x2
+        assert out[1]["dup_word_frac"] == pytest.approx(0.75)
+        assert out[1]["top2gram_frac"] == pytest.approx(0.75)
+        assert out[1]["top3gram_frac"] == pytest.approx(0.75)
+        assert out[2]["dup_word_frac"] == 0.0
+        # empty / single-token docs: no grams, no crash (sequence(1,0)
+        # DESCENDS in Spark -- regression for the shingle guards)
+        assert out[3]["n_tokens"] == 0 and out[3]["top2gram_frac"] == 0.0
+        assert out[4]["n_tokens"] == 1 and out[4]["top2gram_frac"] == 0.0
+
+
+class TestShortDocShingles:
+    """Docs shorter than the shingle width must yield empty shingle
+    sets, not slice/element_at index-0 errors (sequence(1, 0) descends
+    in Spark)."""
+
+    def test_minhash_and_simhash_survive_short_docs(self, spark):
+        from linkgraph.pipeline import minhash_lsh_pairs, simhash64
+
+        docs = spark.createDataFrame(
+            [(0, ""), (1, "one"), (2, "two words"),
+             (3, "a full length document with plenty of tokens inside it"),
+             (4, "a full length document with plenty of tokens inside it")],
+            "doc_id long, text string",
+        )
+        pairs = minhash_lsh_pairs(docs, shingle_n=3).collect()
+        assert {(r["doc_a"], r["doc_b"]) for r in pairs} == {(3, 4)}
+        sims = simhash64(docs, shingle_n=3)
+        assert sims.count() == 5
+
+    def test_ngram_decontaminate_short_probe_and_doc(self, spark):
+        from linkgraph.pipeline import ngram_decontaminate
+
+        docs = spark.createDataFrame(
+            [(0, "tiny"), (1, " ".join(f"w{i}" for i in range(20)))],
+            "doc_id long, text string",
+        )
+        probes = spark.createDataFrame([("short",), ("w3 w4 w5 w6 w7 w8 w9 w10",)], "probe string")
+        out = {r["doc_id"]: r for r in ngram_decontaminate(docs, probes, n=8).collect()}
+        assert out[0]["contaminated"] == 0
+        assert out[1]["contaminated"] == 1 and out[1]["max_run_len"] == 1
