@@ -67,6 +67,10 @@ KCORE_K = 6
 # unrolled oracle peel passes; the sf0.01 cascade at k=6 is 20 deep
 # (measured), +4 slack passes are no-ops at fixpoint
 KCORE_PASSES = 24
+KTRUSS_K = 3
+# the unrolled k-truss oracle peels this many times; _q_ktruss fails
+# loudly if the engine needs more rounds (same rule as KCORE_PASSES)
+KTRUSS_PASSES = 12
 BGD_UPDATES = 5
 LPA_STEPS = 4
 SSSP_HOPS = 12
@@ -376,6 +380,23 @@ def _q_kcore(spark, sf):
             f"k-core peel ran {res.supersteps} supersteps "
             f"(converged={res.converged}); the unrolled oracle covers "
             f"{KCORE_PASSES} passes — raise KCORE_PASSES"
+        )
+    return out
+
+
+def _q_ktruss(spark, sf):
+    """k-truss edge set + within-truss support by iterative
+    triangle-support peeling (edge-relation state); unrolled
+    peel-pass oracle with loud under-coverage failure."""
+    from linkgraph import ktruss
+
+    edges = document_edges(spark, sf)
+    out, res = ktruss(edges, KTRUSS_K)
+    if not res.converged or res.supersteps > KTRUSS_PASSES:
+        raise RuntimeError(
+            f"k-truss peel ran {res.supersteps} rounds "
+            f"(converged={res.converged}); the unrolled oracle covers "
+            f"{KTRUSS_PASSES} passes — raise KTRUSS_PASSES"
         )
     return out
 
@@ -753,6 +774,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "personalized_pagerank": _q_ppr,
         "hits_scores": _q_hits,
         "kcore_membership": _q_kcore,
+        "ktruss_edges": _q_ktruss,
         "reachability": _q_reachability,
         "exact_dedup": _q_exact_dedup,
         "token_count": _q_token_count,
@@ -989,6 +1011,48 @@ def _hits_sql(iters: int) -> str:
         "WITH " + ",\n".join(ctes)
         + f"\nSELECT id, ROUND(a/(SELECT SUM(a) FROM s{iters}), 6) AS authority,"
         + f" ROUND(h/(SELECT SUM(h) FROM s{iters}), 6) AS hub FROM s{iters}"
+    )
+
+
+def _ktruss_sql(k: int, passes: int) -> str:
+    """Unrolled k-truss peeling over the canonical (a < b) edge set:
+    each pass enumerates triangles x<y<z with three joins, counts
+    per-edge support, and keeps edges with support >= k-2; extra passes
+    past the fixpoint are no-ops. Output: surviving edges with support
+    WITHIN the fixpoint subgraph."""
+    need = k - 2
+    ctes = [
+        EDGES_CTES.strip(),
+        SYM_CTE.strip(),
+        "e0 AS (SELECT src AS a, dst AS b FROM sym WHERE src < dst)",
+    ]
+    def tri(i, src):
+        return (
+            f"t{i} AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z"
+            f" FROM {src} e1 JOIN {src} e2 ON e2.a = e1.b"
+            f" JOIN {src} e3 ON e3.a = e1.a AND e3.b = e2.b)"
+        )
+    def sup(i):
+        return (
+            f"s{i} AS (SELECT a, b, COUNT(*) AS c FROM ("
+            f" SELECT x AS a, y AS b FROM t{i}"
+            f" UNION ALL SELECT y, z FROM t{i}"
+            f" UNION ALL SELECT x, z FROM t{i}) GROUP BY a, b)"
+        )
+    for i in range(1, passes + 1):
+        ctes.append(tri(i, f"e{i-1}"))
+        ctes.append(sup(i))
+        ctes.append(
+            f"e{i} AS MATERIALIZED (SELECT e.a, e.b FROM e{i-1} e"
+            f" JOIN s{i} s ON s.a = e.a AND s.b = e.b WHERE s.c >= {need})"
+        )
+    fin = passes + 1
+    ctes.append(tri(fin, f"e{passes}"))
+    ctes.append(sup(fin))
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT e.a AS src, e.b AS dst, COALESCE(s.c, 0) AS support"
+        + f" FROM e{passes} e LEFT JOIN s{fin} s ON s.a = e.a AND s.b = e.b"
     )
 
 
@@ -1563,6 +1627,7 @@ def oracle_sql() -> dict[str, str]:
         "personalized_pagerank": _ppr_sql(PPR_UPDATES, PPR_SOURCES),
         "hits_scores": _hits_sql(HITS_ITERS),
         "kcore_membership": _kcore_sql(KCORE_K, KCORE_PASSES),
+        "ktruss_edges": _ktruss_sql(KTRUSS_K, KTRUSS_PASSES),
         "reachability": (
             "WITH RECURSIVE "
             + EDGES_CTES.strip()

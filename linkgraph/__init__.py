@@ -24,6 +24,7 @@ from .algorithms import (
     shortest_paths,
     common_neighbor_scores,
     clustering_coefficients,
+    ktruss,
     transitivity,
     triangle_counts,
     triangle_total,
@@ -74,6 +75,7 @@ __all__ = [
     "label_propagation",
     "common_neighbor_scores",
     "clustering_coefficients",
+    "ktruss",
     "transitivity",
     "triangle_counts",
     "triangle_total",

@@ -11,6 +11,7 @@ from linkgraph import (
     clustering_coefficients,
     connected_components,
     connected_components_hashmin,
+    ktruss,
     label_propagation,
     transitivity,
     pagerank,
@@ -190,6 +191,49 @@ class TestTriangles:
     def test_self_loops_ignored(self, spark):
         e = edges_df(spark, [(1, 1), (1, 2), (2, 3), (1, 3)])
         assert triangle_total(e) == 1
+
+
+class TestKTruss:
+    @staticmethod
+    def _brute(edges, k):
+        E = {(min(s, d), max(s, d)) for s, d in edges if s != d}
+        while True:
+            nbr = {}
+            for a, b in E:
+                nbr.setdefault(a, set()).add(b)
+                nbr.setdefault(b, set()).add(a)
+            sup = {(a, b): len(nbr[a] & nbr[b]) for a, b in E}
+            new_e = {e for e in E if sup[e] >= k - 2}
+            if new_e == E:
+                return {e: sup[e] for e in E}
+            E = new_e
+
+    def test_clique_is_its_own_truss(self, spark):
+        edges = [(i, j) for i in range(5) for j in range(i + 1, 5)]
+        out, res = ktruss(edges_df(spark, edges), 5)
+        got = {(r["src"], r["dst"]): r["support"] for r in out.collect()}
+        assert got == {e: 3 for e in self._brute(edges, 5)}
+        assert res.converged
+
+    def test_triangle_free_graph_empty(self, spark):
+        out, res = ktruss(edges_df(spark, [(i, i + 1) for i in range(10)]), 3)
+        assert out.count() == 0 and res.converged
+
+    def test_cascade_matches_brute_force(self, spark):
+        import random
+
+        rng = random.Random(5)
+        edges = list({(rng.randrange(30), rng.randrange(30)) for _ in range(120)})
+        df = edges_df(spark, edges)
+        for k in (3, 4, 5):
+            out, res = ktruss(df, k)
+            got = {(r["src"], r["dst"]): r["support"] for r in out.collect()}
+            assert got == self._brute(edges, k), f"k={k}"
+            assert res.converged
+
+    def test_k_below_2_rejected(self, spark):
+        with pytest.raises(ValueError):
+            ktruss(edges_df(spark, [(1, 2)]), 1)
 
 
 class TestClusteringCoefficients:
