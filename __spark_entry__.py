@@ -71,6 +71,8 @@ KTRUSS_K = 3
 # the unrolled k-truss oracle peels this many times; _q_ktruss fails
 # loudly if the engine needs more rounds (same rule as KCORE_PASSES)
 KTRUSS_PASSES = 12
+ANF_MAPS = 16   # FM bitmaps per vertex for the neighborhood function
+ANF_MAX_H = 6   # fixed sketch depth: both engines run exactly 6 passes
 BGD_UPDATES = 5
 LPA_STEPS = 4
 SSSP_HOPS = 12
@@ -381,6 +383,24 @@ def _q_kcore(spark, sf):
             f"(converged={res.converged}); the unrolled oracle covers "
             f"{KCORE_PASSES} passes — raise KCORE_PASSES"
         )
+    return out
+
+
+def _q_anf(spark, sf):
+    """HyperANF-style neighborhood function: N(h) for h=1..ANF_MAX_H
+    over the undirected doc graph — FM bitmap union supersteps, all
+    bit_or algebra. sum_rank is the bit-exact integer anchor; the FM
+    estimate column is rounded per-vertex then summed."""
+    from linkgraph.algorithms.anf import neighborhood_function
+
+    edges = document_edges(spark, sf)
+    out, _ = neighborhood_function(
+        edges,
+        num_maps=ANF_MAPS,
+        max_h=ANF_MAX_H,
+        vertices=document_vertices(spark, sf),
+        portable=True,
+    )
     return out
 
 
@@ -775,6 +795,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits_scores": _q_hits,
         "kcore_membership": _q_kcore,
         "ktruss_edges": _q_ktruss,
+        "neighborhood_function": _q_anf,
         "reachability": _q_reachability,
         "exact_dedup": _q_exact_dedup,
         "token_count": _q_token_count,
@@ -1012,6 +1033,61 @@ def _hits_sql(iters: int) -> str:
         + f"\nSELECT id, ROUND(a/(SELECT SUM(a) FROM s{iters}), 6) AS authority,"
         + f" ROUND(h/(SELECT SUM(h) FROM s{iters}), 6) AS hub FROM s{iters}"
     )
+
+
+def _anf_sql(num_maps: int, max_h: int, seed: int = 42) -> str:
+    """Unrolled FM neighborhood-function oracle: per-vertex bitmaps
+    from md5-derived hashes (bit-identical to the Spark portable mode),
+    max_h bit_or-union passes over the symmetrized doc graph, one
+    (h, sum_rank, n_reachable_est) row per pass."""
+    from linkgraph.algorithms.anf import FM_PHI, _rank_sql, _tz_sql
+    from linkgraph.phash import md5_digits_sql
+
+    K = num_maps
+    hx_cols = ", ".join(
+        f"md5('anf:{seed}:{i}:' || CAST(id AS VARCHAR)) AS hx{i}"
+        for i in range(K)
+    )
+    init_cols = ", ".join(
+        "(CAST(1 AS BIGINT) << LEAST({tz}, 62)) AS s{i}".format(
+            tz=_tz_sql(md5_digits_sql(f"hx{i}", 15)), i=i
+        )
+        for i in range(K)
+    )
+    rank_sum = " + ".join(f"({_rank_sql(f's{i}')})" for i in range(K))
+    est_units = (
+        f"CAST(ROUND((POW(CAST(2 AS DOUBLE), ({rank_sum}) / CAST({K} AS DOUBLE))"
+        f" / {FM_PHI!r}) * 1000000.0, 0) AS BIGINT)"
+    )
+    ctes = [
+        EDGES_CTES.strip(),
+        SYM_CTE.strip(),
+        f"hx AS (SELECT doc_id AS id, {hx_cols} FROM documents)",
+        f"b0 AS MATERIALIZED (SELECT id, {init_cols} FROM hx)",
+    ]
+    sel_r = []
+    for h in range(1, max_h + 1):
+        ors = ", ".join(f"BIT_OR(b.s{i}) AS m{i}" for i in range(K))
+        merged = ", ".join(
+            f"v.s{i} | COALESCE(m.m{i}, CAST(0 AS BIGINT)) AS s{i}"
+            for i in range(K)
+        )
+        ctes.append(
+            f"m{h} AS (SELECT e.dst AS id, {ors} FROM sym e"
+            f" JOIN b{h-1} b ON b.id = e.src GROUP BY e.dst)"
+        )
+        ctes.append(
+            f"b{h} AS MATERIALIZED (SELECT v.id, {merged}"
+            f" FROM b{h-1} v LEFT JOIN m{h} m ON m.id = v.id)"
+        )
+        ctes.append(
+            f"r{h} AS (SELECT CAST({h} AS BIGINT) AS h,"
+            f" CAST(SUM({rank_sum}) AS BIGINT) AS sum_rank,"
+            f" ROUND(CAST(SUM({est_units}) AS DOUBLE) / 1000000.0, 6)"
+            f" AS n_reachable_est FROM b{h})"
+        )
+        sel_r.append(f"SELECT * FROM r{h}")
+    return "WITH " + ",\n".join(ctes) + "\n" + " UNION ALL ".join(sel_r)
 
 
 def _ktruss_sql(k: int, passes: int) -> str:
@@ -1628,6 +1704,7 @@ def oracle_sql() -> dict[str, str]:
         "hits_scores": _hits_sql(HITS_ITERS),
         "kcore_membership": _kcore_sql(KCORE_K, KCORE_PASSES),
         "ktruss_edges": _ktruss_sql(KTRUSS_K, KTRUSS_PASSES),
+        "neighborhood_function": _anf_sql(ANF_MAPS, ANF_MAX_H),
         "reachability": (
             "WITH RECURSIVE "
             + EDGES_CTES.strip()

@@ -25,6 +25,7 @@ from .algorithms import (
     common_neighbor_scores,
     clustering_coefficients,
     ktruss,
+    neighborhood_function,
     transitivity,
     triangle_counts,
     triangle_total,
@@ -76,6 +77,7 @@ __all__ = [
     "common_neighbor_scores",
     "clustering_coefficients",
     "ktruss",
+    "neighborhood_function",
     "transitivity",
     "triangle_counts",
     "triangle_total",
