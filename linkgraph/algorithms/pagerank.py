@@ -49,6 +49,7 @@ def pagerank(
     track_messages: bool = True,
     num_vertices: int | None = None,
     global_aggs: dict | None = None,
+    init_ranks: DataFrame | None = None,
 ) -> tuple[DataFrame, LoopResult]:
     """Returns (ranks DF(id, rank), LoopResult with per-superstep metrics).
 
@@ -58,6 +59,17 @@ def pagerank(
     ``fixed_updates=k``: run exactly k rank updates (reference parity
     mode; reference maxIter=m == fixed_updates=m-1). Otherwise iterate
     until the L1 delta <= tol.
+
+    ``init_ranks`` — warm restart (the incremental-analytics path a
+    growing corpus needs): seed ranks from a PREVIOUS run's output or
+    checkpoint snapshot instead of the uniform 1/N start; vertices
+    absent from the seed (newly ingested) start at 1/N. The PageRank
+    fixpoint is unique and power iteration contracts from ANY start, so
+    the warm run converges to the same ranks — in O(log(seed error))
+    supersteps instead of O(log(cold error)): after a small edge delta
+    the seed is already near the fixpoint and the run finishes in a few
+    supersteps (tests/test_resume_more.py asserts fewer supersteps with
+    matching ranks).
     """
     p = choose_partitions(edges, lambda: edges.count(), num_partitions)
     if vertices is None:
@@ -80,7 +92,13 @@ def pagerank(
         adj.count()  # reused every superstep
 
     teleport = (1.0 - damping) / n
-    init = verts.withColumn("rank", F.lit(1.0 / n))
+    if init_ranks is not None:
+        prev = init_ranks.select("id", F.col("rank").alias("_prev"))
+        init = verts.join(prev, "id", "left_outer").select(
+            "id", F.coalesce(F.col("_prev"), F.lit(1.0 / n)).alias("rank")
+        )
+    else:
+        init = verts.withColumn("rank", F.lit(1.0 / n))
 
     # Superstep plan construction uses whole-SQL-snippet expressions
     # (selectExpr / F.expr) instead of ~50 fine-grained Column calls:

@@ -97,3 +97,55 @@ class TestResumeAllAlgorithms:
         assert res.converged and not reach
         fresh, _, _ = reachability(edges, source=1, dest=25, early_terminate=False)
         assert _labels(resumed, "state") == _labels(fresh, "state")
+
+
+class TestWarmRestartPageRank:
+    def test_warm_restart_converges_faster_same_ranks(self, spark):
+        import math
+
+        import random
+
+        from linkgraph import pagerank
+        from linkgraph.synth import edges_df
+
+        # skew-degree random digraph: the fixpoint is far from uniform,
+        # so the cold (uniform) start needs many more contraction steps
+        # than a warm start seeded just a 2-edge delta away. (A regular
+        # graph would be a useless fixture here: its fixpoint IS
+        # uniform, and cold start wins by luck.)
+        rng = random.Random(11)
+        base = list({(rng.randrange(60), int(60 * rng.random() ** 3)) for _ in range(150)})
+        base = [(s, d) for s, d in base if s != d]
+        e0 = edges_df(spark, base)
+        r0, res0 = pagerank(e0, tol=1e-8)
+        assert res0.converged
+
+        # ingest a small edge delta, then restart from the stale ranks
+        e1 = edges_df(spark, base + [(3, 42), (42, 17)])
+        cold, res_cold = pagerank(e1, tol=1e-8)
+        warm, res_warm = pagerank(e1, tol=1e-8, init_ranks=r0)
+        assert res_cold.converged and res_warm.converged
+        assert res_warm.supersteps < res_cold.supersteps
+
+        c = {r["id"]: r["rank"] for r in cold.collect()}
+        w = {r["id"]: r["rank"] for r in warm.collect()}
+        assert set(c) == set(w)
+        for v in c:
+            assert math.isclose(c[v], w[v], abs_tol=1e-6)
+
+    def test_warm_restart_new_vertices_get_uniform_seed(self, spark):
+        from linkgraph import pagerank
+        from linkgraph.synth import edges_df
+
+        e0 = edges_df(spark, [(0, 1), (1, 0)])
+        r0, _ = pagerank(e0, tol=1e-8)
+        # vertex 2 is new: absent from the seed
+        e1 = edges_df(spark, [(0, 1), (1, 0), (1, 2), (2, 0)])
+        warm, res = pagerank(e1, tol=1e-8, init_ranks=r0)
+        cold, _ = pagerank(e1, tol=1e-8)
+        import math
+
+        c = {r["id"]: r["rank"] for r in cold.collect()}
+        w = {r["id"]: r["rank"] for r in warm.collect()}
+        for v in c:
+            assert math.isclose(c[v], w[v], abs_tol=1e-6)
