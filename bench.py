@@ -168,6 +168,24 @@ def main() -> None:
                 "pairs": cc_pairs,
                 "detail": "BENCH/runs/cc_scaling_*.jsonl",
             }
+        # Diameter-independence probe: alternating-star CC vs the delta
+        # plan on a high-diameter fixture (tools/hashmin_probe.py)
+        hm_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "BENCH",
+            "hashmin_vs_delta.json",
+        )
+        if os.path.exists(hm_path):
+            with open(hm_path) as f:
+                hm = json.load(f)
+            out["diameter_independence"] = {
+                "fixture": hm.get("fixture"),
+                "hashmin_rounds": hm.get("hashmin", {}).get("rounds"),
+                "delta_supersteps": hm.get("delta_minlabel", {}).get("supersteps"),
+                "speedup": hm.get("speedup"),
+                "labels_match": hm.get("labels_match"),
+                "detail": "BENCH/hashmin_vs_delta.json",
+            }
     except (
         OSError,
         json.JSONDecodeError,
