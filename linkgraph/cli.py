@@ -43,10 +43,12 @@ def _build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "algorithm",
         choices=[
-            "pagerank", "cc", "lpa", "triangles", "sssp",
+            "pagerank", "cc", "cc-hashmin", "lpa", "triangles",
+            "clustering", "transitivity", "ktruss", "anf", "sssp",
             "reachability", "sample", "cliques", "derive",
             "derive-repo", "wpr", "linkpred",
-            "dedup", "vocab", "ppr", "hits", "kcore",
+            "dedup", "vocab", "pii", "repetition",
+            "ppr", "hits", "kcore",
         ],
     )
     src = p.add_argument_group("input (exactly one)")
@@ -89,7 +91,11 @@ def _build_parser() -> argparse.ArgumentParser:
     p.add_argument("--top-k", type=int, default=50, help="vocab: number of terms")
     p.add_argument("--sources", type=int, nargs="+", default=[0],
                    help="ppr: teleport seed vertex ids")
-    p.add_argument("--k", type=int, default=3, help="kcore: core order k")
+    p.add_argument("--k", type=int, default=3, help="kcore/ktruss: order k")
+    p.add_argument("--num-maps", type=int, default=16,
+                   help="anf: FM bitmaps per vertex")
+    p.add_argument("--max-h", type=int, default=8,
+                   help="anf: maximum neighborhood depth")
     p.add_argument("--min-common", type=int, default=2,
                    help="linkpred: minimum shared neighbors per pair")
     p.add_argument("--max-center-degree", type=int, default=10_000,
@@ -137,13 +143,21 @@ def main(argv: list[str] | None = None) -> None:
 
         ckpt = CheckpointManager(spark, args.checkpoint, every=args.checkpoint_every)
 
-    if args.algorithm in ("dedup", "vocab"):
+    if args.algorithm in ("dedup", "vocab", "pii", "repetition"):
         if not args.documents:
             raise SystemExit(f"{args.algorithm} requires --documents")
         docs = spark.read.load(args.documents).select(
             F.col("doc_id").cast("long"), F.col("text")
         )
-        if args.algorithm == "dedup":
+        if args.algorithm == "pii":
+            from linkgraph.pipeline.textstats import pii_redact
+
+            out = pii_redact(docs)
+        elif args.algorithm == "repetition":
+            from linkgraph.pipeline.textstats import repetition_stats
+
+            out = repetition_stats(docs)
+        elif args.algorithm == "dedup":
             from linkgraph.pipeline.dedup import dedup_clusters
 
             out = dedup_clusters(
@@ -289,6 +303,43 @@ def main(argv: list[str] | None = None) -> None:
             max_center_degree=args.max_center_degree or None,
             symmetrize_edges=not args.directed,
         )
+    elif args.algorithm == "cc-hashmin":
+        from linkgraph.algorithms.cc import connected_components_hashmin
+
+        out, res = connected_components_hashmin(
+            edges,
+            num_partitions=args.num_partitions,
+            max_rounds=args.max_supersteps,
+        )
+    elif args.algorithm == "ktruss":
+        from linkgraph.algorithms.ktruss import ktruss
+
+        out, res = ktruss(
+            edges,
+            args.k,
+            num_partitions=args.num_partitions,
+            max_rounds=args.max_supersteps,
+        )
+    elif args.algorithm == "anf":
+        from linkgraph.algorithms.anf import neighborhood_function
+
+        out, res = neighborhood_function(
+            edges,
+            num_maps=args.num_maps,
+            max_h=args.max_h,
+            num_partitions=args.num_partitions,
+            symmetrize_edges=not args.directed,
+            portable=args.portable_hash,
+            seed=args.seed,
+        )
+    elif args.algorithm == "clustering":
+        from linkgraph.algorithms.triangles import clustering_coefficients
+
+        out = clustering_coefficients(edges)
+    elif args.algorithm == "transitivity":
+        from linkgraph.algorithms.triangles import transitivity
+
+        out = transitivity(edges)
     elif args.algorithm == "cliques":
         from linkgraph.algorithms.cliques import maximum_cliques
 
