@@ -25,6 +25,7 @@ from .algorithms import (
     common_neighbor_scores,
     clustering_coefficients,
     ktruss,
+    effective_diameter,
     neighborhood_function,
     transitivity,
     triangle_counts,
@@ -77,6 +78,7 @@ __all__ = [
     "common_neighbor_scores",
     "clustering_coefficients",
     "ktruss",
+    "effective_diameter",
     "neighborhood_function",
     "transitivity",
     "triangle_counts",

@@ -2,7 +2,7 @@ from .pagerank import pagerank
 from .cc import connected_components, connected_components_hashmin
 from .lpa import label_propagation
 from .linkpred import common_neighbor_scores
-from .anf import neighborhood_function
+from .anf import effective_diameter, neighborhood_function
 from .ktruss import ktruss
 from .triangles import clustering_coefficients, transitivity, triangle_counts, triangle_total
 from .sssp import shortest_paths
@@ -21,6 +21,7 @@ __all__ = [
     "common_neighbor_scores",
     "clustering_coefficients",
     "ktruss",
+    "effective_diameter",
     "neighborhood_function",
     "transitivity",
     "triangle_counts",

@@ -212,3 +212,31 @@ def neighborhood_function(
         rows_out, "h BIGINT, sum_rank BIGINT, n_reachable_est DOUBLE"
     )
     return out, LoopResult(state, supersteps, history, converged)
+
+
+def effective_diameter(
+    nh: DataFrame,
+    quantile: float = 0.9,
+) -> float:
+    """Effective diameter from a :func:`neighborhood_function` output:
+    the (interpolated) smallest depth h where N(h) reaches ``quantile``
+    of N(max_h) — Boldi-Vigna's standard 90% definition.
+
+    Driver-side: the input is max_h rows (one per depth), so this is
+    O(max_h) arithmetic on an already-aggregated frame, not a job.
+    """
+    rows = sorted(
+        (int(r["h"]), float(r["n_reachable_est"])) for r in nh.collect()
+    )
+    if not rows:
+        return 0.0
+    target = quantile * rows[-1][1]
+    prev_h, prev_n = 0, 0.0
+    for h, n in rows:
+        if n >= target:
+            if n == prev_n:
+                return float(prev_h)
+            # linear interpolation between the straddling depths
+            return prev_h + (target - prev_n) / (n - prev_n) * (h - prev_h)
+        prev_h, prev_n = h, n
+    return float(rows[-1][0])

@@ -232,6 +232,12 @@ def connected_components_hashmin(
                 # v > u >= m, so (v, m) is already in canonical hi > lo form
                 .select(F.col("v").alias("hi"), F.col("m").alias("lo"))
                 .distinct()
+                # the small-star phase references large TWICE (its own
+                # min aggregate + the join back); without a cache the
+                # whole large-star subtree (two exchanges) re-executes
+                # per reference — AQE is off in-loop, so there is no
+                # ReusedExchange to rescue it
+                .persist()
             )
             # ---- small-star: smaller neighbors (and u) link to the min ----
             smins = large.groupBy("hi").agg(F.min("lo").alias("m"))
@@ -262,6 +268,7 @@ def connected_components_hashmin(
             stats.wall_sec = _time.monotonic() - t0
             history.append(stats)
 
+            large.unpersist()
             release_local_checkpoint(e)
             e = nxt
             rounds = k

@@ -74,3 +74,24 @@ class TestNeighborhoodFunction:
         assert [c for c in res.state.columns if c.startswith("s")] == [
             "s0", "s1", "s2", "s3"
         ]
+
+
+class TestEffectiveDiameter:
+    def test_path_graph(self, spark):
+        from linkgraph.algorithms.anf import effective_diameter
+
+        e = spark.createDataFrame(
+            [(i, i + 1) for i in range(9)], "src long, dst long"
+        )
+        nh, _ = neighborhood_function(e, num_maps=64, max_h=10, portable=True)
+        d = effective_diameter(nh)
+        # exact 90%-effective diameter of a 10-vertex path is ~6.9
+        assert 5.0 <= d <= 8.5
+
+    def test_clique_is_one(self, spark):
+        from linkgraph.algorithms.anf import effective_diameter
+
+        edges = [(i, j) for i in range(6) for j in range(i + 1, 6)]
+        e = spark.createDataFrame(edges, "src long, dst long")
+        nh, _ = neighborhood_function(e, num_maps=32, max_h=4, portable=True)
+        assert effective_diameter(nh) <= 1.0
