@@ -106,6 +106,10 @@ NGRAM_N = 3
 # cosine 0.51 at sf0.01) — 0.4 exercises the near-dup path with a
 # non-trivial answer set; real corpora run the 0.95 default.
 NEARDUP_TAU = 0.4
+# corpus sampling: priority-sample size / per-language stratum size
+WSAMPLE_K = 50
+STRAT_K = 5
+SAMPLE_SEED = 42
 
 
 # --------------------------------------------------------------------
@@ -479,6 +483,28 @@ def _q_jaccard(spark, sf):
     return ngram_jaccard_pairs(load_documents(spark, sf), n=3, threshold=JACCARD_T)
 
 
+def _q_weighted_sample(spark, sf):
+    """Priority sampling proportional to n_chars (portable coins so the
+    selected SET is recomputable by the DuckDB oracle)."""
+    from linkgraph.pipeline import weighted_sample
+
+    return weighted_sample(
+        load_documents(spark, sf), k=WSAMPLE_K, seed=SAMPLE_SEED, portable=True
+    )
+
+
+def _q_stratified_sample(spark, sf):
+    """Per-language uniform sample of STRAT_K docs via hashed keys."""
+    from linkgraph.pipeline import stratified_sample
+
+    return stratified_sample(
+        load_documents(spark, sf),
+        k_per_stratum=STRAT_K,
+        seed=SAMPLE_SEED,
+        portable=True,
+    )
+
+
 def _q_topk(spark, sf):
     emb = spark.read.parquet(f"{sf}/embeddings.parquet")
     queries = emb.filter(F.col("vec_id") < N_QUERY_VECS)
@@ -811,6 +837,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": _q_repetition,
         "contamination_check": _q_contamination,
         "ngram_decontamination": _q_ngram_decontaminate,
+        "weighted_sample": _q_weighted_sample,
+        "stratified_sample": _q_stratified_sample,
         "embedding_cosine_topk": _q_topk,
         "customer_orders_by_nation": _q_customer_orders,
         "pricing_summary": _q_pricing_summary,
@@ -1934,6 +1962,26 @@ def oracle_sql() -> dict[str, str]:
         f"  CAST(CASE WHEN COALESCE(a.n_matched, 0) > 0 THEN 1 ELSE 0 END AS INT)"
         f"   AS contaminated"
         f" FROM documents d LEFT JOIN agg a USING (doc_id)"
+    )
+    # corpus sampling: the oracle recomputes the identical md5-digit
+    # coin (sample.uniform_sql is engine-neutral SQL text) and replays
+    # the same key ordering — the selected SET matches exactly, and
+    # only integer/string columns leave the operator
+    from linkgraph.pipeline.sample import uniform_sql as _sample_u
+
+    _ws_u = _sample_u("ws", "doc_id", SAMPLE_SEED)
+    sql["weighted_sample"] = (
+        "SELECT doc_id, n_chars FROM ("
+        f" SELECT doc_id, n_chars, ({_ws_u} / CAST(n_chars AS DOUBLE)) AS k"
+        " FROM documents WHERE n_chars > 0)"
+        f" ORDER BY k ASC, doc_id ASC LIMIT {WSAMPLE_K}"
+    )
+    _ss_u = _sample_u("ss", "doc_id", SAMPLE_SEED)
+    sql["stratified_sample"] = (
+        "SELECT doc_id, lang FROM ("
+        " SELECT doc_id, lang, ROW_NUMBER() OVER (PARTITION BY lang"
+        f"  ORDER BY ({_ss_u}) ASC, doc_id ASC) AS rn FROM documents)"
+        f" WHERE rn <= {STRAT_K}"
     )
     from linkgraph.pipeline.sketches import kmv_sql
 

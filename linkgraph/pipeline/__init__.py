@@ -24,6 +24,7 @@ from .textstats import (
     token_count,
     vocabulary,
 )
+from .sample import stratified_sample, weighted_sample
 from .sketches import kmv_distinct_tokens
 from .similarity import (
     cosine_topk,
@@ -52,6 +53,8 @@ __all__ = [
     "contamination_check",
     "ngram_decontaminate",
     "kmv_distinct_tokens",
+    "weighted_sample",
+    "stratified_sample",
     "cosine_topk",
     "lsh_cosine_topk",
     "ivf_cosine_topk",
