@@ -110,6 +110,10 @@ NEARDUP_TAU = 0.4
 WSAMPLE_K = 50
 STRAT_K = 5
 SAMPLE_SEED = 42
+# random-walk corpus: walks per vertex / steps after step 0 / coin seed
+RW_W = 2
+RW_LEN = 6
+RW_SEED = 7
 
 
 # --------------------------------------------------------------------
@@ -730,6 +734,52 @@ def _q_graph_sample(spark, sf):
     return sel
 
 
+def _q_random_walks(spark, sf):
+    """DeepWalk-style corpus: RW_W walks of RW_LEN steps from every
+    document vertex, neighbor picked by a counter-based portable coin
+    (oracle unrolls the identical steps in SQL)."""
+    from linkgraph import random_walks
+
+    corpus, _ = random_walks(
+        document_edges(spark, sf),
+        walks_per_vertex=RW_W,
+        walk_length=RW_LEN,
+        seed=RW_SEED,
+        vertices=document_vertices(spark, sf),
+        portable=True,
+    )
+    return corpus
+
+
+def _random_walks_sql(w: int, length: int, seed: int) -> str:
+    """Unrolled walk chain: step k joins step k-1 against the indexed
+    edge relation on (src, idx = coin % deg) — the exact rule
+    algorithms/walks.py applies per superstep, coin =
+    walks.walk_coin_sql (engine-neutral md5 digit terms)."""
+    from linkgraph.algorithms.walks import walk_coin_sql
+
+    parts = [
+        "WITH " + EDGES_CTES.strip() + ",",
+        " ie AS (SELECT src, dst,"
+        "  ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx,"
+        "  COUNT(*) OVER (PARTITION BY src) AS odeg FROM edges),",
+        f" w0 AS (SELECT doc_id * {w} + r.r AS walk_id, doc_id AS v"
+        f"  FROM documents CROSS JOIN"
+        f"  (SELECT unnest(generate_series(0, {w - 1})) AS r) r)",
+    ]
+    for k in range(1, length + 1):
+        coin = walk_coin_sql("w.walk_id", k, seed)
+        parts.append(
+            f", w{k} AS (SELECT w.walk_id, i.dst AS v FROM w{k - 1} w"
+            f"  JOIN ie i ON i.src = w.v AND i.idx = ({coin} % i.odeg))"
+        )
+    selects = " UNION ALL ".join(
+        f"SELECT walk_id, CAST({k} AS INT) AS step, v AS vertex FROM w{k}"
+        for k in range(0, length + 1)
+    )
+    return "".join(parts) + " " + selects
+
+
 def _q_kmeans(spark, sf):
     from linkgraph import kmeans
 
@@ -857,6 +907,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": _q_multimodal,
         "multimodal_raw_decode": _q_multimodal_raw,
         "graph_sample": _q_graph_sample,
+        "random_walks": _q_random_walks,
         "kmeans_centers": _q_kmeans,
         "maximum_cliques": _q_maximum_cliques,
         "bgd_weights": _q_bgd,
@@ -1868,6 +1919,7 @@ def oracle_sql() -> dict[str, str]:
     # run (seed + expansion + fill-rate stopping) unrolls as CTEs;
     # params must mirror _q_graph_sample
     sql["graph_sample"] = _graph_sample_sql(0.3, 7, 10, 2, 8)
+    sql["random_walks"] = _random_walks_sql(RW_W, RW_LEN, RW_SEED)
     # IVF ANN: centroids are the unrolled IMRU k-means, so the whole
     # train->assign->probe->score pipeline is SQL; params mirror
     # _q_ivf_topk (n_clusters=8, n_probe=4, kmeans_iterations=5)

@@ -20,6 +20,7 @@ from .algorithms import (
     local_maximal_cliques,
     maximum_cliques,
     pagerank,
+    random_walks,
     reachability,
     shortest_paths,
     common_neighbor_scores,
@@ -86,6 +87,7 @@ __all__ = [
     "shortest_paths",
     "reachability",
     "graph_sample",
+    "random_walks",
     "local_maximal_cliques",
     "maximum_cliques",
     "VertexProgram",

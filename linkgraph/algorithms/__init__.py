@@ -8,10 +8,12 @@ from .triangles import clustering_coefficients, transitivity, triangle_counts, t
 from .sssp import shortest_paths
 from .reachability import reachability
 from .sampling import graph_sample
+from .walks import random_walks
 from .cliques import local_maximal_cliques, maximum_cliques
 
 __all__ = [
     "graph_sample",
+    "random_walks",
     "local_maximal_cliques",
     "maximum_cliques",
     "pagerank",

@@ -1,0 +1,182 @@
+"""Deterministic random walks — DeepWalk/node2vec-style corpus
+generation over the link graph.
+
+A graph-embedding training pipeline turns the link graph into a text
+corpus: ``walks_per_vertex`` fixed-length uniform random walks from
+every vertex, each walk a "sentence" of vertex ids. The reference has
+no walk generator (its closest analogue is the coin-driven
+GraphSampleVertex expansion, SURVEY.md §4.5); this operator extends the
+same counter-based-hash determinism to walks, so the corpus is a pure
+function of (graph, seed) — reproducible across runs, partitionings,
+and cluster sizes, with no RNG state to ship between executors.
+
+Distributed shape (the 100 TB design):
+
+- The adjacency is an **indexed edge relation** ``(src, dst, idx,
+  deg)`` — each out-edge ranked by ``dst`` within its source — built
+  with one window shuffle and persisted hash-partitioned by ``src``.
+  No per-vertex arrays: a 10^5-degree hub is 10^5 ordinary rows, not
+  one giant struct, so walk steps never materialize a hub's whole
+  neighbor list in a single task.
+- Each step is ONE equi-join of the live walker frontier against the
+  indexed edges on ``cur = src`` with the residual predicate
+  ``idx = coin(walk_id, step) % deg`` — the join emits at most one row
+  per walker and the only per-step exchange is the walker frontier
+  (size = number of live walks, independent of graph size).
+- Walkers at a dead end (no out-edges) go inactive and carry their
+  partial walk; the loop stops early once every walker is inactive.
+
+Coins come in the two standard modes (the phash.py convention):
+``portable=False`` (production default) draws one xxhash64 per
+(walk, step); ``portable=True`` draws md5-digit coins whose value is
+reproducible in any engine with md5 + integer arithmetic, so the ENTIRE
+corpus is oracle-checkable by unrolling the steps in SQL
+(``walk_coin_sql`` is the engine-neutral spelling used by the driver's
+DuckDB gate). The two modes draw different walks; both are
+deterministic in (graph, seed). The modulo bias of ``coin % deg`` is
+< deg/2^24 in portable mode (6 md5 digits) and < deg/2^64 in
+production mode — negligible against any real out-degree.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..checkpoint import CheckpointManager
+from ..graph import choose_partitions, vertices_from_edges
+from ..phash import md5_digits_spark_sql as _md5_digits_spark_sql
+from ..phash import md5_int_sql as _md5_int_sql
+from ..superstep import LoopResult, StepResult, iterate, iteration_conf
+
+
+def _walk_arg(walk_id_sql: str, k: int, seed: int) -> str:
+    return f"concat_ws(':', 'rw', CAST({walk_id_sql} AS STRING), '{k}', '{seed}')"
+
+
+def walk_coin_sql(walk_id_sql: str, k: int, seed: int) -> str:
+    """Engine-neutral SQL (valid in Spark SQL AND DuckDB) for the
+    non-negative integer coin of walk ``walk_id`` at step ``k`` — the
+    oracle-side spelling (md5 digit terms); the engine's portable mode
+    computes the identical value via the faster conv() spelling. The
+    caller takes ``% deg`` to pick the neighbor index."""
+    return _md5_int_sql(_walk_arg(walk_id_sql, k, seed))
+
+
+def _spark_coin(walk_id_sql: str, k: int, seed: int, portable: bool) -> str:
+    arg = _walk_arg(walk_id_sql, k, seed)
+    if portable:
+        return f"{_md5_digits_spark_sql(f'md5({arg})', 6)}"
+    # xxhash64 is signed; shift into [0, 2^63) so % deg stays non-negative
+    return f"pmod(xxhash64({arg}), {2 ** 62})"
+
+
+def indexed_edges(edges: DataFrame, num_partitions: int | None = None) -> DataFrame:
+    """edges(src,dst) -> (src, dst, idx, deg): each DISTINCT out-edge
+    ranked by ``dst`` within its source (idx in [0, deg)), deg = the
+    source's out-degree. One window shuffle; hash-partitioned by src."""
+    w = Window.partitionBy("src").orderBy("dst")
+    ie = (
+        edges.select("src", "dst")
+        .distinct()
+        .select(
+            "src",
+            "dst",
+            (F.row_number().over(w) - 1).alias("idx"),
+            F.count(F.lit(1)).over(Window.partitionBy("src")).alias("deg"),
+        )
+    )
+    if num_partitions:
+        ie = ie.repartition(num_partitions, "src")
+    return ie
+
+
+def random_walks(
+    edges: DataFrame,
+    walks_per_vertex: int = 1,
+    walk_length: int = 8,
+    seed: int = 42,
+    vertices: DataFrame | None = None,
+    num_partitions: int | None = None,
+    ckpt: CheckpointManager | None = None,
+    resume: bool = True,
+    portable: bool = False,
+) -> tuple[DataFrame, LoopResult]:
+    """Returns (DF(walk_id BIGINT, step INT, vertex BIGINT), LoopResult).
+
+    ``walk_id = start_vertex * walks_per_vertex + r`` for
+    ``r in [0, walks_per_vertex)``; step 0 is the start vertex; a walk
+    ends early at a vertex with no out-edges. ``walk_length`` counts
+    steps AFTER step 0, so a complete walk has ``walk_length + 1`` rows
+    ("sentence length" in embedding-training terms).
+    """
+    if walks_per_vertex < 1 or walk_length < 1:
+        raise ValueError("walks_per_vertex and walk_length must be >= 1")
+    p = choose_partitions(edges, lambda: edges.count(), num_partitions)
+    if vertices is None:
+        vertices = vertices_from_edges(edges)
+
+    with iteration_conf(edges.sparkSession, p):
+        ie = indexed_edges(edges, num_partitions=p).persist()
+        ie.count()
+
+    W = walks_per_vertex
+    init = (
+        vertices.select(F.col("id").alias("start"))
+        .withColumn("r", F.explode(F.sequence(F.lit(0), F.lit(W - 1))))
+        .select(
+            (F.col("start") * W + F.col("r")).alias("id"),
+            F.col("start").alias("cur"),
+            F.array("start").alias("path"),
+            F.lit(True).alias("active"),
+        )
+        .repartition(p, "id")
+    )
+
+    def superstep(state: DataFrame, k: int) -> StepResult:
+        live = state.filter(F.col("active")).select("id", "cur", "path")
+        parked = state.filter(~F.col("active")).select(
+            "id", "cur", "path", "active"
+        )
+        pick = F.expr(_spark_coin("w.id", k, seed, portable))
+        stepped = (
+            live.alias("w")
+            .join(ie.alias("e"), F.col("w.cur") == F.col("e.src"), "left")
+            # keep the chosen edge (idx = coin % deg) or the dead-end
+            # null row — at most one row per walker either way
+            .filter(
+                F.col("e.idx").isNull() | (F.col("e.idx") == pick % F.col("e.deg"))
+            )
+            .select(
+                F.col("w.id").alias("id"),
+                F.coalesce(F.col("e.dst"), F.col("w.cur")).alias("cur"),
+                F.when(
+                    F.col("e.dst").isNotNull(),
+                    F.concat(F.col("w.path"), F.array(F.col("e.dst"))),
+                )
+                .otherwise(F.col("w.path"))
+                .alias("path"),
+                F.col("e.dst").isNotNull().alias("active"),
+            )
+        )
+        new = stepped.unionByName(parked).withColumn(
+            "_changed", F.col("active")
+        )
+        return StepResult(state=new)
+
+    result = iterate(
+        init.withColumn("_changed", F.lit(False)),
+        superstep,
+        converged=lambda s: (s.changed or 0) == 0,
+        max_supersteps=walk_length,
+        ckpt=ckpt,
+        resume=resume,
+        track_messages=False,
+        num_partitions=p,
+    )
+    ie.unpersist()
+    corpus = result.state.select(
+        F.col("id").alias("walk_id"),
+        F.posexplode("path").alias("step", "vertex"),
+    ).select("walk_id", F.col("step").cast("int").alias("step"), "vertex")
+    return corpus, result

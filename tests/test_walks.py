@@ -1,0 +1,121 @@
+"""Deterministic random walks (algorithms/walks.py): portable mode
+matches a hashlib-recomputed brute-force simulation exactly; production
+(xxhash64) mode is deterministic, edge-valid, and partition-invariant."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from linkgraph.algorithms.walks import indexed_edges, random_walks
+
+SEED = 11
+W = 2
+L = 5
+
+# directed toy graph: 0 is a small hub, 5 is a dead end reachable from
+# 4, 6/7 form a 2-cycle, 8 is an isolated source with one edge to the
+# dead end
+EDGES = [
+    (0, 1), (0, 2), (0, 3), (0, 4),
+    (1, 0), (2, 0), (3, 4),
+    (4, 5),
+    (6, 7), (7, 6),
+    (8, 5),
+]
+
+
+def _coin(walk_id: int, k: int, seed: int) -> int:
+    arg = f"rw:{walk_id}:{k}:{seed}"
+    return int(hashlib.md5(arg.encode()).hexdigest()[:6], 16)
+
+
+def _brute_walks(edges, n_walks_per_v, length, seed):
+    adj = {}
+    for s, d in sorted(set(edges)):
+        adj.setdefault(s, []).append(d)
+    verts = sorted({v for e in edges for v in e})
+    rows = set()
+    for v in verts:
+        for r in range(n_walks_per_v):
+            wid = v * n_walks_per_v + r
+            cur = v
+            rows.add((wid, 0, v))
+            for k in range(1, length + 1):
+                nbrs = adj.get(cur)
+                if not nbrs:
+                    break
+                cur = nbrs[_coin(wid, k, seed) % len(nbrs)]
+                rows.add((wid, k, cur))
+    return rows
+
+
+@pytest.fixture(scope="module")
+def edges_df(spark):
+    return spark.createDataFrame(EDGES, "src long, dst long").cache()
+
+
+class TestIndexedEdges:
+    def test_shape(self, edges_df):
+        ie = {(r.src, r.dst): (r.idx, r.deg) for r in indexed_edges(edges_df).collect()}
+        assert ie[(0, 1)] == (0, 4) and ie[(0, 4)] == (3, 4)
+        assert ie[(4, 5)] == (0, 1)
+        # idx is a dense rank by dst within src
+        assert sorted(i for (s, _), (i, _) in ie.items() if s == 0) == [0, 1, 2, 3]
+
+
+class TestRandomWalks:
+    def test_portable_matches_bruteforce(self, edges_df):
+        corpus, res = random_walks(
+            edges_df, walks_per_vertex=W, walk_length=L, seed=SEED, portable=True
+        )
+        got = {(r.walk_id, r.step, r.vertex) for r in corpus.collect()}
+        assert got == _brute_walks(EDGES, W, L, SEED)
+
+    def test_production_walks_are_edge_valid(self, edges_df):
+        corpus, _ = random_walks(
+            edges_df, walks_per_vertex=W, walk_length=L, seed=SEED
+        )
+        rows = corpus.collect()
+        byw = {}
+        for r in rows:
+            byw.setdefault(r.walk_id, {})[r.step] = r.vertex
+        eset = set(EDGES)
+        for wid, steps in byw.items():
+            assert steps[0] == wid // W  # step 0 is the start vertex
+            ks = sorted(steps)
+            assert ks == list(range(len(ks)))  # no gaps
+            for k in ks[1:]:
+                assert (steps[k - 1], steps[k]) in eset
+
+    def test_production_partition_invariance(self, edges_df):
+        a, _ = random_walks(edges_df, walks_per_vertex=W, walk_length=L, seed=SEED)
+        b, _ = random_walks(
+            edges_df.repartition(7), walks_per_vertex=W, walk_length=L, seed=SEED
+        )
+        assert {tuple(r) for r in a.collect()} == {tuple(r) for r in b.collect()}
+
+    def test_dead_end_stops(self, edges_df):
+        corpus, _ = random_walks(
+            edges_df, walks_per_vertex=1, walk_length=L, seed=SEED
+        )
+        # vertex 5 has no out-edges: its walk is exactly the start row
+        rows = [r for r in corpus.collect() if r.walk_id == 5]
+        assert [(r.step, r.vertex) for r in rows] == [(0, 5)]
+
+    def test_walk_count_and_length_bound(self, edges_df):
+        corpus, res = random_walks(
+            edges_df, walks_per_vertex=W, walk_length=L, seed=SEED
+        )
+        n_verts = len({v for e in EDGES for v in e})
+        stats = corpus.agg(
+            F.countDistinct("walk_id").alias("w"), F.max("step").alias("mx")
+        ).collect()[0]
+        assert stats.w == W * n_verts
+        assert stats.mx <= L
+        assert res.supersteps <= L
+
+    def test_seed_changes_corpus(self, edges_df):
+        a, _ = random_walks(edges_df, walks_per_vertex=1, walk_length=L, seed=1)
+        b, _ = random_walks(edges_df, walks_per_vertex=1, walk_length=L, seed=2)
+        assert {tuple(r) for r in a.collect()} != {tuple(r) for r in b.collect()}
