@@ -16,8 +16,10 @@ engine reproduces the aggregator's global answer.
 
 Spark shape: the local subgraphs materialize via the same id-ordered
 wedge join as triangle counting — (v,a),(v,b) forward edges joined with
-(a,b) — then one Arrow-batched ``applyInPandas`` per center vertex runs
-Bron-Kerbosch with pivoting on its (small) neighborhood graph. Work is
+(a,b) — then each center's subgraph is aggregated to one row and an
+Arrow-batched ``mapInPandas`` runs Bron-Kerbosch with pivoting on its
+(small) neighborhood graph, one Python invocation per batch of centers
+(see ``_bk_subgraphs``). Work is
 proportional to Sum_v |E(N+(v))| (the triangle-join volume); hub cost is
 bounded by forward-degree, exactly the reference's ascending-order
 pruning.
@@ -75,24 +77,49 @@ _CLIQUE_SCHEMA = T.StructType(
 )
 
 
-def _enumerate(pdf: pd.DataFrame, prefix_cols: list[str]) -> pd.DataFrame:
-    """BK over one group's induced subgraph. Node rows have y NULL;
-    edge rows carry (x, y). The clique prefix (the group key vertices)
-    is prepended to every result."""
-    prefix = [int(pdf[c].iloc[0]) for c in prefix_cols]
-    node_set = set(pdf["x"].dropna().astype("int64"))
-    adj = {u: set() for u in node_set}
-    ee = pdf.dropna(subset=["x", "y"])
-    for x, y in zip(ee["x"].astype("int64"), ee["y"].astype("int64")):
-        adj[x].add(y)
-        adj[y].add(x)
-    out = [prefix + c for c in _bron_kerbosch(adj)]
-    if not out and len(prefix) > 1:
-        # empty intersection: the prefix itself is the clique {v, u}
-        out = [prefix]
-    return pd.DataFrame(
-        {"clique": out, "size": [len(c) for c in out]}
-    ).astype({"size": "int32"})
+def _bk_subgraphs(sub: DataFrame, prefix_cols: list[str]) -> DataFrame:
+    """Enumerate maximal cliques of every group's induced subgraph.
+
+    ``sub`` holds node rows (x, y NULL) and edge rows (x, y) keyed by
+    ``prefix_cols``. The group's subgraph is first aggregated into ONE
+    row — ``(prefix, ns array<long>, es array<struct<x,y>>)``, bounded
+    by the hub-split degree — and BK runs inside ``mapInPandas``: one
+    Python/Arrow invocation per BATCH of centers, not one pandas
+    DataFrame per center. (The previous per-group ``applyInPandas``
+    paid ~ms of pandas scaffolding per center; with millions of
+    low-degree centers that overhead, not BK itself, dominated.) The
+    clique prefix (the group key vertices) is prepended to every
+    result; a group whose subgraph is empty emits the prefix itself
+    when the prefix is already a clique of size >= 2 (the hub split's
+    empty-intersection {v, u} case)."""
+    grouped = sub.groupBy(*prefix_cols).agg(
+        # collect_list drops the NULLs the two when()s produce, so node
+        # rows land only in ns and edge rows only in es
+        F.collect_list(F.when(F.col("y").isNull(), F.col("x"))).alias("ns"),
+        F.collect_list(
+            F.when(F.col("y").isNotNull(), F.struct("x", "y"))
+        ).alias("es"),
+    ).select(F.array(*prefix_cols).alias("prefix"), "ns", "es")
+
+    def bk_batches(batches):
+        for pdf in batches:
+            cliques: list[list[int]] = []
+            for prefix, ns, es in zip(pdf["prefix"], pdf["ns"], pdf["es"]):
+                pre = [int(v) for v in prefix]
+                adj = {int(n): set() for n in ns}
+                for e in es:
+                    a, b = int(e["x"]), int(e["y"])
+                    adj[a].add(b)
+                    adj[b].add(a)
+                out = [pre + c for c in _bron_kerbosch(adj)]
+                if not out and len(pre) > 1:
+                    out = [pre]
+                cliques.extend(out)
+            yield pd.DataFrame(
+                {"clique": cliques, "size": [len(c) for c in cliques]}
+            ).astype({"size": "int32"})
+
+    return grouped.mapInPandas(bk_batches, schema=_CLIQUE_SCHEMA)
 
 
 def local_maximal_cliques(
@@ -149,9 +176,7 @@ def local_maximal_cliques(
     # still form 2-cliques {v, x})
     nodes_small = e1_small.select("v", "x", F.lit(None).cast("long").alias("y"))
     sub = nodes_small.unionByName(wedge_small)
-    small_out = sub.groupBy("v").applyInPandas(
-        lambda pdf: _enumerate(pdf, ["v"]), schema=_CLIQUE_SCHEMA
-    )
+    small_out = _bk_subgraphs(sub, ["v"])
     if n_big == 0:
         return small_out
     big_out = _hub_split_cliques(ce, e1.join(big, "v", "left_semi"))
@@ -187,9 +212,7 @@ def _hub_split_cliques(ce: DataFrame, e1_big: DataFrame) -> DataFrame:
         .select("v", "u", "x", "y")
     )
     sub = nodes.unionByName(empty_nodes).unionByName(intra)
-    return sub.groupBy("v", "u").applyInPandas(
-        lambda pdf: _enumerate(pdf, ["v", "u"]), schema=_CLIQUE_SCHEMA
-    )
+    return _bk_subgraphs(sub, ["v", "u"])
 
 
 def maximum_cliques(
