@@ -114,6 +114,10 @@ SAMPLE_SEED = 42
 RW_W = 2
 RW_LEN = 6
 RW_SEED = 7
+# Luby MIS: coin seed / oracle unroll depth (engine fails loudly if it
+# needs more rounds — same rule as KCORE_PASSES)
+MIS_SEED = 3
+MIS_ROUNDS = 10
 
 
 # --------------------------------------------------------------------
@@ -751,6 +755,67 @@ def _q_random_walks(spark, sf):
     return corpus
 
 
+def _q_mis(spark, sf):
+    """Luby maximal independent set over the undirected doc graph —
+    coin-flip rounds; unrolled round-by-round oracle."""
+    from linkgraph import maximal_independent_set
+
+    out, res = maximal_independent_set(
+        document_edges(spark, sf),
+        seed=MIS_SEED,
+        vertices=document_vertices(spark, sf),
+        portable=True,
+    )
+    # the unrolled oracle replays MIS_ROUNDS rounds; more live rounds
+    # would make it silently under-select — fail LOUDLY instead
+    if not res.converged or res.supersteps > MIS_ROUNDS:
+        raise RuntimeError(
+            f"Luby MIS ran {res.supersteps} rounds "
+            f"(converged={res.converged}); the unrolled oracle covers "
+            f"{MIS_ROUNDS} rounds — raise MIS_ROUNDS"
+        )
+    return out
+
+
+def _mis_sql(rounds: int, seed: int) -> str:
+    """Unrolled Luby rounds: per round, live vertices draw the
+    engine-neutral md5 coin (mis.mis_coin_sql), a vertex wins when its
+    coin is strictly below every live neighbor's, and winners plus
+    their neighbors leave the live set — the exact per-superstep rule
+    algorithms/mis.py applies."""
+    from linkgraph.algorithms.mis import mis_coin_sql
+
+    parts = [
+        "WITH " + EDGES_CTES.strip() + ", " + SYM_CTE.strip() + ",",
+        " live0 AS (SELECT doc_id AS id FROM documents)",
+    ]
+    for k in range(1, rounds + 1):
+        coin = mis_coin_sql("id", k, seed)
+        # MATERIALIZED: each CTE is referenced several times; inlined
+        # expansion would grow exponentially in the round count
+        parts.append(
+            f", coins{k} AS MATERIALIZED (SELECT id, {coin} AS ck FROM live{k - 1})"
+            f", mn{k} AS (SELECT s.src AS id, MIN(c2.ck) AS mn FROM sym s"
+            f"   JOIN coins{k} c1 ON c1.id = s.src"
+            f"   JOIN coins{k} c2 ON c2.id = s.dst GROUP BY s.src)"
+            f", sel{k} AS MATERIALIZED (SELECT c.id FROM coins{k} c"
+            f"   LEFT JOIN mn{k} m ON m.id = c.id"
+            f"   WHERE m.mn IS NULL OR c.ck < m.mn)"
+            f", rem{k} AS (SELECT DISTINCT s.dst AS id FROM sym s"
+            f"   JOIN sel{k} x ON x.id = s.src)"
+            f", live{k} AS MATERIALIZED (SELECT id FROM live{k - 1}"
+            f"   EXCEPT SELECT id FROM sel{k} EXCEPT SELECT id FROM rem{k})"
+        )
+    union = " UNION ALL ".join(f"SELECT id FROM sel{k}" for k in range(1, rounds + 1))
+    parts.append(f", mis AS ({union})")
+    parts.append(
+        " SELECT d.doc_id AS id,"
+        " CAST(CASE WHEN m.id IS NOT NULL THEN 1 ELSE 0 END AS INT) AS in_mis"
+        " FROM documents d LEFT JOIN mis m ON m.id = d.doc_id"
+    )
+    return "".join(parts)
+
+
 def _random_walks_sql(w: int, length: int, seed: int) -> str:
     """Unrolled walk chain: step k joins step k-1 against the indexed
     edge relation on (src, idx = coin % deg) — the exact rule
@@ -908,6 +973,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_raw_decode": _q_multimodal_raw,
         "graph_sample": _q_graph_sample,
         "random_walks": _q_random_walks,
+        "maximal_independent_set": _q_mis,
         "kmeans_centers": _q_kmeans,
         "maximum_cliques": _q_maximum_cliques,
         "bgd_weights": _q_bgd,
@@ -1920,6 +1986,7 @@ def oracle_sql() -> dict[str, str]:
     # params must mirror _q_graph_sample
     sql["graph_sample"] = _graph_sample_sql(0.3, 7, 10, 2, 8)
     sql["random_walks"] = _random_walks_sql(RW_W, RW_LEN, RW_SEED)
+    sql["maximal_independent_set"] = _mis_sql(MIS_ROUNDS, MIS_SEED)
     # IVF ANN: centroids are the unrolled IMRU k-means, so the whole
     # train->assign->probe->score pipeline is SQL; params mirror
     # _q_ivf_topk (n_clusters=8, n_probe=4, kmeans_iterations=5)

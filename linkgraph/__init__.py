@@ -19,6 +19,7 @@ from .algorithms import (
     label_propagation,
     local_maximal_cliques,
     maximum_cliques,
+    maximal_independent_set,
     pagerank,
     random_walks,
     reachability,
@@ -87,6 +88,7 @@ __all__ = [
     "shortest_paths",
     "reachability",
     "graph_sample",
+    "maximal_independent_set",
     "random_walks",
     "local_maximal_cliques",
     "maximum_cliques",

@@ -7,12 +7,14 @@ from .ktruss import ktruss
 from .triangles import clustering_coefficients, transitivity, triangle_counts, triangle_total
 from .sssp import shortest_paths
 from .reachability import reachability
+from .mis import maximal_independent_set
 from .sampling import graph_sample
 from .walks import random_walks
 from .cliques import local_maximal_cliques, maximum_cliques
 
 __all__ = [
     "graph_sample",
+    "maximal_independent_set",
     "random_walks",
     "local_maximal_cliques",
     "maximum_cliques",

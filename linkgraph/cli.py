@@ -48,7 +48,7 @@ def _build_parser() -> argparse.ArgumentParser:
             "reachability", "sample", "cliques", "derive",
             "derive-repo", "wpr", "linkpred",
             "dedup", "vocab", "pii", "repetition",
-            "ppr", "hits", "kcore",
+            "ppr", "hits", "kcore", "walks", "mis",
         ],
     )
     src = p.add_argument_group("input (exactly one)")
@@ -102,6 +102,10 @@ def _build_parser() -> argparse.ArgumentParser:
                    help="linkpred: drop common-neighbor centers above this degree "
                    "(bounds the hub wedge set at scale; 0 = uncapped)")
     p.add_argument("--iterations", type=int, default=20, help="hits: fixed iterations")
+    p.add_argument("--walks-per-vertex", type=int, default=1,
+                   help="walks: walks started from every vertex")
+    p.add_argument("--walk-length", type=int, default=8,
+                   help="walks: steps after the start vertex")
     p.add_argument("--directed", action="store_true",
                    help="cc/lpa/triangles: consume edges as-given instead of symmetrizing")
     p.add_argument("--metrics-output", help="write per-superstep metrics JSON lines here")
@@ -294,6 +298,27 @@ def main(argv: list[str] | None = None) -> None:
         from linkgraph.examples import kcore
 
         out, res = kcore(edges, args.k, max_supersteps=args.max_supersteps, **common)
+    elif args.algorithm == "walks":
+        from linkgraph.algorithms.walks import random_walks
+
+        out, res = random_walks(
+            edges,
+            walks_per_vertex=args.walks_per_vertex,
+            walk_length=args.walk_length,
+            seed=args.seed,
+            portable=args.portable_hash,
+            **common,
+        )
+    elif args.algorithm == "mis":
+        from linkgraph.algorithms.mis import maximal_independent_set
+
+        out, res = maximal_independent_set(
+            edges,
+            seed=args.seed,
+            max_supersteps=args.max_supersteps,
+            portable=args.portable_hash,
+            **common,
+        )
     elif args.algorithm == "linkpred":
         from linkgraph.algorithms.linkpred import common_neighbor_scores
 
