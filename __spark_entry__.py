@@ -118,6 +118,10 @@ RW_SEED = 7
 # needs more rounds — same rule as KCORE_PASSES)
 MIS_SEED = 3
 MIS_ROUNDS = 10
+# sequence packing: context-window token budget / parallel streams
+PACK_BUDGET = 512
+PACK_GROUPS = 8
+PACK_SEED = 13
 
 
 # --------------------------------------------------------------------
@@ -491,6 +495,22 @@ def _q_jaccard(spark, sf):
     return ngram_jaccard_pairs(load_documents(spark, sf), n=3, threshold=JACCARD_T)
 
 
+def _q_pack_sequences(spark, sf):
+    """Concatenate-then-chunk batch assembly: every document's (group,
+    bin, offset) in PACK_GROUPS parallel token streams chunked every
+    PACK_BUDGET tokens (portable group coin; the oracle replays the
+    identical window arithmetic)."""
+    from linkgraph.pipeline import pack_sequences
+
+    return pack_sequences(
+        load_documents(spark, sf),
+        budget=PACK_BUDGET,
+        n_groups=PACK_GROUPS,
+        seed=PACK_SEED,
+        portable=True,
+    )
+
+
 def _q_weighted_sample(spark, sf):
     """Priority sampling proportional to n_chars (portable coins so the
     selected SET is recomputable by the DuckDB oracle)."""
@@ -755,6 +775,14 @@ def _q_random_walks(spark, sf):
     return corpus
 
 
+def _q_graph_summary(spark, sf):
+    """One-row structural summary (counts, reciprocity, density,
+    degree assortativity) of the doc graph."""
+    from linkgraph import graph_summary
+
+    return graph_summary(document_edges(spark, sf))
+
+
 def _q_mis(spark, sf):
     """Luby maximal independent set over the undirected doc graph —
     coin-flip rounds; unrolled round-by-round oracle."""
@@ -952,6 +980,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": _q_repetition,
         "contamination_check": _q_contamination,
         "ngram_decontamination": _q_ngram_decontaminate,
+        "pack_sequences": _q_pack_sequences,
         "weighted_sample": _q_weighted_sample,
         "stratified_sample": _q_stratified_sample,
         "embedding_cosine_topk": _q_topk,
@@ -974,6 +1003,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_sample": _q_graph_sample,
         "random_walks": _q_random_walks,
         "maximal_independent_set": _q_mis,
+        "graph_summary": _q_graph_summary,
         "kmeans_centers": _q_kmeans,
         "maximum_cliques": _q_maximum_cliques,
         "bgd_weights": _q_bgd,
@@ -1987,6 +2017,48 @@ def oracle_sql() -> dict[str, str]:
     sql["graph_sample"] = _graph_sample_sql(0.3, 7, 10, 2, 8)
     sql["random_walks"] = _random_walks_sql(RW_W, RW_LEN, RW_SEED)
     sql["maximal_independent_set"] = _mis_sql(MIS_ROUNDS, MIS_SEED)
+    # graph summary: every ratio is exact-integer sums cast to DOUBLE in
+    # the same expression order as algorithms/stats.py, rounded to 6dp
+    sql["graph_summary"] = (
+        "WITH "
+        + EDGES_CTES.strip()
+        + ", "
+        + SYM_CTE.strip()
+        + ","
+        " nv AS (SELECT COUNT(DISTINCT id) AS n_vertices FROM"
+        "  (SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges)),"
+        " ne AS (SELECT COUNT(*) AS n_edges FROM edges),"
+        " und AS (SELECT CAST(COUNT(*) / 2 AS BIGINT) AS n_undirected FROM sym),"
+        " recip AS (SELECT COUNT(*) AS n_recip FROM edges a"
+        "  WHERE EXISTS (SELECT 1 FROM edges b"
+        "   WHERE b.src = a.dst AND b.dst = a.src)),"
+        " odeg AS (SELECT MAX(d) AS max_out_degree,"
+        "  CAST(SUM(d) AS BIGINT) AS sum_out FROM"
+        "  (SELECT src, COUNT(*) AS d FROM edges GROUP BY src)),"
+        " dg AS (SELECT src, COUNT(*) AS deg FROM sym GROUP BY src),"
+        " mom AS (SELECT COUNT(*) AS m,"
+        "  CAST(SUM(dx.deg) AS BIGINT) AS sx,"
+        "  CAST(SUM(dx.deg * dx.deg) AS BIGINT) AS sxx,"
+        "  CAST(SUM(dx.deg * dy.deg) AS BIGINT) AS sxy"
+        "  FROM sym s JOIN dg dx ON dx.src = s.src JOIN dg dy ON dy.src = s.dst)"
+        " SELECT n_vertices, n_edges, n_undirected,"
+        " ROUND(CAST(n_recip AS DOUBLE) / CAST(n_edges AS DOUBLE), 6)"
+        "  AS reciprocity,"
+        " max_out_degree,"
+        " ROUND(CAST(sum_out AS DOUBLE) / CAST(n_vertices AS DOUBLE), 6)"
+        "  AS avg_out_degree,"
+        " ROUND((1.0 * 2.0 * CAST(n_undirected AS DOUBLE))"
+        "  / (CAST(n_vertices AS DOUBLE) * (CAST(n_vertices AS DOUBLE) - 1.0)), 6)"
+        "  AS density,"
+        " ROUND(CASE WHEN CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)"
+        "   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) = 0.0 THEN NULL"
+        "  ELSE (CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)"
+        "   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+        "   / (CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)"
+        "   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) END, 6)"
+        "  AS assortativity"
+        " FROM nv, ne, und, recip, odeg, mom"
+    )
     # IVF ANN: centroids are the unrolled IMRU k-means, so the whole
     # train->assign->probe->score pipeline is SQL; params mirror
     # _q_ivf_topk (n_clusters=8, n_probe=4, kmeans_iterations=5)
@@ -2088,6 +2160,24 @@ def oracle_sql() -> dict[str, str]:
     # only integer/string columns leave the operator
     from linkgraph.pipeline.sample import uniform_sql as _sample_u
 
+    from linkgraph.pipeline.packing import pack_group_sql as _pack_g
+
+    sql["pack_sequences"] = (
+        "WITH base AS (SELECT doc_id,"
+        " CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,"
+        f" CAST({_pack_g('doc_id', PACK_GROUPS, PACK_SEED)} AS INT) AS \"group\""
+        " FROM documents),"
+        " pos AS (SELECT doc_id, n_tokens, \"group\","
+        "  CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY \"group\""
+        "   ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),"
+        "   0) AS BIGINT) AS start FROM base)"
+        " SELECT doc_id, n_tokens, \"group\", start,"
+        f" CAST(start // {PACK_BUDGET} AS BIGINT) AS bin,"
+        f" CAST(start % {PACK_BUDGET} AS BIGINT) AS \"offset\","
+        f" CAST(CASE WHEN n_tokens = 0 THEN 0 ELSE"
+        f"  CEIL((start % {PACK_BUDGET} + n_tokens) / CAST({PACK_BUDGET} AS DOUBLE))"
+        f" END AS BIGINT) AS n_spans FROM pos"
+    )
     _ws_u = _sample_u("ws", "doc_id", SAMPLE_SEED)
     sql["weighted_sample"] = (
         "SELECT doc_id, n_chars FROM ("

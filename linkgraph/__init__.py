@@ -19,6 +19,7 @@ from .algorithms import (
     label_propagation,
     local_maximal_cliques,
     maximum_cliques,
+    graph_summary,
     maximal_independent_set,
     pagerank,
     random_walks,
@@ -88,6 +89,7 @@ __all__ = [
     "shortest_paths",
     "reachability",
     "graph_sample",
+    "graph_summary",
     "maximal_independent_set",
     "random_walks",
     "local_maximal_cliques",

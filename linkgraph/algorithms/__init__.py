@@ -9,11 +9,13 @@ from .sssp import shortest_paths
 from .reachability import reachability
 from .mis import maximal_independent_set
 from .sampling import graph_sample
+from .stats import graph_summary
 from .walks import random_walks
 from .cliques import local_maximal_cliques, maximum_cliques
 
 __all__ = [
     "graph_sample",
+    "graph_summary",
     "maximal_independent_set",
     "random_walks",
     "local_maximal_cliques",

@@ -1,0 +1,134 @@
+"""Whole-graph summary statistics — the one-row health report a crawl
+operator reads before running anything iterative.
+
+The reference's per-job global aggregators report vertex/edge counts
+and per-algorithm totals (GlobalAggregator.java:42-78, SURVEY.md §3.4);
+this operator widens that into the standard structural summary used to
+sanity-check a freshly derived link graph: counts, density,
+reciprocity (how bidirectional the linking is), degree extremes, and
+degree assortativity (do hubs link to hubs?).
+
+Shape: everything reduces to a handful of single-row aggregates over
+the distinct edge relation and one degree join — each a partial/final
+agg (map-side combine) or an equi-join on the vertex id, crossJoined at
+the end into one row. No iteration, no driver-side loops; at 100 TB the
+cost is a few scans + one shuffle per aggregate family.
+
+All statistics are exact. Counts stay BIGINT; ratio statistics are
+computed from exact integer sums cast to DOUBLE in a fixed expression
+order and rounded to 6dp, so the DuckDB oracle reproduces them
+bit-identically. NOTE: the assortativity moments multiply three
+integer sums; at >10^10 edges compute them as DOUBLE from the start
+(the 6dp answer is unaffected; int64 products are not).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..partitioning import symmetrize
+
+
+def graph_summary(edges: DataFrame) -> DataFrame:
+    """One row: (n_vertices, n_edges, n_undirected, reciprocity,
+    max_out_degree, avg_out_degree, density, assortativity).
+
+    - reciprocity: fraction of distinct directed edges whose reverse
+      edge also exists.
+    - density: undirected edge count over n*(n-1)/2.
+    - assortativity: Pearson correlation of endpoint undirected degrees
+      over the symmetrized edge list (Newman 2002); NULL when degrees
+      are constant (zero variance).
+    """
+    e = edges.select("src", "dst").distinct()
+    sym = symmetrize(e)
+
+    nv = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .agg(F.count_distinct("id").alias("n_vertices"))
+    )
+    ne = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    und = sym.agg((F.count(F.lit(1)) / 2).cast("long").alias("n_undirected"))
+    recip = (
+        e.alias("a")
+        .join(
+            e.alias("b"),
+            (F.col("a.src") == F.col("b.dst")) & (F.col("a.dst") == F.col("b.src")),
+            "left_semi",
+        )
+        .agg(F.count(F.lit(1)).alias("n_recip"))
+    )
+    odeg = (
+        e.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .agg(
+            F.max("d").alias("max_out_degree"),
+            F.sum("d").alias("sum_out"),
+            F.count(F.lit(1)).alias("n_src"),
+        )
+    )
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    mom = (
+        sym.alias("s")
+        .join(deg.alias("dx"), F.col("s.src") == F.col("dx.src"))
+        .join(deg.alias("dy"), F.col("s.dst") == F.col("dy.src"))
+        .select(F.col("dx.deg").alias("x"), F.col("dy.deg").alias("y"))
+        .agg(
+            F.count(F.lit(1)).alias("m"),
+            F.sum("x").alias("sx"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        )
+    )
+    d = F.lit(1.0)  # spelled-out double casts keep both engines identical
+    return (
+        nv.crossJoin(ne)
+        .crossJoin(und)
+        .crossJoin(recip)
+        .crossJoin(odeg)
+        .crossJoin(mom)
+        .select(
+            "n_vertices",
+            "n_edges",
+            "n_undirected",
+            F.round(
+                F.col("n_recip").cast("double") / F.col("n_edges").cast("double"), 6
+            ).alias("reciprocity"),
+            "max_out_degree",
+            F.round(
+                F.col("sum_out").cast("double") / F.col("n_vertices").cast("double"),
+                6,
+            ).alias("avg_out_degree"),
+            F.round(
+                (d * 2.0 * F.col("n_undirected").cast("double"))
+                / (
+                    F.col("n_vertices").cast("double")
+                    * (F.col("n_vertices").cast("double") - 1.0)
+                ),
+                6,
+            ).alias("density"),
+            # symmetric listing: y-moments equal x-moments, so Pearson
+            # reduces to (m*sxy - sx^2) / (m*sxx - sx^2); NULL on zero
+            # variance (regular graphs)
+            F.round(
+                F.when(
+                    F.col("m").cast("double") * F.col("sxx").cast("double")
+                    - F.col("sx").cast("double") * F.col("sx").cast("double")
+                    == 0.0,
+                    F.lit(None).cast("double"),
+                ).otherwise(
+                    (
+                        F.col("m").cast("double") * F.col("sxy").cast("double")
+                        - F.col("sx").cast("double") * F.col("sx").cast("double")
+                    )
+                    / (
+                        F.col("m").cast("double") * F.col("sxx").cast("double")
+                        - F.col("sx").cast("double") * F.col("sx").cast("double")
+                    )
+                ),
+                6,
+            ).alias("assortativity"),
+        )
+    )

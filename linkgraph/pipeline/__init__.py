@@ -24,6 +24,7 @@ from .textstats import (
     token_count,
     vocabulary,
 )
+from .packing import pack_sequences
 from .sample import stratified_sample, weighted_sample
 from .sketches import kmv_distinct_tokens
 from .similarity import (
@@ -55,6 +56,7 @@ __all__ = [
     "kmv_distinct_tokens",
     "weighted_sample",
     "stratified_sample",
+    "pack_sequences",
     "cosine_topk",
     "lsh_cosine_topk",
     "ivf_cosine_topk",

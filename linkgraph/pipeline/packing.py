@@ -1,0 +1,106 @@
+"""Token-budget sequence packing — concatenate-then-chunk batch
+assembly for pretraining pipelines.
+
+A training run consumes fixed-length context windows; the standard way
+to fill them from variable-length documents is to CONCATENATE documents
+in a deterministic order and CHUNK the stream every ``budget`` tokens
+(a document may straddle a chunk boundary). This operator assigns every
+document its place in that stream without ever materializing the
+stream: each doc gets ``(group, bin, offset)`` from pure window
+arithmetic over token counts.
+
+Distributed shape (the 100 TB design): a single global stream would
+serialize on one partition (a global ORDER BY window), so documents are
+first hashed into ``n_groups`` independent streams — the group coin is
+the usual counter-based hash of (doc_id, seed) — and the running-sum
+window runs PER GROUP, ordered by doc_id: ``n_groups`` parallel
+windows, one shuffle, each group's state independent of every other.
+At cluster scale, set ``n_groups`` to a few times the executor count;
+each group is one training shard.
+
+Outputs per document: ``group`` (the stream it lives in), ``start``
+(token offset in the group's concatenated stream), ``bin`` = start //
+budget (the context window its FIRST token lands in), ``offset`` =
+start % budget (position within that window), ``n_spans`` = how many
+windows the document touches (1 = fits inside one window). All integer
+columns, so the driver's oracle gate hash-matches exactly; portable
+mode draws the group coin with md5 digit terms reproducible in DuckDB
+(``pack_group_sql``), production mode with xxhash64.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..phash import md5_digits_spark_sql as _md5_digits_spark_sql
+from ..phash import md5_int_sql as _md5_int_sql
+
+
+def _group_arg(id_sql: str, seed: int) -> str:
+    return f"concat_ws(':', 'pk', CAST({id_sql} AS STRING), '{seed}')"
+
+
+def pack_group_sql(id_sql: str, n_groups: int, seed: int) -> str:
+    """Engine-neutral SQL (valid in Spark SQL AND DuckDB) for the
+    stream/group assignment of row ``id_sql`` — the oracle-side
+    spelling (md5 digit terms); the engine's portable mode computes the
+    identical value via the faster conv() spelling."""
+    return f"({_md5_int_sql(_group_arg(id_sql, seed))} % {n_groups})"
+
+
+def _spark_group(id_sql: str, n_groups: int, seed: int, portable: bool) -> str:
+    arg = _group_arg(id_sql, seed)
+    if portable:
+        return f"({_md5_digits_spark_sql(f'md5({arg})', 6)} % {n_groups})"
+    return f"pmod(xxhash64({arg}), {n_groups})"
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int,
+    n_groups: int = 64,
+    id_col: str = "doc_id",
+    token_col: str | None = None,
+    seed: int = 42,
+    portable: bool = False,
+) -> DataFrame:
+    """(id_col, n_tokens, group, start, bin, offset, n_spans) — each
+    document's place in its group's concatenated token stream, chunked
+    every ``budget`` tokens.
+
+    ``token_col`` names a precomputed token-count column; when None the
+    whitespace count ``size(split(text, ' '))`` is used (the
+    textstats.token_count convention). Zero-token documents still get a
+    position (they occupy no tokens: n_spans counts the windows the doc
+    overlaps, 0 for an empty doc).
+    """
+    if budget < 1 or n_groups < 1:
+        raise ValueError("budget and n_groups must be >= 1")
+    if token_col is None:
+        toks = F.size(F.split(F.col("text"), " ")).cast("long")
+    else:
+        toks = F.col(token_col).cast("long")
+    g = F.expr(_spark_group(id_col, n_groups, seed, portable)).cast("int")
+    base = docs.select(
+        F.col(id_col), toks.alias("n_tokens"), g.alias("group")
+    )
+    w = (
+        Window.partitionBy("group")
+        .orderBy(F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return base.select(
+        id_col,
+        "n_tokens",
+        "group",
+        start.alias("start"),
+        (start / budget).cast("long").alias("bin"),
+        (start % budget).alias("offset"),
+        # windows touched: ceil((offset + n_tokens) / budget), 0 if empty
+        F.when(F.col("n_tokens") == 0, F.lit(0))
+        .otherwise(F.ceil((start % budget + F.col("n_tokens")) / budget))
+        .cast("long")
+        .alias("n_spans"),
+    )
