@@ -90,17 +90,27 @@ def pack_sequences(
         .orderBy(F.col(id_col).asc())
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    start = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
-    return base.select(
+    # start materializes FIRST, then bin/offset/n_spans derive from the
+    # column — one running-sum window expression instead of four
+    # identical ones in the Window node
+    pos = base.select(
         id_col,
         "n_tokens",
         "group",
-        start.alias("start"),
-        (start / budget).cast("long").alias("bin"),
-        (start % budget).alias("offset"),
+        F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).alias("start"),
+    )
+    return pos.select(
+        id_col,
+        "n_tokens",
+        "group",
+        "start",
+        (F.col("start") / budget).cast("long").alias("bin"),
+        (F.col("start") % budget).alias("offset"),
         # windows touched: ceil((offset + n_tokens) / budget), 0 if empty
         F.when(F.col("n_tokens") == 0, F.lit(0))
-        .otherwise(F.ceil((start % budget + F.col("n_tokens")) / budget))
+        .otherwise(
+            F.ceil((F.col("start") % budget + F.col("n_tokens")) / budget)
+        )
         .cast("long")
         .alias("n_spans"),
     )
