@@ -122,6 +122,9 @@ MIS_ROUNDS = 10
 PACK_BUDGET = 512
 PACK_GROUPS = 8
 PACK_SEED = 13
+# corpus mixing: per-language keep rates (unlisted strata -> 0.1)
+MIX_RATES = {"en": 1.0, "de": 0.5, "zh": 0.25}
+MIX_DEFAULT = 0.1
 
 
 # --------------------------------------------------------------------
@@ -511,6 +514,20 @@ def _q_pack_sequences(spark, sf):
     )
 
 
+def _q_proportional_sample(spark, sf):
+    """Bernoulli corpus mixing: per-language keep rates via integer
+    threshold compare (exact to 2^-60 in both engines)."""
+    from linkgraph.pipeline import proportional_sample
+
+    return proportional_sample(
+        load_documents(spark, sf),
+        MIX_RATES,
+        seed=SAMPLE_SEED,
+        default_rate=MIX_DEFAULT,
+        portable=True,
+    )
+
+
 def _q_weighted_sample(spark, sf):
     """Priority sampling proportional to n_chars (portable coins so the
     selected SET is recomputable by the DuckDB oracle)."""
@@ -775,6 +792,59 @@ def _q_random_walks(spark, sf):
     return corpus
 
 
+def _q_random_walks_weighted(spark, sf):
+    """Edge-weight-proportional walks: weight = 1 + (src+dst) % 5 (the
+    sssp_weighted convention, derivable in SQL) picked via the
+    cumulative-weight interval — the weighted scatter path oracle-gated
+    end to end."""
+    from linkgraph import random_walks
+
+    wedges = document_edges(spark, sf).withColumn(
+        "w", F.lit(1) + (F.col("src") + F.col("dst")) % 5
+    )
+    corpus, _ = random_walks(
+        wedges,
+        walks_per_vertex=1,
+        walk_length=RW_LEN,
+        seed=RW_SEED,
+        vertices=document_vertices(spark, sf),
+        portable=True,
+        weight_col="w",
+    )
+    return corpus
+
+
+def _weighted_walks_sql(length: int, seed: int) -> str:
+    """Unrolled weighted walk chain: the indexed edge relation carries
+    the cumulative-weight interval [lo, lo+w) per edge and step k keeps
+    the edge whose interval contains coin % total_weight."""
+    from linkgraph.algorithms.walks import walk_coin_sql
+
+    parts = [
+        "WITH " + EDGES_CTES.strip() + ",",
+        " we AS (SELECT src, dst, 1 + (src + dst) % 5 AS w FROM edges),",
+        " ie AS (SELECT src, dst, w,"
+        "  CAST(COALESCE(SUM(w) OVER (PARTITION BY src ORDER BY dst"
+        "   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)"
+        "   AS lo,"
+        "  CAST(SUM(w) OVER (PARTITION BY src) AS BIGINT) AS tot FROM we),",
+        " w0 AS (SELECT doc_id AS walk_id, doc_id AS v FROM documents)",
+    ]
+    for k in range(1, length + 1):
+        coin = walk_coin_sql("w.walk_id", k, seed)
+        parts.append(
+            f", w{k} AS (SELECT w.walk_id, i.dst AS v FROM w{k - 1} w"
+            f"  JOIN ie i ON i.src = w.v"
+            f"  AND i.lo <= ({coin} % i.tot)"
+            f"  AND ({coin} % i.tot) < i.lo + i.w)"
+        )
+    selects = " UNION ALL ".join(
+        f"SELECT walk_id, CAST({k} AS INT) AS step, v AS vertex FROM w{k}"
+        for k in range(0, length + 1)
+    )
+    return "".join(parts) + " " + selects
+
+
 def _q_graph_summary(spark, sf):
     """One-row structural summary (counts, reciprocity, density,
     degree assortativity) of the doc graph."""
@@ -981,6 +1051,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_check": _q_contamination,
         "ngram_decontamination": _q_ngram_decontaminate,
         "pack_sequences": _q_pack_sequences,
+        "proportional_sample": _q_proportional_sample,
         "weighted_sample": _q_weighted_sample,
         "stratified_sample": _q_stratified_sample,
         "embedding_cosine_topk": _q_topk,
@@ -1002,6 +1073,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_raw_decode": _q_multimodal_raw,
         "graph_sample": _q_graph_sample,
         "random_walks": _q_random_walks,
+        "random_walks_weighted": _q_random_walks_weighted,
         "maximal_independent_set": _q_mis,
         "graph_summary": _q_graph_summary,
         "kmeans_centers": _q_kmeans,
@@ -2016,6 +2088,7 @@ def oracle_sql() -> dict[str, str]:
     # params must mirror _q_graph_sample
     sql["graph_sample"] = _graph_sample_sql(0.3, 7, 10, 2, 8)
     sql["random_walks"] = _random_walks_sql(RW_W, RW_LEN, RW_SEED)
+    sql["random_walks_weighted"] = _weighted_walks_sql(RW_LEN, RW_SEED)
     sql["maximal_independent_set"] = _mis_sql(MIS_ROUNDS, MIS_SEED)
     # graph summary: every ratio is exact-integer sums cast to DOUBLE in
     # the same expression order as algorithms/stats.py, rounded to 6dp
@@ -2184,6 +2257,19 @@ def oracle_sql() -> dict[str, str]:
         f" SELECT doc_id, n_chars, ({_ws_u} / CAST(n_chars AS DOUBLE)) AS k"
         " FROM documents WHERE n_chars > 0)"
         f" ORDER BY k ASC, doc_id ASC LIMIT {WSAMPLE_K}"
+    )
+    from linkgraph.pipeline.sample import U_DENOM as _UD
+    from linkgraph.pipeline.sample import (
+        proportional_threshold_sql as _prop_thr,
+    )
+    from linkgraph.phash import md5_digits_sql as _md5_digits
+
+    _ps_u = _md5_digits(
+        f"md5(concat_ws(':', 'ps', CAST(doc_id AS STRING), '{SAMPLE_SEED}'))", 15
+    )
+    sql["proportional_sample"] = (
+        f"SELECT doc_id, lang FROM documents"
+        f" WHERE {_ps_u} < {_prop_thr('lang', MIX_RATES, MIX_DEFAULT)}"
     )
     _ss_u = _sample_u("ss", "doc_id", SAMPLE_SEED)
     sql["stratified_sample"] = (

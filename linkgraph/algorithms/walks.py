@@ -71,24 +71,57 @@ def _spark_coin(walk_id_sql: str, k: int, seed: int, portable: bool) -> str:
     return f"pmod(xxhash64({arg}), {2 ** 62})"
 
 
-def indexed_edges(edges: DataFrame, num_partitions: int | None = None) -> DataFrame:
+def indexed_edges(
+    edges: DataFrame,
+    num_partitions: int | None = None,
+    weight_col: str | None = None,
+) -> DataFrame:
     """edges(src,dst) -> (src, dst, idx, deg): each DISTINCT out-edge
     ranked by ``dst`` within its source (idx in [0, deg)), deg = the
-    source's out-degree. One window shuffle; hash-partitioned by src."""
+    source's out-degree. One window shuffle; hash-partitioned by src.
+
+    With ``weight_col`` (INTEGER weights >= 1 — integer arithmetic is
+    what keeps the pick oracle-exact), ``idx``/``deg`` become the
+    cumulative-weight interval instead: ``idx`` = sum of weights of
+    lower-ranked edges (the interval start), ``deg`` = the source's
+    total weight, and the edge additionally carries ``w``; a uniform
+    draw in [0, deg) lands in edge e iff idx_e <= draw < idx_e + w_e,
+    i.e. edges are picked proportionally to weight. The unweighted
+    relation is the weight==1 special case."""
     w = Window.partitionBy("src").orderBy("dst")
-    ie = (
-        edges.select("src", "dst")
-        .distinct()
-        .select(
+    tot = Window.partitionBy("src")
+    e = edges
+    if weight_col is None:
+        e = e.select("src", "dst").distinct()
+        return _maybe_repartition(
+            e.select(
+                "src",
+                "dst",
+                (F.row_number().over(w) - 1).cast("long").alias("idx"),
+                F.count(F.lit(1)).over(tot).cast("long").alias("deg"),
+            ),
+            num_partitions,
+        )
+    e = e.select("src", "dst", F.col(weight_col).cast("long").alias("w")).dropDuplicates(
+        ["src", "dst"]
+    )
+    cum = Window.partitionBy("src").orderBy("dst").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    return _maybe_repartition(
+        e.select(
             "src",
             "dst",
-            (F.row_number().over(w) - 1).alias("idx"),
-            F.count(F.lit(1)).over(Window.partitionBy("src")).alias("deg"),
-        )
+            "w",
+            F.coalesce(F.sum("w").over(cum), F.lit(0)).alias("idx"),
+            F.sum("w").over(tot).alias("deg"),
+        ),
+        num_partitions,
     )
-    if num_partitions:
-        ie = ie.repartition(num_partitions, "src")
-    return ie
+
+
+def _maybe_repartition(df: DataFrame, num_partitions: int | None) -> DataFrame:
+    return df.repartition(num_partitions, "src") if num_partitions else df
 
 
 def random_walks(
@@ -101,6 +134,7 @@ def random_walks(
     ckpt: CheckpointManager | None = None,
     resume: bool = True,
     portable: bool = False,
+    weight_col: str | None = None,
 ) -> tuple[DataFrame, LoopResult]:
     """Returns (DF(walk_id BIGINT, step INT, vertex BIGINT), LoopResult).
 
@@ -109,6 +143,12 @@ def random_walks(
     ends early at a vertex with no out-edges. ``walk_length`` counts
     steps AFTER step 0, so a complete walk has ``walk_length + 1`` rows
     ("sentence length" in embedding-training terms).
+
+    With ``weight_col`` (INTEGER edge weights >= 1) each step picks an
+    out-edge with probability proportional to its weight — the
+    cumulative-weight interval lookup of :func:`indexed_edges`; the
+    draw stays a single integer coin, so weighted walks remain exactly
+    oracle-replayable.
     """
     if walks_per_vertex < 1 or walk_length < 1:
         raise ValueError("walks_per_vertex and walk_length must be >= 1")
@@ -117,7 +157,7 @@ def random_walks(
         vertices = vertices_from_edges(edges)
 
     with iteration_conf(edges.sparkSession, p):
-        ie = indexed_edges(edges, num_partitions=p).persist()
+        ie = indexed_edges(edges, num_partitions=p, weight_col=weight_col).persist()
         ie.count()
 
     W = walks_per_vertex
@@ -139,14 +179,18 @@ def random_walks(
             "id", "cur", "path", "active"
         )
         pick = F.expr(_spark_coin("w.id", k, seed, portable))
+        draw = pick % F.col("e.deg")
+        if weight_col is None:
+            hit = F.col("e.idx") == draw
+        else:
+            # cumulative-weight interval: exactly one edge satisfies it
+            hit = (F.col("e.idx") <= draw) & (draw < F.col("e.idx") + F.col("e.w"))
         stepped = (
             live.alias("w")
             .join(ie.alias("e"), F.col("w.cur") == F.col("e.src"), "left")
-            # keep the chosen edge (idx = coin % deg) or the dead-end
-            # null row — at most one row per walker either way
-            .filter(
-                F.col("e.idx").isNull() | (F.col("e.idx") == pick % F.col("e.deg"))
-            )
+            # keep the chosen edge or the dead-end null row — at most
+            # one row per walker either way
+            .filter(F.col("e.idx").isNull() | hit)
             .select(
                 F.col("w.id").alias("id"),
                 F.coalesce(F.col("e.dst"), F.col("w.cur")).alias("cur"),

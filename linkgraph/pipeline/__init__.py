@@ -25,7 +25,7 @@ from .textstats import (
     vocabulary,
 )
 from .packing import pack_sequences
-from .sample import stratified_sample, weighted_sample
+from .sample import proportional_sample, stratified_sample, weighted_sample
 from .sketches import kmv_distinct_tokens
 from .similarity import (
     cosine_topk,
@@ -56,6 +56,7 @@ __all__ = [
     "kmv_distinct_tokens",
     "weighted_sample",
     "stratified_sample",
+    "proportional_sample",
     "pack_sequences",
     "cosine_topk",
     "lsh_cosine_topk",

@@ -95,6 +95,49 @@ def weighted_sample(
     )
 
 
+def proportional_sample(
+    docs: DataFrame,
+    rates: dict[str, float],
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    seed: int = 42,
+    portable: bool = False,
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """(id_col, strata_col) — Bernoulli corpus mixing: keep each row of
+    stratum ``s`` with probability ``rates[s]`` (``default_rate`` for
+    unlisted strata). The training-data mixing primitive: dial each
+    source/language to its target proportion in one deterministic scan
+    — no shuffle, no state; at 100 TB this is a pure filter.
+
+    The keep decision compares the integer hash draw against
+    ``floor(rate * 2^60)`` — integer-exact in both engines, so the kept
+    SET is oracle-checkable in portable mode. Per-row probability is
+    exact to 2^-60.
+    """
+    arg = _u_arg("ps", id_col, seed)
+    if portable:
+        u_int = _md5_digits_spark_sql(f"md5({arg})", 15)
+    else:
+        u_int = f"pmod(xxhash64({arg}), {U_DENOM})"
+    thr = F.lit(int(default_rate * U_DENOM))
+    for s, r in sorted(rates.items()):
+        thr = F.when(F.col(strata_col) == s, F.lit(int(r * U_DENOM))).otherwise(thr)
+    return docs.select(id_col, strata_col).filter(F.expr(u_int) < thr)
+
+
+def proportional_threshold_sql(strata_col: str, rates: dict[str, float],
+                               default_rate: float = 0.0) -> str:
+    """Engine-neutral CASE expression for the integer keep-threshold of
+    :func:`proportional_sample` (embed next to ``uniform_sql``'s digit
+    terms in the oracle)."""
+    whens = " ".join(
+        f"WHEN {strata_col} = '{s}' THEN {int(r * U_DENOM)}"
+        for s, r in sorted(rates.items())
+    )
+    return f"(CASE {whens} ELSE {int(default_rate * U_DENOM)} END)"
+
+
 def stratified_sample(
     docs: DataFrame,
     k_per_stratum: int,

@@ -62,6 +62,51 @@ class TestWeightedSample:
         assert a != b
 
 
+class TestProportionalSample:
+    RATES = {"en": 1.0, "de": 0.5, "fr": 0.0}
+
+    def test_portable_matches_bruteforce(self, docs):
+        from linkgraph.pipeline import proportional_sample
+
+        got = {
+            r.doc_id
+            for r in proportional_sample(
+                docs, self.RATES, seed=SEED, portable=True
+            ).collect()
+        }
+        want = set()
+        for r in docs.collect():
+            thr = int(self.RATES.get(r.lang, 0.0) * U_DENOM)
+            u = int(
+                hashlib.md5(f"ps:{r.doc_id}:{SEED}".encode()).hexdigest()[:15], 16
+            )
+            if u < thr:
+                want.add(r.doc_id)
+        assert got == want
+
+    def test_rates_respected(self, docs):
+        from linkgraph.pipeline import proportional_sample
+
+        got = proportional_sample(docs, self.RATES, seed=SEED).collect()
+        by = {}
+        for r in got:
+            by[r.lang] = by.get(r.lang, 0) + 1
+        n_en = docs.filter("lang = 'en'").count()
+        assert by["en"] == n_en  # rate 1.0 keeps everything
+        assert "fr" not in by  # rate 0.0 drops everything
+        n_de = docs.filter("lang = 'de'").count()
+        assert 0 < by.get("de", 0) < n_de  # rate 0.5 keeps a strict subset
+
+    def test_default_rate_for_unlisted_stratum(self, docs):
+        from linkgraph.pipeline import proportional_sample
+
+        got = proportional_sample(
+            docs, {"en": 0.5}, seed=SEED, default_rate=1.0
+        ).collect()
+        langs = {r.lang for r in got}
+        assert {"de", "fr"} <= langs  # unlisted strata kept at rate 1.0
+
+
 class TestStratifiedSample:
     def test_portable_matches_bruteforce(self, docs):
         got = stratified_sample(docs, k_per_stratum=4, seed=SEED, portable=True)

@@ -119,3 +119,73 @@ class TestRandomWalks:
         a, _ = random_walks(edges_df, walks_per_vertex=1, walk_length=L, seed=1)
         b, _ = random_walks(edges_df, walks_per_vertex=1, walk_length=L, seed=2)
         assert {tuple(r) for r in a.collect()} != {tuple(r) for r in b.collect()}
+
+
+def _brute_weighted_walks(wedges, n_walks_per_v, length, seed):
+    # wedges: (src, dst, w); cumulative-weight interval pick
+    adj = {}
+    for s, d, w in sorted(wedges):
+        adj.setdefault(s, []).append((d, w))
+    verts = sorted({v for s, d, _ in wedges for v in (s, d)})
+    rows = set()
+    for v in verts:
+        for r in range(n_walks_per_v):
+            wid = v * n_walks_per_v + r
+            cur = v
+            rows.add((wid, 0, v))
+            for k in range(1, length + 1):
+                nbrs = adj.get(cur)
+                if not nbrs:
+                    break
+                total = sum(w for _, w in nbrs)
+                draw = _coin(wid, k, seed) % total
+                acc = 0
+                for d, w in nbrs:
+                    if acc <= draw < acc + w:
+                        cur = d
+                        break
+                    acc += w
+                rows.add((wid, k, cur))
+    return rows
+
+
+class TestWeightedRandomWalks:
+    WEDGES = [(0, 1, 1), (0, 2, 5), (1, 0, 2), (2, 0, 1), (2, 3, 3), (3, 0, 4)]
+
+    @pytest.fixture(scope="class")
+    def wdf(self, spark):
+        return spark.createDataFrame(
+            self.WEDGES, "src long, dst long, w long"
+        ).cache()
+
+    def test_portable_matches_bruteforce(self, wdf):
+        corpus, _ = random_walks(
+            wdf, walks_per_vertex=W, walk_length=L, seed=SEED,
+            portable=True, weight_col="w",
+        )
+        got = {(r.walk_id, r.step, r.vertex) for r in corpus.collect()}
+        assert got == _brute_weighted_walks(self.WEDGES, W, L, SEED)
+
+    def test_weight_bias(self, wdf):
+        # from 0, edge 0->2 has 5x the weight of 0->1: across many walk
+        # ids the first step must favor 2 heavily
+        corpus, _ = random_walks(
+            wdf, walks_per_vertex=50, walk_length=1, seed=SEED, weight_col="w"
+        )
+        firsts = [
+            r.vertex
+            for r in corpus.collect()
+            if r.step == 1 and r.walk_id // 50 == 0
+        ]
+        assert len(firsts) == 50
+        assert firsts.count(2) > 30  # E = 41.7
+
+    def test_unit_weights_match_unweighted(self, spark):
+        e = [(0, 1), (1, 2), (2, 0), (2, 3)]
+        df = spark.createDataFrame(e, "src long, dst long")
+        wdf = df.withColumn("w", F.lit(1))
+        a, _ = random_walks(df, walks_per_vertex=2, walk_length=4, seed=3)
+        b, _ = random_walks(
+            wdf, walks_per_vertex=2, walk_length=4, seed=3, weight_col="w"
+        )
+        assert {tuple(r) for r in a.collect()} == {tuple(r) for r in b.collect()}
