@@ -125,6 +125,9 @@ PACK_SEED = 13
 # corpus mixing: per-language keep rates (unlisted strata -> 0.1)
 MIX_RATES = {"en": 1.0, "de": 0.5, "zh": 0.25}
 MIX_DEFAULT = 0.1
+# node2vec bias multipliers: return / common-neighbor / far (integer
+# spellings of 1/p : 1 : 1/q, kept integer for oracle exactness)
+N2V_MULTS = (4, 2, 1)
 
 
 # --------------------------------------------------------------------
@@ -845,6 +848,67 @@ def _weighted_walks_sql(length: int, seed: int) -> str:
     return "".join(parts) + " " + selects
 
 
+def _q_node2vec_walks(spark, sf):
+    """Second-order biased walks (node2vec search bias with integer
+    multipliers); every step's biased cumulative-interval pick is
+    replayed by the oracle."""
+    from linkgraph import node2vec_walks
+
+    mr, mc, mf = N2V_MULTS
+    corpus, _ = node2vec_walks(
+        document_edges(spark, sf),
+        walks_per_vertex=1,
+        walk_length=RW_LEN,
+        seed=RW_SEED,
+        mult_return=mr,
+        mult_common=mc,
+        mult_far=mf,
+        vertices=document_vertices(spark, sf),
+        portable=True,
+    )
+    return corpus
+
+
+def _node2vec_sql(length: int, seed: int, mr: int, mc: int, mf: int) -> str:
+    """Unrolled node2vec chain: per step, candidate edges of the
+    current vertex are rescaled by the (return / common-neighbor / far)
+    CASE — common-neighbor via a correlated EXISTS wedge probe — and
+    the per-walker running sum turns biased weights into cumulative
+    intervals; the coin lands in exactly one."""
+    from linkgraph.algorithms.walks import walk_coin_sql
+
+    parts = [
+        "WITH " + EDGES_CTES.strip() + ",",
+        " w0 AS (SELECT doc_id AS walk_id,"
+        "  CAST(NULL AS BIGINT) AS prev, doc_id AS v FROM documents)",
+    ]
+    for k in range(1, length + 1):
+        coin = walk_coin_sql("walk_id", k, seed)
+        parts.append(
+            f", cand{k} AS MATERIALIZED (SELECT w.walk_id, w.v AS cur,"
+            f"   i.dst AS nxt,"
+            f"   CAST(CASE WHEN i.dst = w.prev THEN {mr}"
+            f"    WHEN EXISTS (SELECT 1 FROM edges m"
+            f"     WHERE m.src = i.dst AND m.dst = w.prev) THEN {mc}"
+            f"    ELSE {mf} END AS BIGINT) AS bw"
+            f"   FROM w{k - 1} w JOIN edges i ON i.src = w.v)"
+            f", pos{k} AS (SELECT walk_id, cur, nxt, bw,"
+            f"   CAST(COALESCE(SUM(bw) OVER (PARTITION BY walk_id ORDER BY nxt"
+            f"    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)"
+            f"    AS BIGINT) AS lo,"
+            f"   CAST(SUM(bw) OVER (PARTITION BY walk_id) AS BIGINT) AS tot"
+            f"   FROM cand{k} WHERE bw > 0)"
+            f", w{k} AS MATERIALIZED (SELECT walk_id, cur AS prev, nxt AS v"
+            f"   FROM pos{k} WHERE lo <= ({coin} % tot)"
+            f"   AND ({coin} % tot) < lo + bw)"
+        )
+    selects = " UNION ALL ".join(
+        f"SELECT walk_id, CAST({k} AS INT) AS step, v AS vertex FROM w{k}"
+        for k in range(0, length + 1)
+    )
+    return "".join(parts) + " " + selects
+
+
 def _q_graph_summary(spark, sf):
     """One-row structural summary (counts, reciprocity, density,
     degree assortativity) of the doc graph."""
@@ -1074,6 +1138,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_sample": _q_graph_sample,
         "random_walks": _q_random_walks,
         "random_walks_weighted": _q_random_walks_weighted,
+        "node2vec_walks": _q_node2vec_walks,
         "maximal_independent_set": _q_mis,
         "graph_summary": _q_graph_summary,
         "kmeans_centers": _q_kmeans,
@@ -2089,6 +2154,7 @@ def oracle_sql() -> dict[str, str]:
     sql["graph_sample"] = _graph_sample_sql(0.3, 7, 10, 2, 8)
     sql["random_walks"] = _random_walks_sql(RW_W, RW_LEN, RW_SEED)
     sql["random_walks_weighted"] = _weighted_walks_sql(RW_LEN, RW_SEED)
+    sql["node2vec_walks"] = _node2vec_sql(RW_LEN, RW_SEED, *N2V_MULTS)
     sql["maximal_independent_set"] = _mis_sql(MIS_ROUNDS, MIS_SEED)
     # graph summary: every ratio is exact-integer sums cast to DOUBLE in
     # the same expression order as algorithms/stats.py, rounded to 6dp

@@ -21,6 +21,7 @@ from .algorithms import (
     maximum_cliques,
     graph_summary,
     maximal_independent_set,
+    node2vec_walks,
     pagerank,
     random_walks,
     reachability,
@@ -91,6 +92,7 @@ __all__ = [
     "graph_sample",
     "graph_summary",
     "maximal_independent_set",
+    "node2vec_walks",
     "random_walks",
     "local_maximal_cliques",
     "maximum_cliques",

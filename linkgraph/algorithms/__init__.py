@@ -10,13 +10,14 @@ from .reachability import reachability
 from .mis import maximal_independent_set
 from .sampling import graph_sample
 from .stats import graph_summary
-from .walks import random_walks
+from .walks import node2vec_walks, random_walks
 from .cliques import local_maximal_cliques, maximum_cliques
 
 __all__ = [
     "graph_sample",
     "graph_summary",
     "maximal_independent_set",
+    "node2vec_walks",
     "random_walks",
     "local_maximal_cliques",
     "maximum_cliques",

@@ -224,3 +224,149 @@ def random_walks(
         F.posexplode("path").alias("step", "vertex"),
     ).select("walk_id", F.col("step").cast("int").alias("step"), "vertex")
     return corpus, result
+
+
+def node2vec_walks(
+    edges: DataFrame,
+    walks_per_vertex: int = 1,
+    walk_length: int = 8,
+    seed: int = 42,
+    mult_return: int = 1,
+    mult_common: int = 1,
+    mult_far: int = 1,
+    vertices: DataFrame | None = None,
+    num_partitions: int | None = None,
+    ckpt: CheckpointManager | None = None,
+    resume: bool = True,
+    portable: bool = False,
+    weight_col: str | None = None,
+) -> tuple[DataFrame, LoopResult]:
+    """Second-order (node2vec-style) biased walks. Same output contract
+    as :func:`random_walks`.
+
+    Grover & Leskovec's search bias rescales each candidate edge
+    (cur -> x) by where x stands relative to the PREVIOUS vertex:
+    1/p when x == prev (return), 1 when x is also prev's neighbor
+    (BFS-ish), 1/q otherwise (DFS-ish). To keep the draw integer-exact
+    (and therefore oracle-replayable), the three factors are INTEGER
+    multipliers ``mult_return`` / ``mult_common`` / ``mult_far`` — any
+    rational (1/p, 1, 1/q) is realizable by scaling to a common
+    denominator; a multiplier of 0 forbids that move class. The first
+    step (no previous vertex) uses the plain weight-proportional rule.
+
+    Per-step shape: candidates = frontier ⋈ indexed edges on
+    ``cur = src`` (the same co-partitioned join as random_walks), one
+    LEFT join against the edge relation marks x in N(prev) — the
+    wedge-membership probe — and a per-walker running-sum window turns
+    biased weights into cumulative intervals; the coin lands in exactly
+    one. The window partitions by walk_id (frontier-sized, never
+    graph-sized); walkers whose candidates all carry multiplier 0, or
+    with no out-edges, park with their partial walk.
+    """
+    if walks_per_vertex < 1 or walk_length < 1:
+        raise ValueError("walks_per_vertex and walk_length must be >= 1")
+    if min(mult_return, mult_common, mult_far) < 0:
+        raise ValueError("bias multipliers must be >= 0")
+    p = choose_partitions(edges, lambda: edges.count(), num_partitions)
+    if vertices is None:
+        vertices = vertices_from_edges(edges)
+
+    with iteration_conf(edges.sparkSession, p):
+        ie = indexed_edges(edges, num_partitions=p, weight_col=weight_col).persist()
+        ie.count()
+    base_w = F.col("e.w") if weight_col is not None else F.lit(1).cast("long")
+
+    W = walks_per_vertex
+    init = (
+        vertices.select(F.col("id").alias("start"))
+        .withColumn("r", F.explode(F.sequence(F.lit(0), F.lit(W - 1))))
+        .select(
+            (F.col("start") * W + F.col("r")).alias("id"),
+            F.lit(None).cast("long").alias("prev"),
+            F.col("start").alias("cur"),
+            F.array("start").alias("path"),
+            F.lit(True).alias("active"),
+        )
+        .repartition(p, "id")
+    )
+
+    def superstep(state: DataFrame, k: int) -> StepResult:
+        live = state.filter(F.col("active")).select("id", "prev", "cur", "path")
+        parked = state.filter(~F.col("active")).select(
+            "id", "prev", "cur", "path", "active"
+        )
+        mark = ie.select(F.col("src").alias("mx"), F.col("dst").alias("mp"))
+        bias = (
+            F.when(F.col("e.dst") == F.col("w.prev"), F.lit(mult_return))
+            .when(F.col("mx").isNotNull(), F.lit(mult_common))
+            .otherwise(F.lit(mult_far))
+            .cast("long")
+        )
+        cand = (
+            live.alias("w")
+            .join(ie.alias("e"), F.col("w.cur") == F.col("e.src"))
+            # wedge membership: is the candidate x also prev's OUT-
+            # neighbor? (null prev on step 1 never matches -> plain w)
+            .join(
+                mark,
+                (F.col("e.dst") == F.col("mx")) & (F.col("w.prev") == F.col("mp")),
+                "left",
+            )
+            .select(
+                F.col("w.id").alias("id"),
+                F.col("w.cur").alias("cur"),
+                F.col("w.path").alias("path"),
+                F.col("e.dst").alias("nxt"),
+                (base_w * bias).alias("bw"),
+            )
+            .filter(F.col("bw") > 0)
+        )
+        cum = Window.partitionBy("id").orderBy("nxt").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        tot = Window.partitionBy("id")
+        picked = cand.select(
+            "id",
+            "cur",
+            "path",
+            "nxt",
+            "bw",
+            F.coalesce(F.sum("bw").over(cum), F.lit(0)).alias("lo"),
+            F.sum("bw").over(tot).alias("tot"),
+        )
+        draw = F.expr(_spark_coin("id", k, seed, portable)) % F.col("tot")
+        stepped = picked.filter(
+            (F.col("lo") <= draw) & (draw < F.col("lo") + F.col("bw"))
+        ).select(
+            "id",
+            F.col("cur").alias("prev"),
+            F.col("nxt").alias("cur"),
+            F.concat("path", F.array("nxt")).alias("path"),
+            F.lit(True).alias("active"),
+        )
+        dead = live.join(
+            cand.select("id").distinct(), "id", "left_anti"
+        ).select(
+            "id", "prev", "cur", "path", F.lit(False).alias("active")
+        )
+        new = stepped.unionByName(dead).unionByName(parked).withColumn(
+            "_changed", F.col("active")
+        )
+        return StepResult(state=new)
+
+    result = iterate(
+        init.withColumn("_changed", F.lit(False)),
+        superstep,
+        converged=lambda s: (s.changed or 0) == 0,
+        max_supersteps=walk_length,
+        ckpt=ckpt,
+        resume=resume,
+        track_messages=False,
+        num_partitions=p,
+    )
+    ie.unpersist()
+    corpus = result.state.select(
+        F.col("id").alias("walk_id"),
+        F.posexplode("path").alias("step", "vertex"),
+    ).select("walk_id", F.col("step").cast("int").alias("step"), "vertex")
+    return corpus, result

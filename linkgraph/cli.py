@@ -48,7 +48,8 @@ def _build_parser() -> argparse.ArgumentParser:
             "reachability", "sample", "cliques", "derive",
             "derive-repo", "wpr", "linkpred",
             "dedup", "vocab", "pii", "repetition",
-            "ppr", "hits", "kcore", "walks", "mis",
+            "ppr", "hits", "kcore", "walks", "node2vec", "mis",
+            "summary",
         ],
     )
     src = p.add_argument_group("input (exactly one)")
@@ -103,9 +104,21 @@ def _build_parser() -> argparse.ArgumentParser:
                    "(bounds the hub wedge set at scale; 0 = uncapped)")
     p.add_argument("--iterations", type=int, default=20, help="hits: fixed iterations")
     p.add_argument("--walks-per-vertex", type=int, default=1,
-                   help="walks: walks started from every vertex")
+                   help="walks/node2vec: walks started from every vertex")
     p.add_argument("--walk-length", type=int, default=8,
-                   help="walks: steps after the start vertex")
+                   help="walks/node2vec: steps after the start vertex")
+    p.add_argument("--weight-col", default=None,
+                   help="walks: integer edge-weight column for "
+                   "weight-proportional steps")
+    p.add_argument("--mult-return", type=int, default=1,
+                   help="node2vec: integer bias for returning to the previous "
+                   "vertex (1/p scaled to integers)")
+    p.add_argument("--mult-common", type=int, default=1,
+                   help="node2vec: integer bias for common neighbors of the "
+                   "previous vertex")
+    p.add_argument("--mult-far", type=int, default=1,
+                   help="node2vec: integer bias for other neighbors "
+                   "(1/q scaled to integers)")
     p.add_argument("--directed", action="store_true",
                    help="cc/lpa/triangles: consume edges as-given instead of symmetrizing")
     p.add_argument("--metrics-output", help="write per-superstep metrics JSON lines here")
@@ -119,9 +132,10 @@ def _load_edges(spark: SparkSession, args) -> DataFrame:
             "exactly one of --edges / --code-table / --adjacency-text is required"
         )
     if args.edges:
-        return spark.read.load(args.edges).select(
-            F.col("src").cast("long"), F.col("dst").cast("long")
-        )
+        cols = [F.col("src").cast("long"), F.col("dst").cast("long")]
+        if getattr(args, "weight_col", None):
+            cols.append(F.col(args.weight_col).cast("long").alias(args.weight_col))
+        return spark.read.load(args.edges).select(*cols)
     if args.adjacency_text:
         from linkgraph.sources import adjacency_text_graph
 
@@ -307,8 +321,28 @@ def main(argv: list[str] | None = None) -> None:
             walk_length=args.walk_length,
             seed=args.seed,
             portable=args.portable_hash,
+            weight_col=args.weight_col,
             **common,
         )
+    elif args.algorithm == "node2vec":
+        from linkgraph.algorithms.walks import node2vec_walks
+
+        out, res = node2vec_walks(
+            edges,
+            walks_per_vertex=args.walks_per_vertex,
+            walk_length=args.walk_length,
+            seed=args.seed,
+            mult_return=args.mult_return,
+            mult_common=args.mult_common,
+            mult_far=args.mult_far,
+            portable=args.portable_hash,
+            weight_col=args.weight_col,
+            **common,
+        )
+    elif args.algorithm == "summary":
+        from linkgraph.algorithms.stats import graph_summary
+
+        out = graph_summary(edges)
     elif args.algorithm == "mis":
         from linkgraph.algorithms.mis import maximal_independent_set
 

@@ -7,7 +7,7 @@ import hashlib
 import pytest
 from pyspark.sql import functions as F
 
-from linkgraph.algorithms.walks import indexed_edges, random_walks
+from linkgraph.algorithms.walks import indexed_edges, node2vec_walks, random_walks
 
 SEED = 11
 W = 2
@@ -187,5 +187,92 @@ class TestWeightedRandomWalks:
         a, _ = random_walks(df, walks_per_vertex=2, walk_length=4, seed=3)
         b, _ = random_walks(
             wdf, walks_per_vertex=2, walk_length=4, seed=3, weight_col="w"
+        )
+        assert {tuple(r) for r in a.collect()} == {tuple(r) for r in b.collect()}
+
+
+def _brute_node2vec(edges, n_walks_per_v, length, seed, mr, mc, mf):
+    adj = {}
+    eset = set(edges)
+    for s, d in sorted(set(edges)):
+        adj.setdefault(s, []).append(d)
+    verts = sorted({v for e in edges for v in e})
+    rows = set()
+    for v in verts:
+        for r in range(n_walks_per_v):
+            wid = v * n_walks_per_v + r
+            prev, cur = None, v
+            rows.add((wid, 0, v))
+            for k in range(1, length + 1):
+                cands = []
+                for d in adj.get(cur, []):
+                    if prev is not None and d == prev:
+                        m = mr
+                    elif prev is not None and (d, prev) in eset:
+                        m = mc
+                    else:
+                        m = mf
+                    if m > 0:
+                        cands.append((d, m))
+                if not cands:
+                    break
+                tot = sum(m for _, m in cands)
+                draw = _coin(wid, k, seed) % tot
+                acc = 0
+                for d, m in cands:
+                    if acc <= draw < acc + m:
+                        prev, cur = cur, d
+                        break
+                    acc += m
+                rows.add((wid, k, cur))
+    return rows
+
+
+class TestNode2vecWalks:
+    MR, MC, MF = 4, 2, 1  # return-biased, then BFS-ish, then DFS-ish
+
+    def test_portable_matches_bruteforce(self, edges_df):
+        corpus, _ = node2vec_walks(
+            edges_df, walks_per_vertex=W, walk_length=L, seed=SEED,
+            mult_return=self.MR, mult_common=self.MC, mult_far=self.MF,
+            portable=True,
+        )
+        got = {(r.walk_id, r.step, r.vertex) for r in corpus.collect()}
+        want = _brute_node2vec(EDGES, W, L, SEED, self.MR, self.MC, self.MF)
+        assert got == want
+
+    def test_uniform_multipliers_match_first_order(self, edges_df):
+        a, _ = node2vec_walks(
+            edges_df, walks_per_vertex=W, walk_length=L, seed=SEED,
+            mult_return=1, mult_common=1, mult_far=1,
+        )
+        b, _ = random_walks(edges_df, walks_per_vertex=W, walk_length=L, seed=SEED)
+        assert {tuple(r) for r in a.collect()} == {tuple(r) for r in b.collect()}
+
+    def test_zero_return_never_backtracks(self, spark):
+        # path graph 0-1-2 (both directions): with mult_return=0 a walk
+        # at 1 must continue away from where it came
+        e = [(0, 1), (1, 0), (1, 2), (2, 1)]
+        df = spark.createDataFrame(e, "src long, dst long")
+        corpus, _ = node2vec_walks(
+            df, walks_per_vertex=8, walk_length=6, seed=SEED,
+            mult_return=0, mult_common=1, mult_far=1,
+        )
+        byw = {}
+        for r in corpus.collect():
+            byw.setdefault(r.walk_id, {})[r.step] = r.vertex
+        for steps in byw.values():
+            ks = sorted(steps)
+            for k in ks[2:]:
+                assert steps[k] != steps[k - 2], f"backtracked: {steps}"
+
+    def test_production_mode_partition_invariance(self, edges_df):
+        a, _ = node2vec_walks(
+            edges_df, walks_per_vertex=W, walk_length=L, seed=SEED,
+            mult_return=2, mult_common=3, mult_far=1,
+        )
+        b, _ = node2vec_walks(
+            edges_df.repartition(7), walks_per_vertex=W, walk_length=L,
+            seed=SEED, mult_return=2, mult_common=3, mult_far=1,
         )
         assert {tuple(r) for r in a.collect()} == {tuple(r) for r in b.collect()}
