@@ -34,6 +34,7 @@ from linkgraph import (
     pagerank,
     reachability,
     shortest_paths,
+    strongly_connected_components,
     triangle_counts,
 )
 from linkgraph.docgraph import EDGES_CTES, SYM_CTE, document_edges, document_vertices, load_documents
@@ -187,6 +188,18 @@ def _q_cc_hashmin(spark, sf):
         edges, vertices=document_vertices(spark, sf)
     )
     return comp
+
+
+def _q_scc(spark, sf):
+    """Strongly connected components of the DIRECTED document graph
+    (forward/backward min-label intersection); label = min member id.
+    Oracle: transitive-closure recursive CTE — u, v share an SCC iff
+    reach(u, v) AND reach(v, u)."""
+    edges = document_edges(spark, sf)
+    scc, _ = strongly_connected_components(
+        edges, vertices=document_vertices(spark, sf)
+    )
+    return scc
 
 
 def _q_lpa(spark, sf):
@@ -1082,6 +1095,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": _q_pagerank,
         "connected_components": _q_cc,
         "connected_components_hashmin": _q_cc_hashmin,
+        "strongly_connected_components": _q_scc,
         "label_propagation": _q_lpa,
         "triangles_per_vertex": _q_triangles,
         "triangle_total": _q_triangle_total,
@@ -1946,6 +1960,25 @@ def oracle_sql() -> dict[str, str]:
             "   SELECT s.dst, r.lbl FROM reach r JOIN sym s ON s.src = r.id"
             " )"
             " SELECT id, MIN(lbl) AS component FROM reach GROUP BY id"
+        ),
+        # SCC: u, v share a component iff reach(u, v) AND reach(v, u);
+        # label = min mutually-reachable id (self included)
+        "strongly_connected_components": (
+            "WITH RECURSIVE "
+            + EDGES_CTES.strip()
+            + ", reach(a, b) AS ("
+            "   SELECT src, dst FROM edges"
+            "   UNION"
+            "   SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src"
+            " ),"
+            " mutual AS ("
+            "   SELECT r1.a AS u, r1.b AS v FROM reach r1"
+            "   JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a"
+            " )"
+            " SELECT d.doc_id AS id,"
+            "        LEAST(d.doc_id, COALESCE(MIN(m.u), d.doc_id)) AS scc"
+            " FROM documents d LEFT JOIN mutual m ON m.v = d.doc_id"
+            " GROUP BY d.doc_id"
         ),
         "label_propagation": _lpa_sql(LPA_STEPS),
         "triangles_per_vertex": (

@@ -26,6 +26,7 @@ from .algorithms import (
     random_walks,
     reachability,
     shortest_paths,
+    strongly_connected_components,
     common_neighbor_scores,
     clustering_coefficients,
     ktruss,
@@ -88,6 +89,7 @@ __all__ = [
     "triangle_counts",
     "triangle_total",
     "shortest_paths",
+    "strongly_connected_components",
     "reachability",
     "graph_sample",
     "graph_summary",

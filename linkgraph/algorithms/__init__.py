@@ -5,6 +5,7 @@ from .linkpred import common_neighbor_scores
 from .anf import effective_diameter, neighborhood_function
 from .ktruss import ktruss
 from .triangles import clustering_coefficients, transitivity, triangle_counts, triangle_total
+from .scc import strongly_connected_components  # noqa: F401
 from .sssp import shortest_paths
 from .reachability import reachability
 from .mis import maximal_independent_set
@@ -34,5 +35,6 @@ __all__ = [
     "triangle_counts",
     "triangle_total",
     "shortest_paths",
+    "strongly_connected_components",
     "reachability",
 ]

@@ -43,7 +43,7 @@ def _build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "algorithm",
         choices=[
-            "pagerank", "cc", "cc-hashmin", "lpa", "triangles",
+            "pagerank", "cc", "cc-hashmin", "scc", "lpa", "triangles",
             "clustering", "transitivity", "ktruss", "anf", "sssp",
             "reachability", "sample", "cliques", "derive",
             "derive-repo", "wpr", "linkpred",
@@ -369,6 +369,14 @@ def main(argv: list[str] | None = None) -> None:
             edges,
             num_partitions=args.num_partitions,
             max_rounds=args.max_supersteps,
+        )
+    elif args.algorithm == "scc":
+        from linkgraph.algorithms.scc import strongly_connected_components
+
+        out, res = strongly_connected_components(
+            edges,
+            num_partitions=args.num_partitions,
+            max_supersteps=args.max_supersteps,
         )
     elif args.algorithm == "ktruss":
         from linkgraph.algorithms.ktruss import ktruss
