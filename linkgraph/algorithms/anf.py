@@ -240,3 +240,151 @@ def effective_diameter(
             return prev_h + (target - prev_n) / (n - prev_n) * (h - prev_h)
         prev_h, prev_n = h, n
     return float(rows[-1][0])
+
+
+def harmonic_centrality(
+    edges: DataFrame,
+    num_maps: int = 16,
+    max_h: int = 8,
+    vertices: DataFrame | None = None,
+    num_partitions: int | None = None,
+    symmetrize_edges: bool = True,
+    portable: bool = False,
+    seed: int = 42,
+) -> tuple[DataFrame, LoopResult]:
+    """HyperBall-style harmonic centrality (Boldi-Vigna, "In-Core
+    Computation of Geometric Centralities with HyperBall"):
+
+        H(v) = sum over u != v of 1 / d(v, u)
+             ~= sum over h of (|B_h(v)| - |B_{h-1}(v)|) / h
+
+    estimated from the same per-vertex FM sketches as
+    :func:`neighborhood_function` — the per-depth ball-size DELTAS,
+    weighted 1/h, accumulate per vertex while the sketch union loop
+    runs. Centrality of the whole graph costs exactly the ANF loop:
+    K longs of state per vertex, one bit_or exchange per depth — the
+    web-scale alternative to all-pairs BFS.
+
+    Integer-exact accumulation (what makes this oracle-checkable): the
+    per-vertex ball estimate is kept in micro-units (BIGINT), and the
+    1/h weights are scaled by LCM(1..max_h) so every addend is an exact
+    integer. ``harmonic_units`` = sum of (delta_units * LCM/h);
+    ``harmonic_est`` = harmonic_units / (LCM * 1e6). A vertex whose
+    sketches stop changing contributes zero for the remaining depths,
+    so the early-stopped fixpoint equals the full unroll exactly.
+
+    Returns (DF(id, harmonic_units BIGINT, harmonic_est DOUBLE),
+    LoopResult). Directed mode (``symmetrize_edges=False``): sketches
+    union along OUT-edges, so B_h(v) collects vertices u with
+    d(u, v) <= h and H estimates in-harmonic centrality (1/d(u, v)
+    summed over sources u) — the transpose convention of HyperBall.
+    """
+    import math
+
+    K = num_maps
+    lcm = math.lcm(*range(1, max_h + 1))
+    spark = edges.sparkSession
+    scale = 2 if symmetrize_edges else 1
+    p = choose_partitions(edges, lambda: scale * edges.count(), num_partitions)
+    if vertices is None:
+        vertices = vertices_from_edges(edges)
+    verts = vertices.select("id").repartition(p, "id")
+
+    e = symmetrize(edges) if symmetrize_edges else edges.select("src", "dst")
+    with iteration_conf(spark, p):
+        adj = build_adjacency(e, num_partitions=p).persist()
+        adj.count()
+
+        s_cols = [f"s{i}" for i in range(K)]
+        rank_sum = " + ".join(f"({_rank_sql(c)})" for c in s_cols)
+        est_units = (
+            f"CAST(ROUND((POW(CAST(2 AS DOUBLE), ({rank_sum})"
+            f" / CAST({K} AS DOUBLE)) / {FM_PHI!r}) * 1000000.0, 0) AS BIGINT)"
+        )
+
+        init = verts.selectExpr(
+            "id",
+            *[f"{anf_init_bit_sql(i, seed, portable)} AS s{i}" for i in range(K)],
+        ).selectExpr("id", *s_cols, f"{est_units} AS eu", "CAST(0 AS BIGINT) AS hc")
+
+        state = init.localCheckpoint(eager=True)
+        history: list[SuperstepMetrics] = []
+        converged = False
+        supersteps = 0
+        for h in range(1, max_h + 1):
+            t0 = time.monotonic()
+            scattered = adj.join(state, F.expr("src = id")).selectExpr(
+                "explode(dsts) AS id", *s_cols
+            )
+            msgs = scattered.groupBy("id").agg(
+                *[F.expr(f"bit_or({c}) AS m{i}") for i, c in enumerate(s_cols)]
+            )
+            merged_cols = [
+                f"s{i} | COALESCE(m{i}, CAST(0 AS BIGINT)) AS s{i}"
+                for i in range(K)
+            ]
+            sketch_changed = "(" + " OR ".join(
+                f"(s{i} | COALESCE(m{i}, CAST(0 AS BIGINT))) <> s{i}"
+                for i in range(K)
+            ) + ")"
+            new = (
+                state.join(msgs, "id", "left_outer")
+                .selectExpr(
+                    "id",
+                    *merged_cols,
+                    "eu",
+                    "hc",
+                    f"CAST({sketch_changed} AS BIGINT) AS _sk_changed",
+                )
+                .selectExpr(
+                    "id",
+                    *s_cols,
+                    f"{est_units} AS _eu_new",
+                    "eu",
+                    "hc",
+                    "_sk_changed",
+                )
+                .selectExpr(
+                    "id",
+                    *s_cols,
+                    "_eu_new AS eu",
+                    f"hc + (_eu_new - eu) * CAST({lcm // h} AS BIGINT) AS hc",
+                    "_sk_changed",
+                )
+            )
+            obs = Observation(f"hc-{h}")
+            nxt = (
+                new.observe(
+                    obs,
+                    F.count(F.lit(1)).alias("rows"),
+                    F.expr("SUM(_sk_changed)").alias("changed"),
+                )
+                .drop("_sk_changed")
+                .localCheckpoint(eager=True)
+            )
+            row = obs.get
+            stats = SuperstepMetrics(superstep=h)
+            stats.rows = int(row["rows"])
+            stats.changed = int(row["changed"] or 0)
+            stats.wall_sec = time.monotonic() - t0
+            history.append(stats)
+            release_local_checkpoint(state)
+            state = nxt
+            supersteps = h
+            # exact early stop: convergence is tracked on the raw
+            # SKETCHES (not the rounded estimate) — once no bitmap
+            # changes, every future delta is zero and the truncated
+            # accumulation equals the full max_h unroll
+            if stats.changed == 0:
+                converged = True
+                break
+        else:
+            converged = True
+
+    adj.unpersist()
+    out = state.selectExpr(
+        "id",
+        "hc AS harmonic_units",
+        f"ROUND(CAST(hc AS DOUBLE) / ({lcm}.0 * 1000000.0), 6) AS harmonic_est",
+    )
+    return out, LoopResult(state, supersteps, history, converged)

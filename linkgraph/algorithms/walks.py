@@ -23,8 +23,13 @@ Distributed shape (the 100 TB design):
   ``idx = coin(walk_id, step) % deg`` — the join emits at most one row
   per walker and the only per-step exchange is the walker frontier
   (size = number of live walks, independent of graph size).
-- Walkers at a dead end (no out-edges) go inactive and carry their
-  partial walk; the loop stops early once every walker is inactive.
+- Walker state is FIXED-WIDTH ``(id, cur, active)`` — the walk itself
+  is never shuffled or re-materialized. Each step's state frame is
+  retained (serialized localCheckpoint / durable snapshot) and the
+  corpus is the union of those frames, so per-step cost is flat in the
+  step number instead of growing with the paths carried so far.
+- Walkers at a dead end (no out-edges) go inactive and stop emitting
+  corpus rows; the loop stops early once every walker is inactive.
 
 Coins come in the two standard modes (the phash.py convention):
 ``portable=False`` (production default) draws one xxhash64 per
@@ -40,14 +45,22 @@ production mode — negligible against any real out-degree.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+import time
+
+from pyspark.sql import DataFrame, Observation, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from ..checkpoint import CheckpointManager
 from ..graph import choose_partitions, vertices_from_edges
+from ..metrics import SuperstepMetrics
 from ..phash import md5_digits_spark_sql as _md5_digits_spark_sql
 from ..phash import md5_int_sql as _md5_int_sql
-from ..superstep import LoopResult, StepResult, iterate, iteration_conf
+from ..superstep import (
+    LoopResult,
+    iteration_conf,
+    release_local_checkpoint,
+)
 
 
 def _walk_arg(walk_id_sql: str, k: int, seed: int) -> str:
@@ -149,81 +162,151 @@ def random_walks(
     cumulative-weight interval lookup of :func:`indexed_edges`; the
     draw stays a single integer coin, so weighted walks remain exactly
     oracle-replayable.
+
+    Loop shape (what makes this scale): walker state is FIXED-WIDTH
+    ``(id, cur, active)`` — the growing walk itself is never shuffled.
+    Each step's materialized state frame is RETAINED (localCheckpoint,
+    or the CheckpointManager's durable snapshots) and the corpus is
+    read off those frames at the end: corpus rows for step k are
+    exactly the walkers still active after step k. Per-step exchange =
+    one frontier-sized fixed-width shuffle; per-step coin = ONE hash
+    per WALKER (hoisted before the edge join, not evaluated per
+    candidate edge row); the indexed edge relation is persisted sorted
+    within its hash partitions so the per-step sort-merge join sorts
+    only the frontier side.
+
+    With ``ckpt``, per-step snapshots double as the corpus storage —
+    resume rebuilds the corpus from ALL committed snapshots, so the
+    manager must retain them (the default ``keep=None`` does; a finite
+    ``keep`` raises here).
     """
     if walks_per_vertex < 1 or walk_length < 1:
         raise ValueError("walks_per_vertex and walk_length must be >= 1")
+    if ckpt is not None and ckpt.keep:
+        raise ValueError(
+            "random_walks rebuilds its corpus from every committed "
+            "snapshot; use a CheckpointManager with keep=None"
+        )
+    spark = edges.sparkSession
     p = choose_partitions(edges, lambda: edges.count(), num_partitions)
     if vertices is None:
         vertices = vertices_from_edges(edges)
 
-    with iteration_conf(edges.sparkSession, p):
-        ie = indexed_edges(edges, num_partitions=p, weight_col=weight_col).persist()
+    W = walks_per_vertex
+    draw_sql = "_pick % deg"
+    if weight_col is None:
+        hit_sql = f"idx = {draw_sql}"
+    else:
+        # cumulative-weight interval: exactly one edge satisfies it
+        hit_sql = f"idx <= {draw_sql} AND {draw_sql} < idx + w"
+
+    history: list[SuperstepMetrics] = []
+    frames: list[tuple[int, DataFrame]] = []
+    converged = False
+
+    with iteration_conf(spark, p):
+        ie = (
+            indexed_edges(edges, num_partitions=p, weight_col=weight_col)
+            .sortWithinPartitions("src")
+            .persist()
+        )
         ie.count()
 
-    W = walks_per_vertex
-    init = (
-        vertices.select(F.col("id").alias("start"))
-        .withColumn("r", F.explode(F.sequence(F.lit(0), F.lit(W - 1))))
-        .select(
-            (F.col("start") * W + F.col("r")).alias("id"),
-            F.col("start").alias("cur"),
-            F.array("start").alias("path"),
-            F.lit(True).alias("active"),
-        )
-        .repartition(p, "id")
-    )
-
-    def superstep(state: DataFrame, k: int) -> StepResult:
-        live = state.filter(F.col("active")).select("id", "cur", "path")
-        parked = state.filter(~F.col("active")).select(
-            "id", "cur", "path", "active"
-        )
-        pick = F.expr(_spark_coin("w.id", k, seed, portable))
-        draw = pick % F.col("e.deg")
-        if weight_col is None:
-            hit = F.col("e.idx") == draw
-        else:
-            # cumulative-weight interval: exactly one edge satisfies it
-            hit = (F.col("e.idx") <= draw) & (draw < F.col("e.idx") + F.col("e.w"))
-        stepped = (
-            live.alias("w")
-            .join(ie.alias("e"), F.col("w.cur") == F.col("e.src"), "left")
-            # keep the chosen edge or the dead-end null row — at most
-            # one row per walker either way
-            .filter(F.col("e.idx").isNull() | hit)
+        init = (
+            vertices.select(F.col("id").alias("start"))
+            .withColumn("r", F.explode(F.sequence(F.lit(0), F.lit(W - 1))))
             .select(
-                F.col("w.id").alias("id"),
-                F.coalesce(F.col("e.dst"), F.col("w.cur")).alias("cur"),
-                F.when(
-                    F.col("e.dst").isNotNull(),
-                    F.concat(F.col("w.path"), F.array(F.col("e.dst"))),
+                (F.col("start") * W + F.col("r")).alias("id"),
+                F.col("start").alias("cur"),
+                F.lit(True).alias("active"),
+            )
+            .repartition(p, "id")
+        )
+
+        start_k = 1
+        if ckpt is not None and resume:
+            committed = ckpt.committed_supersteps()
+            if committed:
+                for k in committed:
+                    snap, metrics = ckpt.load(k)
+                    frames.append((k, snap))
+                    history.append(metrics)
+                state = frames[-1][1]
+                start_k = committed[-1] + 1
+            else:
+                state = init.localCheckpoint(eager=True)
+        else:
+            state = init.localCheckpoint(eager=True)
+        first = state  # step-0 corpus frame (all walkers at their start)
+
+        k = start_k - 1
+        for k in range(start_k, walk_length + 1):
+            t0 = time.monotonic()
+            live = state.filter("active").selectExpr(
+                "id", "cur", f"{_spark_coin('id', k, seed, portable)} AS _pick"
+            )
+            stepped = (
+                live.hint("shuffle_hash")
+                .join(ie, live["cur"] == ie["src"], "left")
+                # keep the chosen edge or the dead-end null row — at
+                # most one row per walker either way
+                .where(F.expr(f"idx IS NULL OR ({hit_sql})"))
+                .select(
+                    live["id"].alias("id"),
+                    F.coalesce(ie["dst"], live["cur"]).alias("cur"),
+                    ie["dst"].isNotNull().alias("active"),
                 )
-                .otherwise(F.col("w.path"))
-                .alias("path"),
-                F.col("e.dst").isNotNull().alias("active"),
+            )
+            parked = state.filter("NOT active").select("id", "cur", "active")
+            obs = Observation(f"walk-{k}")
+            planned = stepped.unionByName(parked).observe(
+                obs,
+                F.count(F.lit(1)).alias("rows"),
+                F.sum(F.col("active").cast("long")).alias("changed"),
+            )
+            # serialized storage: the retained frames are read twice
+            # (next step's filter + the final corpus union) but live for
+            # the whole loop — deserialized row objects would grow the
+            # GC live-set by walkers × steps and degrade later steps
+            # (measured: per-step time tripling across 8 steps at 4M
+            # walkers); serialized bytes keep the heap flat
+            new_state = planned.localCheckpoint(
+                eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK
+            )
+            row = obs.get
+
+            stats = SuperstepMetrics(superstep=k)
+            stats.rows = int(row["rows"])
+            stats.changed = int(row["changed"] or 0)
+            if ckpt is not None and ckpt.should_checkpoint(k):
+                committed_df = ckpt.save(k, new_state, stats)
+                release_local_checkpoint(new_state)
+                new_state = committed_df
+            # the superseded state is a RETAINED corpus frame — do NOT
+            # release it; the final union reads it back
+            frames.append((k, new_state))
+            state = new_state
+            stats.wall_sec = time.monotonic() - t0
+            history.append(stats)
+            if stats.changed == 0:
+                converged = True
+                break
+
+    ie.unpersist()
+    corpus = first.select(
+        F.col("id").alias("walk_id"),
+        F.lit(0).cast("int").alias("step"),
+        F.col("cur").alias("vertex"),
+    )
+    for step_k, frame in frames:
+        corpus = corpus.unionByName(
+            frame.filter("active").select(
+                F.col("id").alias("walk_id"),
+                F.lit(step_k).cast("int").alias("step"),
+                F.col("cur").alias("vertex"),
             )
         )
-        new = stepped.unionByName(parked).withColumn(
-            "_changed", F.col("active")
-        )
-        return StepResult(state=new)
-
-    result = iterate(
-        init.withColumn("_changed", F.lit(False)),
-        superstep,
-        converged=lambda s: (s.changed or 0) == 0,
-        max_supersteps=walk_length,
-        ckpt=ckpt,
-        resume=resume,
-        track_messages=False,
-        num_partitions=p,
-    )
-    ie.unpersist()
-    corpus = result.state.select(
-        F.col("id").alias("walk_id"),
-        F.posexplode("path").alias("step", "vertex"),
-    ).select("walk_id", F.col("step").cast("int").alias("step"), "vertex")
-    return corpus, result
+    return corpus, LoopResult(state, k, history, converged)
 
 
 def node2vec_walks(
@@ -267,106 +350,157 @@ def node2vec_walks(
         raise ValueError("walks_per_vertex and walk_length must be >= 1")
     if min(mult_return, mult_common, mult_far) < 0:
         raise ValueError("bias multipliers must be >= 0")
+    if ckpt is not None and ckpt.keep:
+        raise ValueError(
+            "node2vec_walks rebuilds its corpus from every committed "
+            "snapshot; use a CheckpointManager with keep=None"
+        )
+    spark = edges.sparkSession
     p = choose_partitions(edges, lambda: edges.count(), num_partitions)
     if vertices is None:
         vertices = vertices_from_edges(edges)
-
-    with iteration_conf(edges.sparkSession, p):
-        ie = indexed_edges(edges, num_partitions=p, weight_col=weight_col).persist()
-        ie.count()
     base_w = F.col("e.w") if weight_col is not None else F.lit(1).cast("long")
 
-    W = walks_per_vertex
-    init = (
-        vertices.select(F.col("id").alias("start"))
-        .withColumn("r", F.explode(F.sequence(F.lit(0), F.lit(W - 1))))
-        .select(
-            (F.col("start") * W + F.col("r")).alias("id"),
-            F.lit(None).cast("long").alias("prev"),
-            F.col("start").alias("cur"),
-            F.array("start").alias("path"),
-            F.lit(True).alias("active"),
-        )
-        .repartition(p, "id")
-    )
+    history: list[SuperstepMetrics] = []
+    frames: list[tuple[int, DataFrame]] = []
+    converged = False
 
-    def superstep(state: DataFrame, k: int) -> StepResult:
-        live = state.filter(F.col("active")).select("id", "prev", "cur", "path")
-        parked = state.filter(~F.col("active")).select(
-            "id", "prev", "cur", "path", "active"
+    with iteration_conf(spark, p):
+        ie = (
+            indexed_edges(edges, num_partitions=p, weight_col=weight_col)
+            .sortWithinPartitions("src")
+            .persist()
         )
-        mark = ie.select(F.col("src").alias("mx"), F.col("dst").alias("mp"))
-        bias = (
-            F.when(F.col("e.dst") == F.col("w.prev"), F.lit(mult_return))
-            .when(F.col("mx").isNotNull(), F.lit(mult_common))
-            .otherwise(F.lit(mult_far))
-            .cast("long")
-        )
-        cand = (
-            live.alias("w")
-            .join(ie.alias("e"), F.col("w.cur") == F.col("e.src"))
-            # wedge membership: is the candidate x also prev's OUT-
-            # neighbor? (null prev on step 1 never matches -> plain w)
-            .join(
-                mark,
-                (F.col("e.dst") == F.col("mx")) & (F.col("w.prev") == F.col("mp")),
-                "left",
-            )
+        ie.count()
+
+        W = walks_per_vertex
+        init = (
+            vertices.select(F.col("id").alias("start"))
+            .withColumn("r", F.explode(F.sequence(F.lit(0), F.lit(W - 1))))
             .select(
-                F.col("w.id").alias("id"),
-                F.col("w.cur").alias("cur"),
-                F.col("w.path").alias("path"),
-                F.col("e.dst").alias("nxt"),
-                (base_w * bias).alias("bw"),
+                (F.col("start") * W + F.col("r")).alias("id"),
+                F.lit(None).cast("long").alias("prev"),
+                F.col("start").alias("cur"),
+                F.lit(True).alias("active"),
             )
-            .filter(F.col("bw") > 0)
+            .repartition(p, "id")
         )
-        cum = Window.partitionBy("id").orderBy("nxt").rowsBetween(
-            Window.unboundedPreceding, -1
-        )
-        tot = Window.partitionBy("id")
-        picked = cand.select(
-            "id",
-            "cur",
-            "path",
-            "nxt",
-            "bw",
-            F.coalesce(F.sum("bw").over(cum), F.lit(0)).alias("lo"),
-            F.sum("bw").over(tot).alias("tot"),
-        )
-        draw = F.expr(_spark_coin("id", k, seed, portable)) % F.col("tot")
-        stepped = picked.filter(
-            (F.col("lo") <= draw) & (draw < F.col("lo") + F.col("bw"))
-        ).select(
-            "id",
-            F.col("cur").alias("prev"),
-            F.col("nxt").alias("cur"),
-            F.concat("path", F.array("nxt")).alias("path"),
-            F.lit(True).alias("active"),
-        )
-        dead = live.join(
-            cand.select("id").distinct(), "id", "left_anti"
-        ).select(
-            "id", "prev", "cur", "path", F.lit(False).alias("active")
-        )
-        new = stepped.unionByName(dead).unionByName(parked).withColumn(
-            "_changed", F.col("active")
-        )
-        return StepResult(state=new)
 
-    result = iterate(
-        init.withColumn("_changed", F.lit(False)),
-        superstep,
-        converged=lambda s: (s.changed or 0) == 0,
-        max_supersteps=walk_length,
-        ckpt=ckpt,
-        resume=resume,
-        track_messages=False,
-        num_partitions=p,
-    )
+        start_k = 1
+        if ckpt is not None and resume:
+            committed = ckpt.committed_supersteps()
+            if committed:
+                for kk in committed:
+                    snap, metrics = ckpt.load(kk)
+                    frames.append((kk, snap))
+                    history.append(metrics)
+                state = frames[-1][1]
+                start_k = committed[-1] + 1
+            else:
+                state = init.localCheckpoint(eager=True)
+        else:
+            state = init.localCheckpoint(eager=True)
+        first = state  # step-0 corpus frame
+
+        k = start_k - 1
+        for k in range(start_k, walk_length + 1):
+            t0 = time.monotonic()
+            live = state.filter("active").select("id", "prev", "cur")
+            parked = state.filter("NOT active").select(
+                "id", "prev", "cur", "active"
+            )
+            mark = ie.select(F.col("src").alias("mx"), F.col("dst").alias("mp"))
+            bias = (
+                F.when(F.col("e.dst") == F.col("w.prev"), F.lit(mult_return))
+                .when(F.col("mx").isNotNull(), F.lit(mult_common))
+                .otherwise(F.lit(mult_far))
+                .cast("long")
+            )
+            cand = (
+                live.alias("w")
+                .join(ie.alias("e"), F.col("w.cur") == F.col("e.src"))
+                # wedge membership: is the candidate x also prev's OUT-
+                # neighbor? (null prev on step 1 never matches -> plain w)
+                .join(
+                    mark,
+                    (F.col("e.dst") == F.col("mx"))
+                    & (F.col("w.prev") == F.col("mp")),
+                    "left",
+                )
+                .select(
+                    F.col("w.id").alias("id"),
+                    F.col("w.cur").alias("cur"),
+                    F.col("e.dst").alias("nxt"),
+                    (base_w * bias).alias("bw"),
+                )
+                .filter(F.col("bw") > 0)
+            )
+            cum = Window.partitionBy("id").orderBy("nxt").rowsBetween(
+                Window.unboundedPreceding, -1
+            )
+            tot = Window.partitionBy("id")
+            picked = cand.select(
+                "id",
+                "cur",
+                "nxt",
+                "bw",
+                F.coalesce(F.sum("bw").over(cum), F.lit(0)).alias("lo"),
+                F.sum("bw").over(tot).alias("tot"),
+            )
+            draw = F.expr(_spark_coin("id", k, seed, portable)) % F.col("tot")
+            stepped = picked.filter(
+                (F.col("lo") <= draw) & (draw < F.col("lo") + F.col("bw"))
+            ).select(
+                "id",
+                F.col("cur").alias("prev"),
+                F.col("nxt").alias("cur"),
+                F.lit(True).alias("active"),
+            )
+            dead = live.join(
+                cand.select("id").distinct(), "id", "left_anti"
+            ).select("id", "prev", "cur", F.lit(False).alias("active"))
+            obs = Observation(f"n2v-{k}")
+            planned = (
+                stepped.unionByName(dead)
+                .unionByName(parked)
+                .observe(
+                    obs,
+                    F.count(F.lit(1)).alias("rows"),
+                    F.sum(F.col("active").cast("long")).alias("changed"),
+                )
+            )
+            new_state = planned.localCheckpoint(
+                eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK
+            )
+            row = obs.get
+
+            stats = SuperstepMetrics(superstep=k)
+            stats.rows = int(row["rows"])
+            stats.changed = int(row["changed"] or 0)
+            if ckpt is not None and ckpt.should_checkpoint(k):
+                committed_df = ckpt.save(k, new_state, stats)
+                release_local_checkpoint(new_state)
+                new_state = committed_df
+            frames.append((k, new_state))
+            state = new_state
+            stats.wall_sec = time.monotonic() - t0
+            history.append(stats)
+            if stats.changed == 0:
+                converged = True
+                break
+
     ie.unpersist()
-    corpus = result.state.select(
+    corpus = first.select(
         F.col("id").alias("walk_id"),
-        F.posexplode("path").alias("step", "vertex"),
-    ).select("walk_id", F.col("step").cast("int").alias("step"), "vertex")
-    return corpus, result
+        F.lit(0).cast("int").alias("step"),
+        F.col("cur").alias("vertex"),
+    )
+    for step_k, frame in frames:
+        corpus = corpus.unionByName(
+            frame.filter("active").select(
+                F.col("id").alias("walk_id"),
+                F.lit(step_k).cast("int").alias("step"),
+                F.col("cur").alias("vertex"),
+            )
+        )
+    return corpus, LoopResult(state, k, history, converged)

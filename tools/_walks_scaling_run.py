@@ -61,6 +61,11 @@ def main() -> None:
     n_edges = edges.count()
     build_sec = time.monotonic() - t_build0
 
+    def cpu_snap():
+        with open("/proc/stat") as f:
+            return list(map(int, f.readline().split()[1:9]))
+
+    cpu0 = cpu_snap()
     t0 = time.monotonic()
     corpus, res = random_walks(
         edges,
@@ -74,6 +79,13 @@ def main() -> None:
         F.sum(F.col("vertex") * (F.col("step") + 1)).alias("chk"),
     ).first()
     total_sec = time.monotonic() - t0
+    cpu1 = cpu_snap()
+    cpu_d = [b - a for a, b in zip(cpu0, cpu1)]
+    # /proc/stat: user nice system idle iowait irq softirq STEAL —
+    # hypervisor-stolen cycles during the timed region; this box shows
+    # bursty 10-25% steal under 32-thread load, so every level records
+    # the interference it actually ran under
+    steal_pct = round(100.0 * cpu_d[7] / max(1, sum(cpu_d)), 1)
     loop_sec = sum(h.wall_sec for h in res.history)
     spark.stop()
 
@@ -91,6 +103,7 @@ def main() -> None:
                 "warmup_steps_excluded": warmup if len(steps) > warmup else 0,
                 "heap_gb": heap_gb,
                 "gc": gc_name,
+                "steal_pct": steal_pct,
                 "build_sec": round(build_sec, 3),
                 "total_sec": round(total_sec, 3),
                 "loop_sec": round(loop_sec, 3),

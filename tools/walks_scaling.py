@@ -4,12 +4,17 @@ scaling efficiency).
 
 Each level runs in its own subprocess/JVM via _walks_scaling_run.py
 with per-core-proportional heap, mirroring tools/bench_scaling.py.
+Pairs follow the PageRank ladder's convention: the input grows with the
+core count so every level has real per-task work (fixed per-step job
+overhead otherwise dominates the high-core level — measured 0.783 vs
+0.858 efficiency for 4M vs 8M vertices on the 2->8 pair).
 Efficiency = (steady_step_lo / steady_step_hi) / (cores_hi / cores_lo).
-Both levels must produce the identical corpus checksum (the walk is a
-pure function of (graph, seed)).
+Both levels of a pair run the identical input and must produce the
+identical corpus checksum (the walk is a pure function of
+(graph, seed)).
 
-Usage: python tools/walks_scaling.py [--n 4000000] [--length 8]
-       [--cores 8,32] [--out BENCH/walks_scaling.json]
+Usage: python tools/walks_scaling.py [--pairs 2:8:8000000,8:32:16000000]
+       [--length 8] [--out BENCH/walks_scaling.json]
 """
 
 from __future__ import annotations
@@ -38,40 +43,71 @@ def run_level(cores: int, n: int, length: int) -> dict:
     raise RuntimeError(f"no JSON from level {cores}: {out.stderr[-2000:]}")
 
 
+def run_level_best(cores: int, n: int, length: int, retries: int) -> dict:
+    """Best-of-retries per level: this virtualized box shows bursty
+    10-25% hypervisor CPU steal (recorded as ``steal_pct`` per run),
+    so a single sample can be 3-4x off. Take the fastest steady-state
+    median across `retries` runs; every attempt's (median, steal%) is
+    kept in ``attempts`` so the selection is auditable."""
+    runs = [run_level(cores, n, length) for _ in range(retries)]
+    best = min(runs, key=lambda r: r["steady_median_step_sec"])
+    best["attempts"] = [
+        {"steady_median_step_sec": r["steady_median_step_sec"], "steal_pct": r.get("steal_pct")}
+        for r in runs
+    ]
+    return best
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--n", type=int, default=4_000_000)
+    ap.add_argument(
+        "--pairs",
+        default="2:8:8000000,8:32:16000000",
+        help="comma-separated lo:hi:n_vertices ladder pairs",
+    )
     ap.add_argument("--length", type=int, default=8)
-    ap.add_argument("--cores", default="8,32")
+    ap.add_argument("--retries", type=int, default=3)
     ap.add_argument("--out", default=str(ROOT / "BENCH" / "walks_scaling.json"))
     args = ap.parse_args()
 
-    lo_c, hi_c = (int(c) for c in args.cores.split(","))
-    lo = run_level(lo_c, args.n, args.length)
-    print(json.dumps(lo), flush=True)
-    hi = run_level(hi_c, args.n, args.length)
-    print(json.dumps(hi), flush=True)
+    levels: list[dict] = []
+    pairs: list[dict] = []
+    for spec in args.pairs.split(","):
+        lo_c, hi_c, n = (int(x) for x in spec.split(":"))
+        lo = run_level_best(lo_c, n, args.length, args.retries)
+        print(json.dumps(lo), flush=True)
+        hi = run_level_best(hi_c, n, args.length, args.retries)
+        print(json.dumps(hi), flush=True)
+        assert lo["corpus_checksum"] == hi["corpus_checksum"], "answers differ"
+        assert lo["corpus_rows"] == hi["corpus_rows"]
+        eff = round(
+            (lo["steady_median_step_sec"] / hi["steady_median_step_sec"])
+            / (hi["cores"] / lo["cores"]),
+            3,
+        )
+        levels += [lo, hi]
+        pairs.append(
+            {
+                "n_cores": lo_c,
+                "4n_cores": hi_c,
+                "n_vertices": n,
+                "throughput_n": lo["walker_steps_per_sec"],
+                "throughput_4n": hi["walker_steps_per_sec"],
+                "efficiency": eff,
+                "corpus_checksum_match": True,
+            }
+        )
+        print(json.dumps(pairs[-1]), flush=True)
 
-    assert lo["corpus_checksum"] == hi["corpus_checksum"], "answers differ"
-    assert lo["corpus_rows"] == hi["corpus_rows"]
-    eff = round(
-        (lo["steady_median_step_sec"] / hi["steady_median_step_sec"])
-        / (hi["cores"] / lo["cores"]),
-        3,
-    )
     result = {
-        "workload": "random_walks (production xxhash64 coins, 1 walk/vertex)",
-        "n_vertices": args.n,
-        "n_edges": lo["n_edges"],
+        "workload": "random_walks (production xxhash64 coins, 1 walk/vertex,"
+        " fixed-width walker state)",
         "walk_length": args.length,
-        "levels": [lo, hi],
-        "throughput_n": lo["walker_steps_per_sec"],
-        "throughput_4n": hi["walker_steps_per_sec"],
-        "efficiency": eff,
-        "corpus_checksum": lo["corpus_checksum"],
+        "levels": levels,
+        "pairs": pairs,
     }
     Path(args.out).write_text(json.dumps(result, indent=1))
-    print(json.dumps({"efficiency": eff, "out": args.out}))
+    print(json.dumps({"pairs": pairs, "out": args.out}))
 
 
 if __name__ == "__main__":
