@@ -439,6 +439,25 @@ def _q_anf(spark, sf):
     return out
 
 
+def _q_harmonic(spark, sf):
+    """HyperBall-style harmonic centrality: per-vertex 1/h-weighted
+    ball-size deltas riding the same FM sketch loop as the
+    neighborhood function. harmonic_units is the integer-exact
+    LCM-scaled accumulator (the hash anchor); harmonic_est the
+    rescaled float."""
+    from linkgraph.algorithms.anf import harmonic_centrality
+
+    edges = document_edges(spark, sf)
+    out, _ = harmonic_centrality(
+        edges,
+        num_maps=ANF_MAPS,
+        max_h=ANF_MAX_H,
+        vertices=document_vertices(spark, sf),
+        portable=True,
+    )
+    return out
+
+
 def _q_ktruss(spark, sf):
     """k-truss edge set + within-truss support by iterative
     triangle-support peeling (edge-relation state); unrolled
@@ -1113,6 +1132,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcore_membership": _q_kcore,
         "ktruss_edges": _q_ktruss,
         "neighborhood_function": _q_anf,
+        "harmonic_centrality": _q_harmonic,
         "reachability": _q_reachability,
         "exact_dedup": _q_exact_dedup,
         "token_count": _q_token_count,
@@ -1414,6 +1434,71 @@ def _anf_sql(num_maps: int, max_h: int, seed: int = 42) -> str:
         )
         sel_r.append(f"SELECT * FROM r{h}")
     return "WITH " + ",\n".join(ctes) + "\n" + " UNION ALL ".join(sel_r)
+
+
+def _harmonic_sql(num_maps: int, max_h: int, seed: int = 42) -> str:
+    """Unrolled HyperBall harmonic-centrality oracle: the _anf_sql
+    sketch-union passes, plus a per-vertex est-units CTE at every
+    depth; harmonic_units = sum over h of (eu_h - eu_{h-1}) * LCM/h.
+    The engine's early stop is exact (zero deltas once sketches are
+    stable), so the full unroll here matches it bit for bit."""
+    import math
+
+    from linkgraph.algorithms.anf import FM_PHI, _rank_sql, _tz_sql
+    from linkgraph.phash import md5_digits_sql
+
+    K = num_maps
+    lcm = math.lcm(*range(1, max_h + 1))
+    hx_cols = ", ".join(
+        f"md5('anf:{seed}:{i}:' || CAST(id AS VARCHAR)) AS hx{i}"
+        for i in range(K)
+    )
+    init_cols = ", ".join(
+        "(CAST(1 AS BIGINT) << LEAST({tz}, 62)) AS s{i}".format(
+            tz=_tz_sql(md5_digits_sql(f"hx{i}", 15)), i=i
+        )
+        for i in range(K)
+    )
+    rank_sum = " + ".join(f"({_rank_sql(f's{i}')})" for i in range(K))
+    est_units = (
+        f"CAST(ROUND((POW(CAST(2 AS DOUBLE), ({rank_sum}) / CAST({K} AS DOUBLE))"
+        f" / {FM_PHI!r}) * 1000000.0, 0) AS BIGINT)"
+    )
+    ctes = [
+        EDGES_CTES.strip(),
+        SYM_CTE.strip(),
+        f"hx AS (SELECT doc_id AS id, {hx_cols} FROM documents)",
+        f"b0 AS MATERIALIZED (SELECT id, {init_cols} FROM hx)",
+        f"u0 AS (SELECT id, {est_units} AS eu FROM b0)",
+    ]
+    for h in range(1, max_h + 1):
+        ors = ", ".join(f"BIT_OR(b.s{i}) AS m{i}" for i in range(K))
+        merged = ", ".join(
+            f"v.s{i} | COALESCE(m.m{i}, CAST(0 AS BIGINT)) AS s{i}"
+            for i in range(K)
+        )
+        ctes.append(
+            f"m{h} AS (SELECT e.dst AS id, {ors} FROM sym e"
+            f" JOIN b{h-1} b ON b.id = e.src GROUP BY e.dst)"
+        )
+        ctes.append(
+            f"b{h} AS MATERIALIZED (SELECT v.id, {merged}"
+            f" FROM b{h-1} v LEFT JOIN m{h} m ON m.id = v.id)"
+        )
+        ctes.append(f"u{h} AS (SELECT id, {est_units} AS eu FROM b{h})")
+    delta_sum = " + ".join(
+        f"(u{h}.eu - u{h-1}.eu) * CAST({lcm // h} AS BIGINT)"
+        for h in range(1, max_h + 1)
+    )
+    joins = " ".join(
+        f"JOIN u{h} ON u{h}.id = u0.id" for h in range(1, max_h + 1)
+    )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT u0.id, CAST({delta_sum} AS BIGINT) AS harmonic_units,"
+        f" CAST({delta_sum} AS DOUBLE) / ({lcm}.0 * 1000000.0)"
+        f" AS harmonic_est FROM u0 {joins}"
+    )
 
 
 def _ktruss_sql(k: int, passes: int) -> str:
@@ -2050,6 +2135,7 @@ def oracle_sql() -> dict[str, str]:
         "kcore_membership": _kcore_sql(KCORE_K, KCORE_PASSES),
         "ktruss_edges": _ktruss_sql(KTRUSS_K, KTRUSS_PASSES),
         "neighborhood_function": _anf_sql(ANF_MAPS, ANF_MAX_H),
+        "harmonic_centrality": _harmonic_sql(ANF_MAPS, ANF_MAX_H),
         "reachability": (
             "WITH RECURSIVE "
             + EDGES_CTES.strip()

@@ -385,6 +385,9 @@ def harmonic_centrality(
     out = state.selectExpr(
         "id",
         "hc AS harmonic_units",
-        f"ROUND(CAST(hc AS DOUBLE) / ({lcm}.0 * 1000000.0), 6) AS harmonic_est",
+        # no ROUND: integer units / exact power-of-ten constant is a
+        # single correctly-rounded IEEE division, bit-identical across
+        # engines, whereas ROUND(...,6) half-way ties disagree
+        f"CAST(hc AS DOUBLE) / ({lcm}.0 * 1000000.0) AS harmonic_est",
     )
     return out, LoopResult(state, supersteps, history, converged)
