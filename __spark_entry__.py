@@ -458,6 +458,24 @@ def _q_harmonic(spark, sf):
     return out
 
 
+def _q_closeness(spark, sf):
+    """HyperBall closeness centrality: h-weighted and unweighted
+    ball-delta accumulators riding the same FM sketch loop; closeness
+    = reachable/dist_sum (1/avg distance, finite on disconnected
+    graphs)."""
+    from linkgraph.algorithms.anf import closeness_centrality
+
+    edges = document_edges(spark, sf)
+    out, _ = closeness_centrality(
+        edges,
+        num_maps=ANF_MAPS,
+        max_h=ANF_MAX_H,
+        vertices=document_vertices(spark, sf),
+        portable=True,
+    )
+    return out
+
+
 def _q_ktruss(spark, sf):
     """k-truss edge set + within-truss support by iterative
     triangle-support peeling (edge-relation state); unrolled
@@ -1133,6 +1151,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ktruss_edges": _q_ktruss,
         "neighborhood_function": _q_anf,
         "harmonic_centrality": _q_harmonic,
+        "closeness_centrality": _q_closeness,
         "reachability": _q_reachability,
         "exact_dedup": _q_exact_dedup,
         "token_count": _q_token_count,
@@ -1436,19 +1455,16 @@ def _anf_sql(num_maps: int, max_h: int, seed: int = 42) -> str:
     return "WITH " + ",\n".join(ctes) + "\n" + " UNION ALL ".join(sel_r)
 
 
-def _harmonic_sql(num_maps: int, max_h: int, seed: int = 42) -> str:
-    """Unrolled HyperBall harmonic-centrality oracle: the _anf_sql
-    sketch-union passes, plus a per-vertex est-units CTE at every
-    depth; harmonic_units = sum over h of (eu_h - eu_{h-1}) * LCM/h.
-    The engine's early stop is exact (zero deltas once sketches are
-    stable), so the full unroll here matches it bit for bit."""
-    import math
-
+def _ball_ctes(num_maps: int, max_h: int, seed: int = 42) -> list[str]:
+    """Shared CTE stack for HyperBall centrality oracles: the _anf_sql
+    md5-seeded FM sketch-union passes (b0..b{max_h}), plus a per-vertex
+    est-units CTE u{h} at every depth. The engine's early stop is exact
+    (zero deltas once sketches are stable), so full unrolls over these
+    CTEs match the Spark loop bit for bit."""
     from linkgraph.algorithms.anf import FM_PHI, _rank_sql, _tz_sql
     from linkgraph.phash import md5_digits_sql
 
     K = num_maps
-    lcm = math.lcm(*range(1, max_h + 1))
     hx_cols = ", ".join(
         f"md5('anf:{seed}:{i}:' || CAST(id AS VARCHAR)) AS hx{i}"
         for i in range(K)
@@ -1486,18 +1502,49 @@ def _harmonic_sql(num_maps: int, max_h: int, seed: int = 42) -> str:
             f" FROM b{h-1} v LEFT JOIN m{h} m ON m.id = v.id)"
         )
         ctes.append(f"u{h} AS (SELECT id, {est_units} AS eu FROM b{h})")
-    delta_sum = " + ".join(
-        f"(u{h}.eu - u{h-1}.eu) * CAST({lcm // h} AS BIGINT)"
+    return ctes
+
+
+def _ball_delta_sum(max_h: int, weights: list[int]) -> str:
+    return " + ".join(
+        f"(u{h}.eu - u{h-1}.eu) * CAST({weights[h - 1]} AS BIGINT)"
         for h in range(1, max_h + 1)
     )
-    joins = " ".join(
-        f"JOIN u{h} ON u{h}.id = u0.id" for h in range(1, max_h + 1)
-    )
+
+
+def _ball_joins(max_h: int) -> str:
+    return " ".join(f"JOIN u{h} ON u{h}.id = u0.id" for h in range(1, max_h + 1))
+
+
+def _harmonic_sql(num_maps: int, max_h: int, seed: int = 42) -> str:
+    """Unrolled HyperBall harmonic-centrality oracle over _ball_ctes:
+    harmonic_units = sum over h of (eu_h - eu_{h-1}) * LCM/h."""
+    import math
+
+    lcm = math.lcm(*range(1, max_h + 1))
+    delta_sum = _ball_delta_sum(max_h, [lcm // h for h in range(1, max_h + 1)])
     return (
-        "WITH " + ",\n".join(ctes)
+        "WITH " + ",\n".join(_ball_ctes(num_maps, max_h, seed))
         + f"\nSELECT u0.id, CAST({delta_sum} AS BIGINT) AS harmonic_units,"
         f" CAST({delta_sum} AS DOUBLE) / ({lcm}.0 * 1000000.0)"
-        f" AS harmonic_est FROM u0 {joins}"
+        f" AS harmonic_est FROM u0 {_ball_joins(max_h)}"
+    )
+
+
+def _closeness_sql(num_maps: int, max_h: int, seed: int = 42) -> str:
+    """Unrolled HyperBall closeness oracle over _ball_ctes:
+    dist_sum_units = sum of h-weighted ball deltas, reachable_units =
+    sum of unweighted deltas, closeness_est = one BIGINT/BIGINT IEEE
+    division (0.0 for isolated vertices)."""
+    ds = _ball_delta_sum(max_h, list(range(1, max_h + 1)))
+    du = _ball_delta_sum(max_h, [1] * max_h)
+    return (
+        "WITH " + ",\n".join(_ball_ctes(num_maps, max_h, seed))
+        + f"\nSELECT u0.id, CAST({ds} AS BIGINT) AS dist_sum_units,"
+        f" CAST({du} AS BIGINT) AS reachable_units,"
+        f" CASE WHEN ({ds}) > 0 THEN CAST({du} AS DOUBLE) / CAST({ds} AS DOUBLE)"
+        f" ELSE CAST(0.0 AS DOUBLE) END AS closeness_est"
+        f" FROM u0 {_ball_joins(max_h)}"
     )
 
 
@@ -2136,6 +2183,7 @@ def oracle_sql() -> dict[str, str]:
         "ktruss_edges": _ktruss_sql(KTRUSS_K, KTRUSS_PASSES),
         "neighborhood_function": _anf_sql(ANF_MAPS, ANF_MAX_H),
         "harmonic_centrality": _harmonic_sql(ANF_MAPS, ANF_MAX_H),
+        "closeness_centrality": _closeness_sql(ANF_MAPS, ANF_MAX_H),
         "reachability": (
             "WITH RECURSIVE "
             + EDGES_CTES.strip()

@@ -30,7 +30,9 @@ from .algorithms import (
     common_neighbor_scores,
     clustering_coefficients,
     ktruss,
+    closeness_centrality,
     effective_diameter,
+    harmonic_centrality,
     neighborhood_function,
     transitivity,
     triangle_counts,
@@ -83,7 +85,9 @@ __all__ = [
     "common_neighbor_scores",
     "clustering_coefficients",
     "ktruss",
+    "closeness_centrality",
     "effective_diameter",
+    "harmonic_centrality",
     "neighborhood_function",
     "transitivity",
     "triangle_counts",

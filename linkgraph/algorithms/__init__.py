@@ -2,7 +2,12 @@ from .pagerank import pagerank
 from .cc import connected_components, connected_components_hashmin
 from .lpa import label_propagation
 from .linkpred import common_neighbor_scores
-from .anf import effective_diameter, neighborhood_function
+from .anf import (
+    closeness_centrality,
+    effective_diameter,
+    harmonic_centrality,
+    neighborhood_function,
+)
 from .ktruss import ktruss
 from .triangles import clustering_coefficients, transitivity, triangle_counts, triangle_total
 from .scc import strongly_connected_components  # noqa: F401
@@ -29,7 +34,9 @@ __all__ = [
     "common_neighbor_scores",
     "clustering_coefficients",
     "ktruss",
+    "closeness_centrality",
     "effective_diameter",
+    "harmonic_centrality",
     "neighborhood_function",
     "transitivity",
     "triangle_counts",

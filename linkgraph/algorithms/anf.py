@@ -242,53 +242,42 @@ def effective_diameter(
     return float(rows[-1][0])
 
 
-def harmonic_centrality(
+def _ball_delta_loop(
     edges: DataFrame,
-    num_maps: int = 16,
-    max_h: int = 8,
-    vertices: DataFrame | None = None,
-    num_partitions: int | None = None,
-    symmetrize_edges: bool = True,
-    portable: bool = False,
-    seed: int = 42,
+    num_maps: int,
+    max_h: int,
+    vertices: DataFrame | None,
+    num_partitions: int | None,
+    symmetrize_edges: bool,
+    portable: bool,
+    seed: int,
+    acc_weights: dict[str, list[int]],
 ) -> tuple[DataFrame, LoopResult]:
-    """HyperBall-style harmonic centrality (Boldi-Vigna, "In-Core
-    Computation of Geometric Centralities with HyperBall"):
+    """Shared HyperBall loop (Boldi-Vigna): FM sketch unions with
+    integer-exact per-depth ball-delta accumulators.
 
-        H(v) = sum over u != v of 1 / d(v, u)
-             ~= sum over h of (|B_h(v)| - |B_{h-1}(v)|) / h
+    ``acc_weights`` maps an accumulator column name to its per-depth
+    integer weights ``[w_1 .. w_max_h]``; after depth h the column has
+    added ``(eu_h - eu_{h-1}) * w_h`` where ``eu`` is the per-vertex
+    FM ball-size estimate in micro-units (BIGINT). Every addend is an
+    exact integer, so the early-stopped fixpoint (no sketch changed ->
+    all remaining deltas zero) equals the full max_h unroll bit for
+    bit — which is what lets one unrolled SQL oracle check any
+    centrality built on this loop.
 
-    estimated from the same per-vertex FM sketches as
-    :func:`neighborhood_function` — the per-depth ball-size DELTAS,
-    weighted 1/h, accumulate per vertex while the sketch union loop
-    runs. Centrality of the whole graph costs exactly the ANF loop:
-    K longs of state per vertex, one bit_or exchange per depth — the
-    web-scale alternative to all-pairs BFS.
-
-    Integer-exact accumulation (what makes this oracle-checkable): the
-    per-vertex ball estimate is kept in micro-units (BIGINT), and the
-    1/h weights are scaled by LCM(1..max_h) so every addend is an exact
-    integer. ``harmonic_units`` = sum of (delta_units * LCM/h);
-    ``harmonic_est`` = harmonic_units / (LCM * 1e6). A vertex whose
-    sketches stop changing contributes zero for the remaining depths,
-    so the early-stopped fixpoint equals the full unroll exactly.
-
-    Returns (DF(id, harmonic_units BIGINT, harmonic_est DOUBLE),
-    LoopResult). Directed mode (``symmetrize_edges=False``): sketches
-    union along OUT-edges, so B_h(v) collects vertices u with
-    d(u, v) <= h and H estimates in-harmonic centrality (1/d(u, v)
-    summed over sources u) — the transpose convention of HyperBall.
+    Returns (state DF(id, <acc cols BIGINT>, eu), LoopResult). Cost:
+    K longs of sketch state per vertex, one scatter + one bit_or
+    combine exchange per depth, max_h depths — the web-scale
+    alternative to all-pairs BFS.
     """
-    import math
-
     K = num_maps
-    lcm = math.lcm(*range(1, max_h + 1))
     spark = edges.sparkSession
     scale = 2 if symmetrize_edges else 1
     p = choose_partitions(edges, lambda: scale * edges.count(), num_partitions)
     if vertices is None:
         vertices = vertices_from_edges(edges)
     verts = vertices.select("id").repartition(p, "id")
+    accs = list(acc_weights)
 
     e = symmetrize(edges) if symmetrize_edges else edges.select("src", "dst")
     with iteration_conf(spark, p):
@@ -305,7 +294,12 @@ def harmonic_centrality(
         init = verts.selectExpr(
             "id",
             *[f"{anf_init_bit_sql(i, seed, portable)} AS s{i}" for i in range(K)],
-        ).selectExpr("id", *s_cols, f"{est_units} AS eu", "CAST(0 AS BIGINT) AS hc")
+        ).selectExpr(
+            "id",
+            *s_cols,
+            f"{est_units} AS eu",
+            *[f"CAST(0 AS BIGINT) AS {a}" for a in accs],
+        )
 
         state = init.localCheckpoint(eager=True)
         history: list[SuperstepMetrics] = []
@@ -333,7 +327,7 @@ def harmonic_centrality(
                     "id",
                     *merged_cols,
                     "eu",
-                    "hc",
+                    *accs,
                     f"CAST({sketch_changed} AS BIGINT) AS _sk_changed",
                 )
                 .selectExpr(
@@ -341,18 +335,22 @@ def harmonic_centrality(
                     *s_cols,
                     f"{est_units} AS _eu_new",
                     "eu",
-                    "hc",
+                    *accs,
                     "_sk_changed",
                 )
                 .selectExpr(
                     "id",
                     *s_cols,
                     "_eu_new AS eu",
-                    f"hc + (_eu_new - eu) * CAST({lcm // h} AS BIGINT) AS hc",
+                    *[
+                        f"{a} + (_eu_new - eu)"
+                        f" * CAST({acc_weights[a][h - 1]} AS BIGINT) AS {a}"
+                        for a in accs
+                    ],
                     "_sk_changed",
                 )
             )
-            obs = Observation(f"hc-{h}")
+            obs = Observation(f"ball-{h}")
             nxt = (
                 new.observe(
                     obs,
@@ -382,12 +380,109 @@ def harmonic_centrality(
             converged = True
 
     adj.unpersist()
+    return state, LoopResult(state, supersteps, history, converged)
+
+
+def harmonic_centrality(
+    edges: DataFrame,
+    num_maps: int = 16,
+    max_h: int = 8,
+    vertices: DataFrame | None = None,
+    num_partitions: int | None = None,
+    symmetrize_edges: bool = True,
+    portable: bool = False,
+    seed: int = 42,
+) -> tuple[DataFrame, LoopResult]:
+    """HyperBall-style harmonic centrality (Boldi-Vigna, "In-Core
+    Computation of Geometric Centralities with HyperBall"):
+
+        H(v) = sum over u != v of 1 / d(v, u)
+             ~= sum over h of (|B_h(v)| - |B_{h-1}(v)|) / h
+
+    estimated from the per-depth ball-size DELTAS of the shared
+    :func:`_ball_delta_loop` FM sketch union. The 1/h weights are
+    scaled by LCM(1..max_h) so every addend is an exact integer:
+    ``harmonic_units`` = sum of (delta_units * LCM/h);
+    ``harmonic_est`` = harmonic_units / (LCM * 1e6) — one
+    correctly-rounded IEEE division, bit-identical across engines.
+
+    Returns (DF(id, harmonic_units BIGINT, harmonic_est DOUBLE),
+    LoopResult). Directed mode (``symmetrize_edges=False``): sketches
+    union along OUT-edges, so B_h(v) collects vertices u with
+    d(u, v) <= h and H estimates in-harmonic centrality (1/d(u, v)
+    summed over sources u) — the transpose convention of HyperBall.
+    """
+    import math
+
+    lcm = math.lcm(*range(1, max_h + 1))
+    state, res = _ball_delta_loop(
+        edges,
+        num_maps,
+        max_h,
+        vertices,
+        num_partitions,
+        symmetrize_edges,
+        portable,
+        seed,
+        acc_weights={"hc": [lcm // h for h in range(1, max_h + 1)]},
+    )
     out = state.selectExpr(
         "id",
         "hc AS harmonic_units",
-        # no ROUND: integer units / exact power-of-ten constant is a
-        # single correctly-rounded IEEE division, bit-identical across
-        # engines, whereas ROUND(...,6) half-way ties disagree
         f"CAST(hc AS DOUBLE) / ({lcm}.0 * 1000000.0) AS harmonic_est",
     )
-    return out, LoopResult(state, supersteps, history, converged)
+    return out, res
+
+
+def closeness_centrality(
+    edges: DataFrame,
+    num_maps: int = 16,
+    max_h: int = 8,
+    vertices: DataFrame | None = None,
+    num_partitions: int | None = None,
+    symmetrize_edges: bool = True,
+    portable: bool = False,
+    seed: int = 42,
+) -> tuple[DataFrame, LoopResult]:
+    """HyperBall-style closeness centrality: for each vertex,
+
+        dist_sum(v)  = sum over reachable u != v of d(v, u)
+                     ~= sum over h of h * (|B_h(v)| - |B_{h-1}(v)|)
+        reachable(v) = |B_max_h(v)| - |B_0(v)|   (others in the ball)
+        closeness    = reachable / dist_sum      (1 / average distance)
+
+    — the within-component ("Lin-style") convention, which stays
+    finite on disconnected web graphs where classic (n-1)/dist_sum
+    does not. Same cost as :func:`harmonic_centrality`: the two
+    integer accumulators (h-weighted and 1-weighted ball deltas) ride
+    one FM sketch loop, so centrality of every vertex costs max_h
+    bit_or exchanges total.
+
+    All columns are integer micro-units except ``closeness_est``,
+    which is one IEEE division of two BIGINTs (bit-identical across
+    engines; 0.0 for isolated vertices). Returns (DF(id,
+    dist_sum_units BIGINT, reachable_units BIGINT, closeness_est
+    DOUBLE), LoopResult).
+    """
+    state, res = _ball_delta_loop(
+        edges,
+        num_maps,
+        max_h,
+        vertices,
+        num_partitions,
+        symmetrize_edges,
+        portable,
+        seed,
+        acc_weights={
+            "ds": list(range(1, max_h + 1)),
+            "du": [1] * max_h,
+        },
+    )
+    out = state.selectExpr(
+        "id",
+        "ds AS dist_sum_units",
+        "du AS reachable_units",
+        "CASE WHEN ds > 0 THEN CAST(du AS DOUBLE) / CAST(ds AS DOUBLE)"
+        " ELSE CAST(0.0 AS DOUBLE) END AS closeness_est",
+    )
+    return out, res

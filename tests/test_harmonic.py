@@ -1,12 +1,16 @@
-"""Harmonic centrality from FM sketches (algorithms/anf.py): the
-per-vertex integer accumulator matches an exact Python replay of the
-sketch evolution, and estimates track exact harmonic centrality."""
+"""Harmonic and closeness centrality from FM sketches (algorithms/
+anf.py): the per-vertex integer accumulators match an exact Python
+replay of the sketch evolution, and estimates track exact values."""
 
 import hashlib
 import math
 from collections import deque
 
-from linkgraph.algorithms.anf import FM_PHI, harmonic_centrality
+from linkgraph.algorithms.anf import (
+    FM_PHI,
+    closeness_centrality,
+    harmonic_centrality,
+)
 
 SEED = 42
 
@@ -133,3 +137,77 @@ class TestHarmonicCentrality:
         rows = out.collect()
         assert len(rows) == 3
         assert all(r["harmonic_units"] >= 0 for r in rows)
+
+
+def _sim_closeness(edges, vertices, K, max_h, seed):
+    """Exact replay of the closeness accumulators over the same
+    simulated sketch evolution as _sim_harmonic."""
+    nbrs = {v: set() for v in vertices}
+    for s, d in edges:
+        if s != d:
+            nbrs[s].add(d)
+            nbrs[d].add(s)
+    sk = {v: [_init_bit(v, i, seed) for i in range(K)] for v in vertices}
+    eu = {v: _est_units(sk[v], K) for v in vertices}
+    ds = {v: 0 for v in vertices}
+    du = {v: 0 for v in vertices}
+    for h in range(1, max_h + 1):
+        sk = {
+            v: [sk[v][i] | eval_or(nbrs[v], sk, i) for i in range(K)]
+            for v in vertices
+        }
+        for v in vertices:
+            e2 = _est_units(sk[v], K)
+            ds[v] += (e2 - eu[v]) * h
+            du[v] += e2 - eu[v]
+            eu[v] = e2
+    return ds, du
+
+
+class TestClosenessCentrality:
+    def test_matches_exact_sketch_replay(self, spark):
+        import random
+
+        rng = random.Random(11)
+        edges = list({(rng.randrange(40), rng.randrange(40)) for _ in range(70)})
+        verts = sorted({v for e in edges for v in e})
+        e = spark.createDataFrame(edges, "src long, dst long")
+        out, _ = closeness_centrality(e, num_maps=8, max_h=5, portable=True, seed=SEED)
+        rows = {r["id"]: r for r in out.collect()}
+        ds, du = _sim_closeness(edges, verts, 8, 5, SEED)
+        assert {v: rows[v]["dist_sum_units"] for v in verts} == ds
+        assert {v: rows[v]["reachable_units"] for v in verts} == du
+        for v in verts:
+            want = du[v] / ds[v] if ds[v] > 0 else 0.0
+            assert rows[v]["closeness_est"] == want
+
+    def test_estimates_track_exact_closeness(self, spark):
+        import random
+
+        rng = random.Random(29)
+        edges = list({(rng.randrange(50), rng.randrange(50)) for _ in range(130)})
+        verts = sorted({v for e in edges for v in e})
+        e = spark.createDataFrame(edges, "src long, dst long")
+        out, _ = closeness_centrality(e, num_maps=64, max_h=6, portable=True)
+        got = {r["id"]: r["closeness_est"] for r in out.collect()}
+        # exact 1/avg-distance over each vertex's reachable set
+        nbrs = {v: set() for v in verts}
+        for s, d in edges:
+            if s != d:
+                nbrs[s].add(d)
+                nbrs[d].add(s)
+        bad = 0
+        for v in verts:
+            dist = {v: 0}
+            q = deque([v])
+            while q:
+                u = q.popleft()
+                for w in nbrs[u]:
+                    if w not in dist:
+                        dist[w] = dist[u] + 1
+                        q.append(w)
+            dsum = sum(d for u, d in dist.items() if u != v)
+            exact = (len(dist) - 1) / dsum if dsum else 0.0
+            if exact and abs(got[v] - exact) / exact > 0.2:
+                bad += 1
+        assert bad <= len(verts) // 10
