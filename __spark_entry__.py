@@ -63,6 +63,10 @@ LINKPRED_MIN_COMMON = 3  # link prediction: >=3 shared neighbors
 LINKPRED_MAX_CENTER_DEG = 10_000
 PPR_UPDATES = 6
 PPR_SOURCES = [0, 7]  # teleport seed set for personalized PageRank
+BETW_SOURCES = [0, 7, 13]  # Brandes sample for source-sampled betweenness
+# unrolled forward/backward BFS passes in the betweenness oracle; the
+# sf0.01 doc graph's BFS depth is ~6, +slack (loud failure if exceeded)
+BETW_DEPTH = 10
 HITS_ITERS = 10
 KCORE_K = 6
 # unrolled oracle peel passes; the sf0.01 cascade at k=6 is 20 deep
@@ -455,6 +459,29 @@ def _q_harmonic(spark, sf):
         vertices=document_vertices(spark, sf),
         portable=True,
     )
+    return out
+
+
+def _q_betweenness(spark, sf):
+    """Source-sampled Brandes betweenness from BETW_SOURCES: forward
+    shortest-path-DAG supersteps + integer micro-unit dependency
+    accumulation (per-term quantization keeps every SUM
+    order-independent). Loud failure if the BFS outruns the unrolled
+    oracle's BETW_DEPTH passes — same rule as KCORE_PASSES."""
+    from linkgraph.algorithms.betweenness import betweenness_centrality
+
+    edges = document_edges(spark, sf)
+    out, res = betweenness_centrality(
+        edges,
+        BETW_SOURCES,
+        max_depth=BETW_DEPTH,
+        vertices=document_vertices(spark, sf),
+    )
+    if not res.converged:
+        raise AssertionError(
+            f"betweenness BFS truncated at {BETW_DEPTH} levels —"
+            " raise BETW_DEPTH"
+        )
     return out
 
 
@@ -1152,6 +1179,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neighborhood_function": _q_anf,
         "harmonic_centrality": _q_harmonic,
         "closeness_centrality": _q_closeness,
+        "betweenness_centrality": _q_betweenness,
         "reachability": _q_reachability,
         "exact_dedup": _q_exact_dedup,
         "token_count": _q_token_count,
@@ -1528,6 +1556,73 @@ def _harmonic_sql(num_maps: int, max_h: int, seed: int = 42) -> str:
         + f"\nSELECT u0.id, CAST({delta_sum} AS BIGINT) AS harmonic_units,"
         f" CAST({delta_sum} AS DOUBLE) / ({lcm}.0 * 1000000.0)"
         f" AS harmonic_est FROM u0 {_ball_joins(max_h)}"
+    )
+
+
+def _betweenness_sql(sources: list[int], depth: int) -> str:
+    """Unrolled Brandes oracle: forward BFS levels l1..l{depth} with
+    sigma path counts (anti-join against the accumulated DAG g{d}),
+    then backward dependency levels d{depth}..d0 with the engine's
+    per-term micro-unit quantization. Levels past the true BFS depth
+    are empty, so the fixed unroll equals the engine's early stop."""
+    UNIT = 1_000_000
+    src_rows = ", ".join(f"(CAST({s} AS BIGINT))" for s in sources)
+    ctes = [
+        EDGES_CTES.strip(),
+        SYM_CTE.strip(),
+        f"srcs(s) AS (VALUES {src_rows})",
+        "l0 AS (SELECT s, s AS v, 0 AS dist, CAST(1 AS BIGINT) AS sigma"
+        " FROM srcs)",
+        "g0 AS (SELECT s, v FROM l0)",
+    ]
+    for d in range(1, depth + 1):
+        ctes.append(
+            f"c{d} AS (SELECT l.s, e.dst AS v,"
+            f" CAST(SUM(l.sigma) AS BIGINT) AS sigma"
+            f" FROM l{d-1} l JOIN sym e ON e.src = l.v GROUP BY l.s, e.dst)"
+        )
+        ctes.append(
+            f"l{d} AS MATERIALIZED (SELECT c.s, c.v, {d} AS dist, c.sigma"
+            f" FROM c{d} c LEFT JOIN g{d-1} g ON g.s = c.s AND g.v = c.v"
+            f" WHERE g.v IS NULL)"
+        )
+        ctes.append(
+            f"g{d} AS MATERIALIZED (SELECT s, v FROM g{d-1}"
+            f" UNION ALL SELECT s, v FROM l{d})"
+        )
+    ctes.append(
+        f"d{depth} AS (SELECT s, v, sigma, CAST(0 AS BIGINT) AS du"
+        f" FROM l{depth})"
+    )
+    term = (
+        f"CAST(ROUND(CAST(u.sigma AS DOUBLE) * CAST({UNIT} + w.du AS DOUBLE)"
+        " / CAST(w.sigma AS DOUBLE), 0) AS BIGINT)"
+    )
+    for d in range(depth, 0, -1):
+        ctes.append(
+            f"x{d} AS (SELECT u.s, u.v, CAST(SUM({term}) AS BIGINT) AS c"
+            f" FROM l{d-1} u JOIN sym e ON e.src = u.v"
+            f" JOIN d{d} w ON w.v = e.dst AND w.s = u.s GROUP BY u.s, u.v)"
+        )
+        ctes.append(
+            f"d{d-1} AS MATERIALIZED (SELECT u.s, u.v, u.sigma,"
+            f" COALESCE(x.c, CAST(0 AS BIGINT)) AS du FROM l{d-1} u"
+            f" LEFT JOIN x{d} x ON x.s = u.s AND x.v = u.v)"
+        )
+    unions = " UNION ALL ".join(
+        f"SELECT v, du FROM d{d}" for d in range(1, depth + 1)
+    )
+    ctes.append(
+        f"bcr AS (SELECT v AS id, CAST(SUM(du) AS BIGINT) AS bc"
+        f" FROM ({unions}) GROUP BY v)"
+    )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + "\nSELECT d.doc_id AS id,"
+        " COALESCE(b.bc, CAST(0 AS BIGINT)) AS betweenness_units,"
+        f" CAST(COALESCE(b.bc, CAST(0 AS BIGINT)) AS DOUBLE) / {UNIT}.0"
+        " AS betweenness_est"
+        " FROM documents d LEFT JOIN bcr b ON b.id = d.doc_id"
     )
 
 
@@ -2184,6 +2279,7 @@ def oracle_sql() -> dict[str, str]:
         "neighborhood_function": _anf_sql(ANF_MAPS, ANF_MAX_H),
         "harmonic_centrality": _harmonic_sql(ANF_MAPS, ANF_MAX_H),
         "closeness_centrality": _closeness_sql(ANF_MAPS, ANF_MAX_H),
+        "betweenness_centrality": _betweenness_sql(BETW_SOURCES, BETW_DEPTH),
         "reachability": (
             "WITH RECURSIVE "
             + EDGES_CTES.strip()

@@ -2,6 +2,7 @@ from .pagerank import pagerank
 from .cc import connected_components, connected_components_hashmin
 from .lpa import label_propagation
 from .linkpred import common_neighbor_scores
+from .betweenness import betweenness_centrality
 from .anf import (
     closeness_centrality,
     effective_diameter,
@@ -34,6 +35,7 @@ __all__ = [
     "common_neighbor_scores",
     "clustering_coefficients",
     "ktruss",
+    "betweenness_centrality",
     "closeness_centrality",
     "effective_diameter",
     "harmonic_centrality",
