@@ -994,6 +994,24 @@ def _q_graph_summary(spark, sf):
     return graph_summary(document_edges(spark, sf))
 
 
+def _q_avg_neighbor_degree(spark, sf):
+    """Degree-mixing profile knn(k): average neighbor degree per
+    undirected degree class — one degree agg + one vertex-keyed
+    self-join, SUM/COUNT division exact."""
+    from linkgraph import avg_neighbor_degree
+
+    return avg_neighbor_degree(document_edges(spark, sf))
+
+
+def _q_rich_club(spark, sf):
+    """Rich-club profile phi(k) for every k from suffix sums of the
+    degree and min-endpoint-degree histograms — two shuffles total,
+    no per-k scans."""
+    from linkgraph import rich_club_profile
+
+    return rich_club_profile(document_edges(spark, sf))
+
+
 def _q_mis(spark, sf):
     """Luby maximal independent set over the undirected doc graph —
     coin-flip rounds; unrolled round-by-round oracle."""
@@ -1222,6 +1240,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "node2vec_walks": _q_node2vec_walks,
         "maximal_independent_set": _q_mis,
         "graph_summary": _q_graph_summary,
+        "avg_neighbor_degree": _q_avg_neighbor_degree,
+        "rich_club_profile": _q_rich_club,
         "kmeans_centers": _q_kmeans,
         "maximum_cliques": _q_maximum_cliques,
         "bgd_weights": _q_bgd,
@@ -2460,6 +2480,57 @@ def oracle_sql() -> dict[str, str]:
         "   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) END, 6)"
         "  AS assortativity"
         " FROM nv, ne, und, recip, odeg, mom"
+    )
+    # degree-mixing profile: SUM(BIGINT)/COUNT in one IEEE division
+    sql["avg_neighbor_degree"] = (
+        "WITH "
+        + EDGES_CTES.strip()
+        + ", "
+        + SYM_CTE.strip()
+        + ","
+        " dg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg"
+        "  FROM sym GROUP BY src)"
+        " SELECT dx.deg AS degree,"
+        " CAST(COUNT(DISTINCT s.src) AS BIGINT) AS n_vertices,"
+        " CAST(SUM(dy.deg) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)"
+        "  AS avg_neighbor_degree"
+        " FROM sym s JOIN dg dx ON dx.src = s.src"
+        " JOIN dg dy ON dy.src = s.dst"
+        " GROUP BY dx.deg ORDER BY degree"
+    )
+    # rich-club profile: suffix sums of the degree / min-endpoint-degree
+    # histograms, same window shape as algorithms/stats.py
+    sql["rich_club_profile"] = (
+        "WITH "
+        + EDGES_CTES.strip()
+        + ", "
+        + SYM_CTE.strip()
+        + ","
+        " dg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg"
+        "  FROM sym GROUP BY src),"
+        " dh AS (SELECT deg, CAST(COUNT(*) AS BIGINT) AS nv"
+        "  FROM dg GROUP BY deg),"
+        " und AS (SELECT LEAST(du.deg, dv.deg) AS mind FROM sym e"
+        "  JOIN dg du ON du.src = e.src JOIN dg dv ON dv.src = e.dst"
+        "  WHERE e.src < e.dst),"
+        " eh AS (SELECT mind, CAST(COUNT(*) AS BIGINT) AS ne"
+        "  FROM und GROUP BY mind),"
+        " ks AS (SELECT unnest(generate_series(0,"
+        "  (SELECT MAX(deg) FROM dh) - 1)) AS k),"
+        " at_k AS (SELECT k.k, COALESCE(dh.nv, 0) AS nv_at,"
+        "  COALESCE(eh.ne, 0) AS ne_at FROM ks k"
+        "  LEFT JOIN dh ON dh.deg = k.k + 1"
+        "  LEFT JOIN eh ON eh.mind = k.k + 1),"
+        " run AS (SELECT k,"
+        "  SUM(nv_at) OVER (ORDER BY k DESC ROWS BETWEEN UNBOUNDED"
+        "   PRECEDING AND CURRENT ROW) AS n_club,"
+        "  SUM(ne_at) OVER (ORDER BY k DESC ROWS BETWEEN UNBOUNDED"
+        "   PRECEDING AND CURRENT ROW) AS e_club FROM at_k)"
+        " SELECT CAST(k AS BIGINT) AS k, CAST(n_club AS BIGINT) AS n_club,"
+        " CAST(e_club AS BIGINT) AS e_club,"
+        " 2.0 * CAST(e_club AS DOUBLE) / (CAST(n_club AS DOUBLE)"
+        "  * (CAST(n_club AS DOUBLE) - 1.0)) AS phi"
+        " FROM run WHERE n_club >= 2 ORDER BY k"
     )
     # IVF ANN: centroids are the unrolled IMRU k-means, so the whole
     # train->assign->probe->score pipeline is SQL; params mirror

@@ -30,6 +30,108 @@ from pyspark.sql import functions as F
 from ..partitioning import symmetrize
 
 
+def avg_neighbor_degree(edges: DataFrame) -> DataFrame:
+    """Degree-mixing profile knn(k): for each undirected degree class
+    k, the average degree of the neighbors of degree-k vertices
+    (Pastor-Satorras et al.) — the standard curve for "do hubs attach
+    to hubs or to leaves", read next to the scalar assortativity in
+    :func:`graph_summary`.
+
+    Shape: one degree aggregate, one self-join of the symmetrized edge
+    list against it (vertex-keyed equi-joins), one final groupBy per
+    degree class — all partial/final aggregates, no iteration. The
+    ratio is SUM(BIGINT)/COUNT(BIGINT) in one IEEE division, so the
+    oracle matches bit for bit.
+
+    Returns DF(degree BIGINT, n_vertices BIGINT, avg_neighbor_degree
+    DOUBLE) sorted by degree.
+    """
+    sym = symmetrize(edges.select("src", "dst").distinct())
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    per_vertex = (
+        sym.alias("s")
+        .join(deg.alias("dx"), F.col("s.src") == F.col("dx.src"))
+        .join(deg.alias("dy"), F.col("s.dst") == F.col("dy.src"))
+        .groupBy(F.col("dx.deg").alias("degree"))
+        .agg(
+            F.count_distinct(F.col("s.src")).alias("n_vertices"),
+            F.sum(F.col("dy.deg")).alias("snd"),
+            F.count(F.lit(1)).alias("m"),
+        )
+    )
+    return per_vertex.select(
+        "degree",
+        "n_vertices",
+        (F.col("snd").cast("double") / F.col("m").cast("double")).alias(
+            "avg_neighbor_degree"
+        ),
+    ).orderBy("degree")
+
+
+def rich_club_profile(edges: DataFrame, max_k: int | None = None) -> DataFrame:
+    """Rich-club coefficient phi(k) = E_k / (N_k * (N_k - 1) / 2):
+    among the N_k vertices of undirected degree > k, what fraction of
+    possible edges exist (Zhou-Mondragon) — the web-graph test for a
+    densely interlinked hub elite.
+
+    Computed for every k at once with no per-k scans: sort the degree
+    sequence once, then E_k and N_k are suffix aggregates. A vertex of
+    degree d is in club k for all k < d, and an edge (u, v) survives
+    while k < min(deg_u, deg_v), so per-k counts come from one groupBy
+    per relation + a running window over at most max(deg) rows — the
+    whole profile is two shuffles regardless of graph size.
+
+    All counts are BIGINT; phi is one IEEE division. Returns
+    DF(k BIGINT, n_club BIGINT, e_club BIGINT, phi DOUBLE) for k =
+    0..max_k (default: largest k with at least 2 club members).
+    """
+    from pyspark.sql import Window
+
+    sym = symmetrize(edges.select("src", "dst").distinct())
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    und = (
+        sym.filter(F.col("src") < F.col("dst"))
+        .alias("e")
+        .join(deg.alias("du"), F.col("e.src") == F.col("du.src"))
+        .join(deg.alias("dv"), F.col("e.dst") == F.col("dv.src"))
+        .select(F.least("du.deg", "dv.deg").alias("mind"))
+    )
+    # vertices with degree > k: suffix count of the degree histogram
+    dh = deg.groupBy("deg").agg(F.count(F.lit(1)).alias("nv"))
+    eh = und.groupBy("mind").agg(F.count(F.lit(1)).alias("ne"))
+    w = Window.orderBy(F.desc("k")).rowsBetween(Window.unboundedPreceding, 0)
+    ks = (
+        dh.agg(F.max("deg").alias("mx"))
+        .selectExpr("explode(sequence(0, mx - 1)) AS k")
+    )
+    prof = (
+        ks.join(dh, F.col("k") == F.col("deg") - 1, "left_outer")
+        .select("k", F.coalesce("nv", F.lit(0)).alias("nv_at"))
+        .join(eh, F.col("k") == F.col("mind") - 1, "left_outer")
+        .withColumn("ne_at", F.coalesce("ne", F.lit(0)))
+        .select("k", "nv_at", "ne_at")
+        .withColumn("n_club", F.sum("nv_at").over(w))
+        .withColumn("e_club", F.sum("ne_at").over(w))
+        .filter(F.col("n_club") >= 2)
+        .select(
+            "k",
+            "n_club",
+            "e_club",
+            (
+                F.lit(2.0)
+                * F.col("e_club").cast("double")
+                / (
+                    F.col("n_club").cast("double")
+                    * (F.col("n_club").cast("double") - F.lit(1.0))
+                )
+            ).alias("phi"),
+        )
+    )
+    if max_k is not None:
+        prof = prof.filter(F.col("k") <= max_k)
+    return prof.orderBy("k")
+
+
 def graph_summary(edges: DataFrame) -> DataFrame:
     """One row: (n_vertices, n_edges, n_undirected, reciprocity,
     max_out_degree, avg_out_degree, density, assortativity).

@@ -44,3 +44,71 @@ def test_graph_summary_duplicate_edges_ignored(spark):
     row = graph_summary(df).collect()[0]
     assert row.n_edges == 2 and row.n_undirected == 1
     assert row.reciprocity == 1.0
+
+
+def test_avg_neighbor_degree_star(spark):
+    from linkgraph import avg_neighbor_degree
+
+    # star 0-{1,2,3}: hub degree 3 (leaf nbrs deg 1), leaves degree 1
+    star = [(0, 1), (0, 2), (0, 3)]
+    rows = {
+        r["degree"]: r
+        for r in avg_neighbor_degree(
+            spark.createDataFrame(star, "src long, dst long")
+        ).collect()
+    }
+    assert rows[3]["n_vertices"] == 1 and rows[3]["avg_neighbor_degree"] == 1.0
+    assert rows[1]["n_vertices"] == 3 and rows[1]["avg_neighbor_degree"] == 3.0
+
+
+def test_avg_neighbor_degree_matches_bruteforce(spark):
+    import random
+    from collections import defaultdict
+
+    from linkgraph import avg_neighbor_degree
+
+    rng = random.Random(3)
+    edges = list({(rng.randrange(25), rng.randrange(25)) for _ in range(50)})
+    nbrs = defaultdict(set)
+    for s, d in edges:
+        if s != d:
+            nbrs[s].add(d)
+            nbrs[d].add(s)
+    by_deg = defaultdict(lambda: [0, 0, set()])
+    for v, ns in nbrs.items():
+        k = len(ns)
+        by_deg[k][0] += sum(len(nbrs[u]) for u in ns)
+        by_deg[k][1] += len(ns)
+        by_deg[k][2].add(v)
+    got = {
+        r["degree"]: (r["n_vertices"], r["avg_neighbor_degree"])
+        for r in avg_neighbor_degree(
+            spark.createDataFrame(edges, "src long, dst long")
+        ).collect()
+    }
+    for k, (snd, m, vs) in by_deg.items():
+        assert got[k] == (len(vs), snd / m), k
+
+
+def test_rich_club_profile_hub_clique(spark):
+    from linkgraph import rich_club_profile
+
+    # triangle of hubs {0,1,2} plus a pendant leaf on each hub:
+    # degree(hubs)=3, degree(leaves)=1
+    edges = [(0, 1), (1, 2), (0, 2), (0, 10), (1, 11), (2, 12)]
+    rows = {
+        r["k"]: r
+        for r in rich_club_profile(
+            spark.createDataFrame(edges, "src long, dst long")
+        ).collect()
+    }
+    # k=0: all 6 vertices, 6 edges -> phi = 12/(6*5)
+    assert rows[0]["n_club"] == 6 and rows[0]["e_club"] == 6
+    assert rows[0]["phi"] == 2.0 * 6 / (6 * 5)
+    # k=1,2: hubs only (degree>k means >1 / >2 -> degree-3 hubs), all
+    # 3 hub-hub edges survive (min endpoint degree 3 > k): phi = 1
+    for k in (1, 2):
+        assert rows[k]["n_club"] == 3 and rows[k]["e_club"] == 3
+        assert rows[k]["phi"] == 1.0
+    # k=3: nobody has degree > 3 -> filtered (n_club < 2)
+    assert 3 not in rows
