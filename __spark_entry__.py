@@ -67,6 +67,10 @@ BETW_SOURCES = [0, 7, 13]  # Brandes sample for source-sampled betweenness
 # unrolled forward/backward BFS passes in the betweenness oracle; the
 # sf0.01 doc graph's BFS depth is ~6, +slack (loud failure if exceeded)
 BETW_DEPTH = 10
+# unrolled h-index passes in the coreness oracle; the sf0.001/sf0.01
+# doc graphs reach the fixpoint in 20 rounds (measured), +4 slack
+# passes are no-ops at fixpoint (loud failure if exceeded)
+CORENESS_PASSES = 24
 HITS_ITERS = 10
 KCORE_K = 6
 # unrolled oracle peel passes; the sf0.01 cascade at k=6 is 20 deep
@@ -459,6 +463,28 @@ def _q_harmonic(spark, sf):
         vertices=document_vertices(spark, sf),
         portable=True,
     )
+    return out
+
+
+def _q_coreness(spark, sf):
+    """Full core decomposition via the h-index fixpoint (Lü et al.):
+    c0 = degree, c_{t+1} = min(c_t, h-index of neighbor values) —
+    integer-exact, tie-order invariant, so the unrolled oracle matches
+    bit for bit. Loud failure if the fixpoint needs more rounds than
+    the oracle unrolls (same rule as KCORE_PASSES)."""
+    from linkgraph import core_decomposition
+
+    edges = document_edges(spark, sf)
+    out, res = core_decomposition(
+        edges,
+        vertices=document_vertices(spark, sf),
+        max_iters=CORENESS_PASSES,
+    )
+    if not res.converged:
+        raise AssertionError(
+            f"coreness fixpoint not reached in {CORENESS_PASSES} rounds —"
+            " raise CORENESS_PASSES"
+        )
     return out
 
 
@@ -1198,6 +1224,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "harmonic_centrality": _q_harmonic,
         "closeness_centrality": _q_closeness,
         "betweenness_centrality": _q_betweenness,
+        "core_decomposition": _q_coreness,
         "reachability": _q_reachability,
         "exact_dedup": _q_exact_dedup,
         "token_count": _q_token_count,
@@ -1576,6 +1603,42 @@ def _harmonic_sql(num_maps: int, max_h: int, seed: int = 42) -> str:
         + f"\nSELECT u0.id, CAST({delta_sum} AS BIGINT) AS harmonic_units,"
         f" CAST({delta_sum} AS DOUBLE) / ({lcm}.0 * 1000000.0)"
         f" AS harmonic_est FROM u0 {_ball_joins(max_h)}"
+    )
+
+
+def _coreness_sql(passes: int) -> str:
+    """Unrolled h-index fixpoint oracle: c0 = degree over the
+    symmetrized doc graph, each pass computes per-vertex
+    max(least(neighbor value, row_number desc)) — the h-index — and
+    takes the min with the current value. Passes beyond the fixpoint
+    are no-ops, so a fixed unroll >= the engine's superstep count
+    matches exactly."""
+    ctes = [
+        EDGES_CTES.strip(),
+        SYM_CTE.strip(),
+        "c0 AS MATERIALIZED (SELECT d.doc_id AS id,"
+        " COALESCE(g.c, CAST(0 AS BIGINT)) AS c FROM documents d"
+        " LEFT JOIN (SELECT src, CAST(COUNT(*) AS BIGINT) AS c"
+        "  FROM sym GROUP BY src) g ON g.src = d.doc_id)",
+    ]
+    for t in range(1, passes + 1):
+        ctes.append(
+            f"r{t} AS (SELECT e.dst AS id, s.c,"
+            f" ROW_NUMBER() OVER (PARTITION BY e.dst ORDER BY s.c DESC)"
+            f" AS rn FROM sym e JOIN c{t-1} s ON s.id = e.src)"
+        )
+        ctes.append(
+            f"h{t} AS (SELECT id, CAST(MAX(LEAST(c, rn)) AS BIGINT) AS h"
+            f" FROM r{t} GROUP BY id)"
+        )
+        ctes.append(
+            f"c{t} AS MATERIALIZED (SELECT v.id,"
+            f" LEAST(v.c, COALESCE(h.h, CAST(0 AS BIGINT))) AS c"
+            f" FROM c{t-1} v LEFT JOIN h{t} h ON h.id = v.id)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT id, c AS coreness FROM c{passes}"
     )
 
 
@@ -2300,6 +2363,7 @@ def oracle_sql() -> dict[str, str]:
         "harmonic_centrality": _harmonic_sql(ANF_MAPS, ANF_MAX_H),
         "closeness_centrality": _closeness_sql(ANF_MAPS, ANF_MAX_H),
         "betweenness_centrality": _betweenness_sql(BETW_SOURCES, BETW_DEPTH),
+        "core_decomposition": _coreness_sql(CORENESS_PASSES),
         "reachability": (
             "WITH RECURSIVE "
             + EDGES_CTES.strip()

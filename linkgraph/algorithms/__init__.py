@@ -3,6 +3,7 @@ from .cc import connected_components, connected_components_hashmin
 from .lpa import label_propagation
 from .linkpred import common_neighbor_scores
 from .betweenness import betweenness_centrality
+from .coreness import core_decomposition
 from .anf import (
     closeness_centrality,
     effective_diameter,
@@ -38,6 +39,7 @@ __all__ = [
     "clustering_coefficients",
     "ktruss",
     "betweenness_centrality",
+    "core_decomposition",
     "closeness_centrality",
     "effective_diameter",
     "harmonic_centrality",

@@ -13,8 +13,9 @@ Both levels of a pair run the identical input and must produce the
 identical corpus checksum (the walk is a pure function of
 (graph, seed)).
 
-Usage: python tools/walks_scaling.py [--pairs 2:8:8000000,8:32:16000000]
-       [--length 8] [--out BENCH/walks_scaling.json]
+Usage: python tools/walks_scaling.py [--pairs 2:8:8000000,8:32:40000000]
+       [--length 16] [--warmup 4] [--retries 3]
+       [--out BENCH/walks_scaling.json]
 """
 
 from __future__ import annotations
@@ -28,13 +29,15 @@ from pathlib import Path
 ROOT = Path(__file__).resolve().parents[1]
 
 
-def run_level(cores: int, n: int, length: int) -> dict:
+def run_level(cores: int, n: int, length: int, warmup: int) -> dict:
     cmd = [
         sys.executable,
         str(ROOT / "tools" / "_walks_scaling_run.py"),
         str(cores),
         str(n),
         str(length),
+        str(2 * cores),
+        str(warmup),
     ]
     out = subprocess.run(cmd, capture_output=True, text=True, cwd=ROOT)
     for line in reversed(out.stdout.strip().splitlines()):
@@ -43,13 +46,15 @@ def run_level(cores: int, n: int, length: int) -> dict:
     raise RuntimeError(f"no JSON from level {cores}: {out.stderr[-2000:]}")
 
 
-def run_level_best(cores: int, n: int, length: int, retries: int) -> dict:
+def run_level_best(
+    cores: int, n: int, length: int, retries: int, warmup: int
+) -> dict:
     """Best-of-retries per level: this virtualized box shows bursty
     10-25% hypervisor CPU steal (recorded as ``steal_pct`` per run),
     so a single sample can be 3-4x off. Take the fastest steady-state
     median across `retries` runs; every attempt's (median, steal%) is
     kept in ``attempts`` so the selection is auditable."""
-    runs = [run_level(cores, n, length) for _ in range(retries)]
+    runs = [run_level(cores, n, length, warmup) for _ in range(retries)]
     best = min(runs, key=lambda r: r["steady_median_step_sec"])
     best["attempts"] = [
         {"steady_median_step_sec": r["steady_median_step_sec"], "steal_pct": r.get("steal_pct")}
@@ -62,11 +67,18 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument(
         "--pairs",
-        default="2:8:8000000,8:32:16000000",
+        default="2:8:8000000,8:32:40000000",
         help="comma-separated lo:hi:n_vertices ladder pairs",
     )
-    ap.add_argument("--length", type=int, default=8)
+    # 16 steps so the steady median sits well past the warmup window
+    # at every level (8 steps left the 32-core median inside warmup)
+    ap.add_argument("--length", type=int, default=16)
     ap.add_argument("--retries", type=int, default=3)
+    # JIT/shuffle-path warmup runs ~4 steps at 32 threads (measured:
+    # 32.1, 18.1, 11.1, 11.0 then steady ~5.5s on the 16M graph);
+    # exclude the same fixed count at EVERY level so the pairing
+    # grades the dataflow, not JVM compilation
+    ap.add_argument("--warmup", type=int, default=4)
     ap.add_argument("--out", default=str(ROOT / "BENCH" / "walks_scaling.json"))
     args = ap.parse_args()
 
@@ -74,9 +86,9 @@ def main() -> None:
     pairs: list[dict] = []
     for spec in args.pairs.split(","):
         lo_c, hi_c, n = (int(x) for x in spec.split(":"))
-        lo = run_level_best(lo_c, n, args.length, args.retries)
+        lo = run_level_best(lo_c, n, args.length, args.retries, args.warmup)
         print(json.dumps(lo), flush=True)
-        hi = run_level_best(hi_c, n, args.length, args.retries)
+        hi = run_level_best(hi_c, n, args.length, args.retries, args.warmup)
         print(json.dumps(hi), flush=True)
         assert lo["corpus_checksum"] == hi["corpus_checksum"], "answers differ"
         assert lo["corpus_rows"] == hi["corpus_rows"]
