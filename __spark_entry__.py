@@ -91,6 +91,12 @@ SSSP_HOPS = 12
 # engine ASSERTS convergence so a deeper future fixture fails loudly
 WSSSP_STEPS = 16
 JACCARD_T = 0.12
+# count-min sketch params: narrow width so collisions actually occur at
+# sf0.01 (the gate then checks the sketch's collision arithmetic, not
+# just a pass-through); probes = 3 present tokens + 1 absent
+CMS_DEPTH = 4
+CMS_WIDTH = 64
+CMS_PROBES = ["spark", "join", "window", "zzz-absent-term"]
 KMV_K = 24  # bottom-k size; the synthetic vocab is tiny (~31 terms) so
 # a small k keeps the estimator in its non-degenerate regime at sf0.01
 TOPK = 10
@@ -821,6 +827,22 @@ def _q_kmv_sketch(spark, sf):
     return kmv_distinct_tokens(load_documents(spark, sf), k=KMV_K)
 
 
+def _q_cms_probe(spark, sf):
+    """Count-min-sketch point queries for CMS_PROBES: fixed-size
+    sketch (depth x width counters, map-side partial agg) + broadcast
+    probe join; every counter is an exact integer over portable md5
+    buckets, so the estimates gate bit-exactly."""
+    from linkgraph.pipeline import cms_probe_counts
+
+    return cms_probe_counts(
+        load_documents(spark, sf),
+        CMS_PROBES,
+        depth=CMS_DEPTH,
+        width=CMS_WIDTH,
+        portable=True,
+    )
+
+
 def _q_simhash(spark, sf):
     return simhash64(load_documents(spark, sf), portable=True)
 
@@ -1254,6 +1276,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": _q_minhash_lsh,
         "dedup_clusters": _q_dedup_clusters,
         "distinct_token_sketch": _q_kmv_sketch,
+        "cms_token_counts": _q_cms_probe,
         "simhash64": _q_simhash,
         "simhash_pairs": _q_simhash_pairs,
         "embedding_lsh_topk": _q_lsh_topk,
@@ -2745,6 +2768,11 @@ def oracle_sql() -> dict[str, str]:
     from linkgraph.pipeline.sketches import kmv_sql
 
     sql["distinct_token_sketch"] = kmv_sql(KMV_K)
+    from linkgraph.pipeline.sketches import cms_probe_sql
+
+    sql["cms_token_counts"] = cms_probe_sql(
+        CMS_PROBES, depth=CMS_DEPTH, width=CMS_WIDTH
+    )
     sql["simhash64"] = _simhash_sql(2)
     sql["simhash_pairs"] = _simhash_pairs_sql(2, 7)
     # sign-LSH ANN: md5-derived hyperplanes embedded as literals;

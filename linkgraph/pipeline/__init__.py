@@ -26,7 +26,7 @@ from .textstats import (
 )
 from .packing import pack_sequences
 from .sample import proportional_sample, stratified_sample, weighted_sample
-from .sketches import kmv_distinct_tokens
+from .sketches import cms_probe_counts, cms_sketch, kmv_distinct_tokens
 from .similarity import (
     cosine_topk,
     embedding_neardup_pairs,
@@ -53,6 +53,8 @@ __all__ = [
     "normalize_text",
     "contamination_check",
     "ngram_decontaminate",
+    "cms_probe_counts",
+    "cms_sketch",
     "kmv_distinct_tokens",
     "weighted_sample",
     "stratified_sample",

@@ -1,5 +1,9 @@
 """Distributed sketches over a documents table.
 
+Two sketch families, both chosen for ORACLE-REPRODUCIBILITY (portable
+md5 hashing makes every counter bit-identical in Spark and DuckDB,
+unlike Spark's built-in HLL/CMS aggregates):
+
 KMV (k-minimum-values) distinct-count sketch — the classic
 bottom-k estimator (Bar-Yossef et al., RANDOM'02): hash every distinct
 element to a uniform integer, keep the k smallest hashes, estimate
@@ -85,4 +89,127 @@ def kmv_sql(k: int = 256) -> str:
         f" ROUND(CASE WHEN COUNT(*) < {k} THEN COUNT(*)::DOUBLE"
         f"  ELSE (COUNT(*) - 1)::DOUBLE * {float(KMV_M)!r} / MAX(hv)::DOUBLE END, 6)"
         " AS est_distinct FROM bk"
+    )
+
+
+def _cms_bucket_sql(term_sql: str, j: int, width: int, seed: int, portable: bool) -> str:
+    """Row-j CMS bucket of a term: hash to [0, width). Portable mode =
+    15 md5 hex digits (bit-identical in DuckDB); fast mode = xxhash64
+    (JVM-native, Spark-only). pmod keeps the result non-negative."""
+    if portable:
+        arg = f"'cms:{seed}:{j}:' || {term_sql}"
+        return f"pmod({md5_int_sql(arg, 15)}, {width})"
+    return f"pmod(xxhash64('cms:{seed}:{j}:', {term_sql}), {width})"
+
+
+def cms_sketch(
+    docs: DataFrame,
+    depth: int = 4,
+    width: int = 512,
+    portable: bool = False,
+    seed: int = 42,
+) -> DataFrame:
+    """Count-min sketch (Cormode-Muthukrishnan) of the corpus's
+    whitespace-token frequencies: DF(j, bucket, cnt) with depth*width
+    counters, cnt = number of token occurrences hashing to (j, bucket).
+
+    The 100 TB shape: tokens explode once, each occurrence emits
+    ``depth`` (j, bucket) rows, and the ONLY exchange is the final
+    groupBy over depth*width keys — Spark's partial aggregation
+    collapses each partition to at most depth*width rows map-side, so
+    the shuffle is O(partitions * depth * width), independent of corpus
+    size. That is the whole point of a sketch: the driver-visible state
+    is fixed-size no matter how many tokens stream through.
+    """
+    toks = docs.select(F.explode(F.split("text", " ")).alias("term")).filter(
+        F.col("term") != ""
+    )
+    rows = toks.selectExpr(
+        "explode(array("
+        + ", ".join(
+            f"struct(CAST({j} AS INT) AS j,"
+            f" CAST({_cms_bucket_sql('term', j, width, seed, portable)} AS INT)"
+            f" AS bucket)"
+            for j in range(depth)
+        )
+        + ")) AS jb"
+    ).select("jb.j", "jb.bucket")
+    return rows.groupBy("j", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def cms_probe_counts(
+    docs: DataFrame,
+    probes: list[str],
+    depth: int = 4,
+    width: int = 512,
+    portable: bool = False,
+    seed: int = 42,
+) -> DataFrame:
+    """Estimate the corpus frequency of each probe term from the CMS:
+    DF(term, est_count BIGINT) where est_count = min over the depth
+    rows of the probed counter — the classic CMS point query, with the
+    one-sided guarantee est >= true and E[est - true] <= N/width.
+
+    Estimating k probe frequencies costs the fixed-size sketch plus a
+    broadcast join of k*depth probe cells — the corpus token relation
+    itself is never re-scanned per probe. Every counter is an exact
+    integer count over deterministic buckets, so the estimate (not
+    just its accuracy) is oracle-verifiable.
+    """
+    if not probes:
+        raise ValueError("cms_probe_counts: probes must be non-empty")
+    spark = docs.sparkSession
+    sk = cms_sketch(docs, depth, width, portable, seed)
+    probe_df = spark.createDataFrame([(p,) for p in probes], "term string")
+    cells = probe_df.selectExpr(
+        "term",
+        "explode(array("
+        + ", ".join(
+            f"struct(CAST({j} AS INT) AS j,"
+            f" CAST({_cms_bucket_sql('term', j, width, seed, portable)} AS INT)"
+            f" AS bucket)"
+            for j in range(depth)
+        )
+        + ")) AS jb",
+    ).select("term", "jb.j", "jb.bucket")
+    return (
+        cells.join(F.broadcast(sk), ["j", "bucket"], "left_outer")
+        .groupBy("term")
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("est_count"))
+    )
+
+
+def cms_probe_sql(
+    probes: list[str],
+    depth: int = 4,
+    width: int = 512,
+    seed: int = 42,
+) -> str:
+    """DuckDB oracle for :func:`cms_probe_counts` (portable mode): the
+    identical md5 bucket hashes, counters, and min-over-rows query."""
+    def bucket(term_sql: str, j: int) -> str:
+        inner = md5_int_sql(f"'cms:{seed}:{j}:' || {term_sql}", 15)
+        return f"(({inner}) % {width} + {width}) % {width}"
+
+    probe_rows = ", ".join(f"('{p}')" for p in probes)
+    jb_union = " UNION ALL ".join(
+        f"SELECT term, {j} AS j, CAST({bucket('term', j)} AS INT) AS bucket"
+        " FROM probes"
+        for j in range(depth)
+    )
+    tok_union = " UNION ALL ".join(
+        f"SELECT {j} AS j, CAST({bucket('term', j)} AS INT) AS bucket FROM toks"
+        for j in range(depth)
+    )
+    return (
+        "WITH toks AS (SELECT t AS term FROM (SELECT"
+        " unnest(string_split(text, ' ')) AS t FROM documents) WHERE t != ''),"
+        f" cells AS ({tok_union}),"
+        " sk AS (SELECT j, bucket, COUNT(*)::BIGINT AS cnt FROM cells"
+        "  GROUP BY j, bucket),"
+        f" probes(term) AS (VALUES {probe_rows}),"
+        f" pc AS ({jb_union})"
+        " SELECT p.term, CAST(MIN(COALESCE(s.cnt, 0)) AS BIGINT) AS est_count"
+        " FROM pc p LEFT JOIN sk s ON s.j = p.j AND s.bucket = p.bucket"
+        " GROUP BY p.term"
     )

@@ -757,3 +757,61 @@ class TestShortDocShingles:
         out = {r["doc_id"]: r for r in ngram_decontaminate(docs, probes, n=8).collect()}
         assert out[0]["contaminated"] == 0
         assert out[1]["contaminated"] == 1 and out[1]["max_run_len"] == 1
+
+
+class TestCountMinSketch:
+    def _docs(self, spark):
+        rows = [
+            (0, "a b c a a"),
+            (1, "b c d"),
+            (2, "a d d e"),
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_overestimate_and_exact_when_wide(self, spark):
+        from linkgraph.pipeline import cms_probe_counts
+
+        docs = self._docs(spark)
+        true = {"a": 4, "b": 2, "c": 2, "d": 3, "e": 1, "zz": 0}
+        # narrow sketch: one-sided error only (est >= true)
+        est = {
+            r["term"]: r["est_count"]
+            for r in cms_probe_counts(
+                docs, list(true), depth=3, width=4, portable=True
+            ).collect()
+        }
+        for t, c in true.items():
+            assert est[t] >= c, t
+        # wide sketch: 11 tokens into 4x1024 cells -> no collisions,
+        # estimates are exact
+        est_w = {
+            r["term"]: r["est_count"]
+            for r in cms_probe_counts(
+                docs, list(true), depth=4, width=1024, portable=True
+            ).collect()
+        }
+        assert est_w == true
+
+    def test_fast_mode_same_guarantee(self, spark):
+        from linkgraph.pipeline import cms_probe_counts
+
+        docs = self._docs(spark)
+        est = {
+            r["term"]: r["est_count"]
+            for r in cms_probe_counts(
+                docs, ["a", "e", "zz"], depth=4, width=1024, portable=False
+            ).collect()
+        }
+        assert est == {"a": 4, "e": 1, "zz": 0}
+
+    def test_sketch_size_is_bounded(self, spark):
+        from linkgraph.pipeline import cms_sketch
+
+        docs = self._docs(spark)
+        sk = cms_sketch(docs, depth=3, width=8, portable=True)
+        assert sk.count() <= 3 * 8
+        # total mass per row j = total token occurrences
+        per_j = {r["j"]: r["s"] for r in sk.groupBy("j").agg(
+            __import__("pyspark.sql.functions", fromlist=["sum"]).sum("cnt").alias("s")
+        ).collect()}
+        assert set(per_j.values()) == {12}
