@@ -49,7 +49,8 @@ def _build_parser() -> argparse.ArgumentParser:
             "derive-repo", "wpr", "linkpred",
             "dedup", "vocab", "pii", "repetition",
             "ppr", "hits", "kcore", "walks", "node2vec", "mis",
-            "summary",
+            "summary", "coreness", "betweenness", "harmonic",
+            "closeness", "knn-degree", "rich-club",
         ],
     )
     src = p.add_argument_group("input (exactly one)")
@@ -343,6 +344,49 @@ def main(argv: list[str] | None = None) -> None:
         from linkgraph.algorithms.stats import graph_summary
 
         out = graph_summary(edges)
+    elif args.algorithm == "coreness":
+        from linkgraph.algorithms.coreness import core_decomposition
+
+        out, res = core_decomposition(
+            edges,
+            max_iters=args.max_supersteps or 64,
+            num_partitions=args.num_partitions,
+            symmetrize_edges=not args.directed,
+        )
+    elif args.algorithm == "betweenness":
+        from linkgraph.algorithms.betweenness import betweenness_centrality
+
+        out, res = betweenness_centrality(
+            edges,
+            args.sources,
+            max_depth=args.max_supersteps or 12,
+            num_partitions=args.num_partitions,
+            symmetrize_edges=not args.directed,
+        )
+    elif args.algorithm in ("harmonic", "closeness"):
+        from linkgraph.algorithms.anf import (
+            closeness_centrality,
+            harmonic_centrality,
+        )
+
+        fn = harmonic_centrality if args.algorithm == "harmonic" else closeness_centrality
+        out, res = fn(
+            edges,
+            num_maps=args.num_maps,
+            max_h=args.max_h,
+            num_partitions=args.num_partitions,
+            symmetrize_edges=not args.directed,
+            portable=args.portable_hash,
+            seed=args.seed,
+        )
+    elif args.algorithm == "knn-degree":
+        from linkgraph.algorithms.stats import avg_neighbor_degree
+
+        out = avg_neighbor_degree(edges)
+    elif args.algorithm == "rich-club":
+        from linkgraph.algorithms.stats import rich_club_profile
+
+        out = rich_club_profile(edges)
     elif args.algorithm == "mis":
         from linkgraph.algorithms.mis import maximal_independent_set
 
