@@ -224,6 +224,20 @@ def _q_lpa(spark, sf):
     return labels
 
 
+def _q_lpa_modularity(spark, sf):
+    """Quality score of the LPA communities: Newman modularity Q,
+    rewritten as exact BIGINT moments (within-edge count, sum of
+    squared community degrees) + one fixed float expression — no
+    per-community float summation order to disagree on."""
+    from linkgraph import modularity
+
+    edges = document_edges(spark, sf)
+    labels, _ = label_propagation(
+        edges, max_supersteps=LPA_STEPS, vertices=document_vertices(spark, sf)
+    )
+    return modularity(edges, labels)
+
+
 def _q_triangles(spark, sf):
     edges = document_edges(spark, sf)
     return triangle_counts(edges, vertices=document_vertices(spark, sf))
@@ -1227,6 +1241,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "connected_components_hashmin": _q_cc_hashmin,
         "strongly_connected_components": _q_scc,
         "label_propagation": _q_lpa,
+        "lpa_modularity": _q_lpa_modularity,
         "triangles_per_vertex": _q_triangles,
         "triangle_total": _q_triangle_total,
         "clustering_coefficient": _q_clustering,
@@ -2314,6 +2329,34 @@ def oracle_sql() -> dict[str, str]:
             " GROUP BY d.doc_id"
         ),
         "label_propagation": _lpa_sql(LPA_STEPS),
+        "lpa_modularity": (
+            # modularity of the unrolled-LPA labels: exact BIGINT
+            # moments + the same fixed float expression as
+            # algorithms/stats.modularity
+            "WITH "
+            + EDGES_CTES.strip()
+            + ", "
+            + SYM_CTE.strip()
+            + ","
+            " lab AS (SELECT id, label AS _lbl FROM ("
+            + _lpa_sql(LPA_STEPS)
+            + ") lpa_out),"
+            " ec AS (SELECT COUNT(*)::BIGINT AS m_edges,"
+            "  CAST(SUM(CASE WHEN lu._lbl = lv._lbl THEN 1 ELSE 0 END)"
+            "   AS BIGINT) AS within_edges"
+            "  FROM sym e JOIN lab lu ON lu.id = e.src"
+            "  JOIN lab lv ON lv.id = e.dst WHERE e.src < e.dst),"
+            " dmom AS (SELECT COUNT(*)::BIGINT AS n_communities,"
+            "  CAST(SUM(dc * dc) AS BIGINT) AS sum_deg_sq FROM ("
+            "  SELECT l._lbl, CAST(SUM(g.deg) AS BIGINT) AS dc FROM ("
+            "   SELECT src, COUNT(*)::BIGINT AS deg FROM sym GROUP BY src) g"
+            "  JOIN lab l ON l.id = g.src GROUP BY l._lbl))"
+            " SELECT n_communities, m_edges, within_edges, sum_deg_sq,"
+            " CAST(within_edges AS DOUBLE) / CAST(m_edges AS DOUBLE)"
+            " - CAST(sum_deg_sq AS DOUBLE) / (4.0 * CAST(m_edges AS DOUBLE)"
+            "  * CAST(m_edges AS DOUBLE)) AS modularity"
+            " FROM ec, dmom"
+        ),
         "triangles_per_vertex": (
             f"{WS},"
             " lower_e AS (SELECT src AS b, dst AS a FROM sym WHERE dst < src),"

@@ -17,7 +17,12 @@ from .sssp import shortest_paths
 from .reachability import reachability
 from .mis import maximal_independent_set
 from .sampling import graph_sample
-from .stats import avg_neighbor_degree, graph_summary, rich_club_profile
+from .stats import (
+    avg_neighbor_degree,
+    graph_summary,
+    modularity,
+    rich_club_profile,
+)
 from .walks import node2vec_walks, random_walks
 from .cliques import local_maximal_cliques, maximum_cliques
 
@@ -25,6 +30,7 @@ __all__ = [
     "graph_sample",
     "avg_neighbor_degree",
     "graph_summary",
+    "modularity",
     "rich_club_profile",
     "maximal_independent_set",
     "node2vec_walks",

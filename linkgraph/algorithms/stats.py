@@ -234,3 +234,67 @@ def graph_summary(edges: DataFrame) -> DataFrame:
             ).alias("assortativity"),
         )
     )
+
+
+def modularity(
+    edges: DataFrame, labels: DataFrame, label_col: str = "label"
+) -> DataFrame:
+    """Newman modularity Q of a community assignment (labels:
+    DF(id, label)) over the undirected simple graph:
+
+        Q = E_in / m  -  sum_c d_c^2 / (4 m^2)
+
+    with m = undirected edge count, E_in = within-community edges, d_c
+    = total degree of community c — the standard quality score for LPA
+    output, rewritten so every aggregate is an exact BIGINT sum and Q
+    is one fixed float expression (bit-identical across engines; no
+    per-community float summation order to disagree on).
+
+    Shape: one degree aggregate, two label equi-joins on the edge
+    relation, one per-community aggregate — all partial/final
+    combines. NOTE: d_c^2 overflows int64 when a community's total
+    degree exceeds ~3e9; at that scale compute the moments as DOUBLE
+    (the 6dp answer is unaffected).
+
+    Returns one row: (n_communities, m_edges, within_edges,
+    sum_deg_sq, modularity).
+    """
+    sym = symmetrize(edges.select("src", "dst").distinct()).filter(
+        F.col("src") != F.col("dst")
+    )
+    lab = labels.select(F.col("id"), F.col(label_col).alias("_lbl"))
+    und = (
+        sym.filter(F.col("src") < F.col("dst"))
+        .join(lab.selectExpr("id AS src", "_lbl AS lu"), "src")
+        .join(lab.selectExpr("id AS dst", "_lbl AS lv"), "dst")
+    )
+    ecounts = und.agg(
+        F.count(F.lit(1)).alias("m_edges"),
+        F.sum((F.col("lu") == F.col("lv")).cast("long")).alias("within_edges"),
+    )
+    dmom = (
+        sym.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .join(lab.selectExpr("id AS src", "_lbl"), "src")
+        .groupBy("_lbl")
+        .agg(F.sum("deg").alias("dc"))
+        .agg(
+            F.count(F.lit(1)).alias("n_communities"),
+            F.sum(F.col("dc") * F.col("dc")).alias("sum_deg_sq"),
+        )
+    )
+    return ecounts.crossJoin(dmom).select(
+        "n_communities",
+        "m_edges",
+        "within_edges",
+        "sum_deg_sq",
+        (
+            F.col("within_edges").cast("double") / F.col("m_edges").cast("double")
+            - F.col("sum_deg_sq").cast("double")
+            / (
+                F.lit(4.0)
+                * F.col("m_edges").cast("double")
+                * F.col("m_edges").cast("double")
+            )
+        ).alias("modularity"),
+    )

@@ -112,3 +112,30 @@ def test_rich_club_profile_hub_clique(spark):
         assert rows[k]["phi"] == 1.0
     # k=3: nobody has degree > 3 -> filtered (n_club < 2)
     assert 3 not in rows
+
+
+def test_modularity_two_triangles(spark):
+    from linkgraph import modularity
+
+    edges = [(0, 1), (1, 2), (0, 2), (10, 11), (11, 12), (10, 12)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    # perfect split: Q = 1 - sum(d_c^2)/(4 m^2) = 1 - 72/144 = 0.5
+    lab = spark.createDataFrame(
+        [(v, v // 10) for v in (0, 1, 2, 10, 11, 12)], "id long, label long"
+    )
+    row = modularity(e, lab).collect()[0]
+    assert row.n_communities == 2
+    assert row.m_edges == 6 and row.within_edges == 6
+    assert row.sum_deg_sq == 72
+    assert row.modularity == 0.5
+    # everything in one community: Q = 1 - 144/144 = 0
+    one = spark.createDataFrame(
+        [(v, 0) for v in (0, 1, 2, 10, 11, 12)], "id long, label long"
+    )
+    assert modularity(e, one).collect()[0].modularity == 0.0
+    # anti-communities (each edge crosses): within = 0, Q < 0
+    bad = spark.createDataFrame(
+        [(0, 0), (1, 1), (2, 2), (10, 0), (11, 1), (12, 2)], "id long, label long"
+    )
+    row_b = modularity(e, bad).collect()[0]
+    assert row_b.within_edges == 0 and row_b.modularity < 0
