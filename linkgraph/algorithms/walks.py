@@ -148,6 +148,7 @@ def random_walks(
     resume: bool = True,
     portable: bool = False,
     weight_col: str | None = None,
+    frame_storage: StorageLevel | None = None,
 ) -> tuple[DataFrame, LoopResult]:
     """Returns (DF(walk_id BIGINT, step INT, vertex BIGINT), LoopResult).
 
@@ -269,9 +270,16 @@ def random_walks(
             # the whole loop — deserialized row objects would grow the
             # GC live-set by walkers × steps and degrade later steps
             # (measured: per-step time tripling across 8 steps at 4M
-            # walkers); serialized bytes keep the heap flat
+            # walkers); serialized bytes keep the heap flat.
+            # frame_storage=DISK_ONLY when walkers × steps outgrows the
+            # block-manager memory: retained frames then stream to disk
+            # at a steady per-step cost instead of thrashing the LRU
+            # (measured 9-52s step swings at 40M x 16 under
+            # MEMORY_AND_DISK on a 48g heap; a production corpus never
+            # fits executor memory anyway)
             new_state = planned.localCheckpoint(
-                eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK
+                eager=True,
+                storageLevel=frame_storage or StorageLevel.MEMORY_AND_DISK,
             )
             row = obs.get
 

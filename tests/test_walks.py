@@ -276,3 +276,18 @@ class TestNode2vecWalks:
             seed=SEED, mult_return=2, mult_common=3, mult_far=1,
         )
         assert {tuple(r) for r in a.collect()} == {tuple(r) for r in b.collect()}
+
+
+def test_frame_storage_disk_only_same_corpus(spark):
+    from pyspark.storagelevel import StorageLevel
+
+    from linkgraph.algorithms.walks import random_walks
+
+    e = spark.createDataFrame(
+        [(i, (i * 3 + 1) % 20) for i in range(20)], "src long, dst long"
+    )
+    base, _ = random_walks(e, walk_length=5, portable=True)
+    disk, _ = random_walks(
+        e, walk_length=5, portable=True, frame_storage=StorageLevel.DISK_ONLY
+    )
+    assert sorted(map(tuple, base.collect())) == sorted(map(tuple, disk.collect()))

@@ -65,14 +65,21 @@ def main() -> None:
         with open("/proc/stat") as f:
             return list(map(int, f.readline().split()[1:9]))
 
+    from pyspark.storagelevel import StorageLevel
+
     cpu0 = cpu_snap()
     t0 = time.monotonic()
+    # DISK_ONLY retained frames: at ladder sizes walkers x steps
+    # outgrows the block-manager LRU and MEMORY_AND_DISK eviction
+    # churn makes per-step times bimodal (9-52s swings measured at
+    # 40M x 16); steady disk writes keep steps comparable
     corpus, res = random_walks(
         edges,
         walks_per_vertex=1,
         walk_length=walk_length,
         vertices=spark.range(n).select(F.col("id")),
         num_partitions=shuffle,
+        frame_storage=StorageLevel.DISK_ONLY,
     )
     row = corpus.agg(
         F.count(F.lit(1)).alias("rows"),
