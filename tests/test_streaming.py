@@ -240,3 +240,38 @@ class TestWarmRestartOnStreamedEdges:
         got = {r["id"]: r["component"] for r in warm.collect()}
         assert got == {0: 0, 1: 0, 2: 0, 5: 0, 6: 0}
         assert res.converged
+
+
+class TestStreamingCms:
+    def test_cms_sketch_stream_equals_batch(self, spark, tmp_path):
+        """cms_sketch is pure transformations (explode + groupBy count),
+        so it composes with a streaming frame unchanged; state is
+        bounded at depth*width counters however many docs stream by."""
+        from linkgraph.pipeline import cms_sketch
+
+        src = _stage_dir(tmp_path, f"{SF}/documents.parquet", "cmsdocs")
+        sk = cms_sketch(stream_documents(spark, src), depth=3, width=32, portable=True)
+        q = (
+            sk.writeStream.trigger(availableNow=True)
+            .outputMode("complete")
+            .format("memory")
+            .queryName("cms_stream")
+            .option("checkpointLocation", str(tmp_path / "cms_ck"))
+            .start()
+        )
+        q.awaitTermination()
+        got = {
+            (r["j"], r["bucket"]): r["cnt"]
+            for r in spark.sql("SELECT * FROM cms_stream").collect()
+        }
+        batch = {
+            (r["j"], r["bucket"]): r["cnt"]
+            for r in cms_sketch(
+                spark.read.parquet(f"{SF}/documents.parquet"),
+                depth=3,
+                width=32,
+                portable=True,
+            ).collect()
+        }
+        assert got == batch
+        assert len(got) <= 3 * 32
