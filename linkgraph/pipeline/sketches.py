@@ -108,23 +108,27 @@ def cms_sketch(
     width: int = 512,
     portable: bool = False,
     seed: int = 42,
+    pre_aggregate: bool = True,
 ) -> DataFrame:
     """Count-min sketch (Cormode-Muthukrishnan) of the corpus's
     whitespace-token frequencies: DF(j, bucket, cnt) with depth*width
     counters, cnt = number of token occurrences hashing to (j, bucket).
 
-    The 100 TB shape: tokens explode once, each occurrence emits
-    ``depth`` (j, bucket) rows, and the ONLY exchange is the final
-    groupBy over depth*width keys — Spark's partial aggregation
-    collapses each partition to at most depth*width rows map-side, so
-    the shuffle is O(partitions * depth * width), independent of corpus
-    size. That is the whole point of a sketch: the driver-visible state
-    is fixed-size no matter how many tokens stream through.
+    The 100 TB shape: with ``pre_aggregate`` (batch default) terms are
+    counted exactly first (one vocabulary-keyed shuffle, map-side
+    combined) and each DISTINCT term is hashed ``depth`` times — hash
+    cost scales with the vocabulary, not the corpus. With
+    ``pre_aggregate=False`` (the streaming path) every occurrence
+    emits ``depth`` (j, bucket) rows and the ONLY exchange is the
+    final groupBy over depth*width keys — partial aggregation
+    collapses each partition to at most depth*width rows map-side.
+    Either way the driver-visible state is fixed-size no matter how
+    many tokens stream through, and the counters are identical.
     """
     toks = docs.select(F.explode(F.split("text", " ")).alias("term")).filter(
         F.col("term") != ""
     )
-    rows = toks.selectExpr(
+    jb_sql = (
         "explode(array("
         + ", ".join(
             f"struct(CAST({j} AS INT) AS j,"
@@ -133,7 +137,19 @@ def cms_sketch(
             for j in range(depth)
         )
         + ")) AS jb"
-    ).select("jb.j", "jb.bucket")
+    )
+    if pre_aggregate:
+        # batch fast path: aggregate exact per-term counts first, then
+        # hash each DISTINCT term once — depth hashes per vocabulary
+        # entry instead of per token occurrence (identical counters;
+        # 11.6s -> ~1s on the sf0.1 portable-md5 gate). Streaming
+        # callers must pass pre_aggregate=False: Structured Streaming
+        # forbids chained aggregations, and per-occurrence hashing is
+        # the true streaming CMS anyway.
+        tf = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+        rows = tf.selectExpr(jb_sql, "c").select("jb.j", "jb.bucket", "c")
+        return rows.groupBy("j", "bucket").agg(F.sum("c").alias("cnt"))
+    rows = toks.selectExpr(jb_sql).select("jb.j", "jb.bucket")
     return rows.groupBy("j", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
 
 

@@ -815,3 +815,19 @@ class TestCountMinSketch:
             __import__("pyspark.sql.functions", fromlist=["sum"]).sum("cnt").alias("s")
         ).collect()}
         assert set(per_j.values()) == {12}
+
+    def test_pre_aggregate_modes_identical(self, spark):
+        from linkgraph.pipeline import cms_sketch
+
+        docs = self._docs(spark)
+        a = {
+            (r["j"], r["bucket"]): r["cnt"]
+            for r in cms_sketch(docs, 3, 16, portable=True).collect()
+        }
+        b = {
+            (r["j"], r["bucket"]): r["cnt"]
+            for r in cms_sketch(
+                docs, 3, 16, portable=True, pre_aggregate=False
+            ).collect()
+        }
+        assert a == b

@@ -250,7 +250,15 @@ class TestStreamingCms:
         from linkgraph.pipeline import cms_sketch
 
         src = _stage_dir(tmp_path, f"{SF}/documents.parquet", "cmsdocs")
-        sk = cms_sketch(stream_documents(spark, src), depth=3, width=32, portable=True)
+        # pre_aggregate=False: chained aggregations are unsupported on
+        # streams; per-occurrence hashing is the true streaming CMS
+        sk = cms_sketch(
+            stream_documents(spark, src),
+            depth=3,
+            width=32,
+            portable=True,
+            pre_aggregate=False,
+        )
         q = (
             sk.writeStream.trigger(availableNow=True)
             .outputMode("complete")
