@@ -748,6 +748,15 @@ def _q_events_hourly(spark, sf):
     ).agg(F.count(F.lit(1)).alias("n_events"))
 
 
+def _q_sessionize(spark, sf):
+    """Gap-based sessionization of the event stream: one user-keyed
+    window exchange, integer-microsecond gap compares, per-session
+    rollup (30-minute gap)."""
+    from linkgraph.pipeline import sessionize_events
+
+    return sessionize_events(spark.read.parquet(f"{sf}/events.parquet"))
+
+
 def _q_minhash_lsh(spark, sf):
     return minhash_lsh_pairs(load_documents(spark, sf), threshold=0.3, portable=True)
 
@@ -1288,6 +1297,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customers_without_orders": _q_customers_without_orders,
         "events_per_type": _q_events_per_type,
         "events_hourly": _q_events_hourly,
+        "event_sessions": _q_sessionize,
         "minhash_lsh_pairs": _q_minhash_lsh,
         "dedup_clusters": _q_dedup_clusters,
         "distinct_token_sketch": _q_kmv_sketch,
@@ -2550,6 +2560,9 @@ def oracle_sql() -> dict[str, str]:
             " FROM events GROUP BY 1, 2"
         ),
     }
+    from linkgraph.pipeline.sessions import sessionize_sql
+
+    sql["event_sessions"] = sessionize_sql()
     # identical contract, different engine path (public VertexProgram
     # API vs built-in algorithm) — same hop-bounded oracle
     sql["sssp_vertex_program"] = sql["sssp_hops"]

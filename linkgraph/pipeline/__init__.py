@@ -26,6 +26,7 @@ from .textstats import (
 )
 from .packing import pack_sequences
 from .sample import proportional_sample, stratified_sample, weighted_sample
+from .sessions import sessionize_events
 from .sketches import cms_probe_counts, cms_sketch, kmv_distinct_tokens
 from .similarity import (
     cosine_topk,
@@ -54,6 +55,7 @@ __all__ = [
     "contamination_check",
     "ngram_decontaminate",
     "cms_probe_counts",
+    "sessionize_events",
     "cms_sketch",
     "kmv_distinct_tokens",
     "weighted_sample",

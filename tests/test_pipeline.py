@@ -831,3 +831,47 @@ class TestCountMinSketch:
             ).collect()
         }
         assert a == b
+
+
+class TestSessionize:
+    def test_known_sessions(self, spark):
+        from datetime import datetime
+
+        from linkgraph.pipeline import sessionize_events
+
+        T = datetime(2024, 1, 1)
+        def at(sec):
+            from datetime import timedelta
+            return T + timedelta(seconds=sec)
+        rows = [
+            # user 1: events at 0s, 100s, 2000s (gap>1800 breaks), 2100s
+            (1, 1, at(0)), (2, 1, at(100)), (3, 1, at(2000)), (4, 1, at(2100)),
+            # user 2: single event
+            (5, 2, at(50)),
+        ]
+        ev = spark.createDataFrame(
+            rows, "event_id long, user_id long, ts timestamp"
+        )
+        got = sessionize_events(ev, gap_sec=1800).collect()
+        by = {(r["user_id"], r["session_seq"]): r for r in got}
+        assert len(got) == 3
+        s11 = by[(1, 1)]
+        assert s11["n_events"] == 2 and s11["first_event_id"] == 1
+        assert s11["duration_us"] == 100_000_000
+        s12 = by[(1, 2)]
+        assert s12["n_events"] == 2 and s12["first_event_id"] == 3
+        assert by[(2, 1)]["n_events"] == 1
+        assert by[(2, 1)]["duration_us"] == 0
+
+    def test_exact_gap_is_same_session(self, spark):
+        from datetime import datetime, timedelta
+
+        from linkgraph.pipeline import sessionize_events
+
+        T = datetime(2024, 1, 1)
+        ev = spark.createDataFrame(
+            [(1, 1, T), (2, 1, T + timedelta(seconds=1800))],
+            "event_id long, user_id long, ts timestamp",
+        )
+        # gap == gap_sec exactly: NOT a break (strict >)
+        assert sessionize_events(ev, gap_sec=1800).count() == 1
