@@ -78,14 +78,32 @@ def core_decomposition(
     converged = False
     supersteps = 0
     with iteration_conf(spark, p):
+        # DELTA PLAN: a vertex's h-index can only change if a
+        # neighbor's value dropped, so each round recomputes H only for
+        # the AFFECTED set (dsts of edges out of last round's changed
+        # vertices) — exact, since an unchanged neighborhood reproduces
+        # the same H. Two persisted adjacency copies keyed by src and
+        # dst keep every per-round join co-partitioned: the full edge
+        # relation is probed but never re-shuffled, and all exchanges
+        # are frontier-neighborhood-sized. The frontier collapses
+        # geometrically (degree-init overshoots only around dense
+        # cores), which is what makes late rounds cheap.
         adj = e.repartition(p, "src").persist()
+        radj = e.repartition(p, "dst").persist()
         adj.count()
+        radj.count()
 
         deg = adj.groupBy("src").agg(F.count(F.lit(1)).alias("c"))
         state = (
             vertices.select("id")
             .join(deg, F.col("id") == F.col("src"), "left_outer")
-            .selectExpr("id", "COALESCE(c, CAST(0 AS BIGINT)) AS c")
+            # round 0 counts as changed everywhere: the first round
+            # must evaluate every vertex once
+            .selectExpr(
+                "id",
+                "COALESCE(c, CAST(0 AS BIGINT)) AS c",
+                "CAST(1 AS BIGINT) AS chg",
+            )
             .repartition(p, "id")
             .localCheckpoint(eager=True)
         )
@@ -93,12 +111,20 @@ def core_decomposition(
         w = Window.partitionBy("dst").orderBy(F.desc("c"))
         for it in range(1, max_iters + 1):
             t0 = time.monotonic()
-            msgs = adj.join(state, F.col("src") == F.col("id")).select(
-                "dst", "c"
+            changed_ids = state.filter(F.col("chg") == 1).select("id")
+            affected = (
+                adj.join(changed_ids, F.col("src") == F.col("id"))
+                .select("dst")
+                .distinct()
+            )
+            gather = (
+                radj.join(affected, "dst", "left_semi")
+                .join(state.selectExpr("id AS src", "c"), "src")
+                .select("dst", "c")
             )
             # H = max_i min(v_i, i) over values sorted descending
             hidx = (
-                msgs.withColumn("rn", F.row_number().over(w))
+                gather.withColumn("rn", F.row_number().over(w))
                 .groupBy("dst")
                 .agg(F.max(F.least("c", "rn")).alias("h"))
             )
@@ -106,21 +132,16 @@ def core_decomposition(
                 state.join(hidx, state.id == hidx.dst, "left_outer")
                 .selectExpr(
                     "id",
-                    "LEAST(c, COALESCE(h, CAST(0 AS BIGINT))) AS c",
-                    "CAST(c > LEAST(c, COALESCE(h, CAST(0 AS BIGINT)))"
-                    " AS BIGINT) AS _chg",
+                    "LEAST(c, COALESCE(h, c)) AS c",
+                    "CAST(c > LEAST(c, COALESCE(h, c)) AS BIGINT) AS chg",
                 )
             )
             obs = Observation(f"coreness-{it}")
-            nxt = (
-                new.observe(
-                    obs,
-                    F.count(F.lit(1)).alias("rows"),
-                    F.sum("_chg").alias("changed"),
-                )
-                .drop("_chg")
-                .localCheckpoint(eager=True)
-            )
+            nxt = new.observe(
+                obs,
+                F.count(F.lit(1)).alias("rows"),
+                F.sum("chg").alias("changed"),
+            ).localCheckpoint(eager=True)
             row = obs.get
             stats = SuperstepMetrics(superstep=it)
             stats.rows = int(row["rows"])
@@ -135,5 +156,6 @@ def core_decomposition(
                 break
 
     adj.unpersist()
+    radj.unpersist()
     out = state.selectExpr("id", "c AS coreness")
     return out, LoopResult(out, supersteps, history, converged)
