@@ -111,17 +111,26 @@ def core_decomposition(
         w = Window.partitionBy("dst").orderBy(F.desc("c"))
         for it in range(1, max_iters + 1):
             t0 = time.monotonic()
-            changed_ids = state.filter(F.col("chg") == 1).select("id")
-            affected = (
-                adj.join(changed_ids, F.col("src") == F.col("id"))
-                .select("dst")
-                .distinct()
-            )
-            gather = (
-                radj.join(affected, "dst", "left_semi")
-                .join(state.selectExpr("id AS src", "c"), "src")
-                .select("dst", "c")
-            )
+            if it == 1:
+                # round 1 evaluates every vertex (init marks all
+                # changed): the full gather IS the affected set, so
+                # skip the distinct/semi-join machinery — the same
+                # OUTER->delta switch shape as VertexProgram plan=auto
+                gather = radj.join(
+                    state.selectExpr("id AS src", "c"), "src"
+                ).select("dst", "c")
+            else:
+                changed_ids = state.filter(F.col("chg") == 1).select("id")
+                affected = (
+                    adj.join(changed_ids, F.col("src") == F.col("id"))
+                    .select("dst")
+                    .distinct()
+                )
+                gather = (
+                    radj.join(affected, "dst", "left_semi")
+                    .join(state.selectExpr("id AS src", "c"), "src")
+                    .select("dst", "c")
+                )
             # H = max_i min(v_i, i) over values sorted descending
             hidx = (
                 gather.withColumn("rn", F.row_number().over(w))
