@@ -53,7 +53,15 @@ def imru_run(
     spark = data.sparkSession
     sc = spark.sparkContext
     data = data.persist()
-    data.count()
+    if data.count() == 0:
+        # non-empty input guarantees at least one Arrow batch, hence at
+        # least one partial — checked ONCE here, not per iteration (an
+        # in-loop isEmpty() probe costs an extra uncached job per
+        # iteration that re-runs the map pass)
+        data.unpersist()
+        raise ValueError(
+            "imru_run: empty input — no Arrow batches would produce any partial"
+        )
 
     import pyspark.sql.types as T
 
@@ -76,12 +84,7 @@ def imru_run(
         partials = data.mapInPandas(map_partials, schema=partial_schema)
         # aggregation tree over per-batch partials (reference: the IMRU
         # reduce tree); partials are O(model) so depth-2 is plenty.
-        partials_rdd = partials.rdd.map(lambda r: r["partial"])
-        if partials_rdd.isEmpty():
-            raise ValueError(
-                "imru_run: empty input — no Arrow batches produced any partial"
-            )
-        reduced_bytes = partials_rdd.treeReduce(
+        reduced_bytes = partials.rdd.map(lambda r: r["partial"]).treeReduce(
             lambda a, b: pickle.dumps(reduce_fn(pickle.loads(a), pickle.loads(b))), depth=2
         )
         reduced = pickle.loads(reduced_bytes)
