@@ -238,11 +238,22 @@ def random_walks(
                 state = init.localCheckpoint(eager=True)
         else:
             state = init.localCheckpoint(eager=True)
-        first = state  # step-0 corpus frame (all walkers at their start)
+        # step-0 corpus frame = every walker at its start. On resume the
+        # loaded snapshot is a LATER step's frame, so fall back to the
+        # (deterministic, lazily recomputed) init plan — using the
+        # snapshot here would stamp step-k positions as step 0.
+        first = state if start_k == 1 else init
 
         k = start_k - 1
         for k in range(start_k, walk_length + 1):
             t0 = time.monotonic()
+            # frontier = the previous frame's survivors. Walkers that
+            # died at step j carry active=false in frame j and are
+            # dropped here — each retained frame holds only the walkers
+            # that were live going INTO its step, so the loop never
+            # re-reads or re-writes the accumulated dead set (the old
+            # state ∪ parked shape cost one extra full-frame disk scan
+            # per step at DISK_ONLY ladder sizes).
             live = state.filter("active").selectExpr(
                 "id", "cur", f"{_spark_coin('id', k, seed, portable)} AS _pick"
             )
@@ -258,9 +269,8 @@ def random_walks(
                     ie["dst"].isNotNull().alias("active"),
                 )
             )
-            parked = state.filter("NOT active").select("id", "cur", "active")
             obs = Observation(f"walk-{k}")
-            planned = stepped.unionByName(parked).observe(
+            planned = stepped.observe(
                 obs,
                 F.count(F.lit(1)).alias("rows"),
                 F.sum(F.col("active").cast("long")).alias("changed"),
@@ -314,7 +324,14 @@ def random_walks(
                 F.col("cur").alias("vertex"),
             )
         )
-    return corpus, LoopResult(state, k, history, converged)
+    # final per-walker state: a walker dead-ended at step j appears
+    # inactive in frame j ONLY (it leaves the frontier), so the lazy
+    # union of every frame's dead rows plus the last frame's rows is
+    # exactly one row per walker
+    final_state = frames[-1][1] if frames else first
+    for _, frame in frames[:-1]:
+        final_state = final_state.unionByName(frame.filter("NOT active"))
+    return corpus, LoopResult(final_state, k, history, converged)
 
 
 def node2vec_walks(
@@ -408,15 +425,17 @@ def node2vec_walks(
                 state = init.localCheckpoint(eager=True)
         else:
             state = init.localCheckpoint(eager=True)
-        first = state  # step-0 corpus frame
+        # see random_walks: on resume the snapshot is a later step's
+        # frame, not the step-0 positions
+        first = state if start_k == 1 else init
 
         k = start_k - 1
         for k in range(start_k, walk_length + 1):
             t0 = time.monotonic()
+            # frontier = previous frame's survivors; dead walkers leave
+            # the frontier at the step they die, so frames stay
+            # frontier-sized (see random_walks)
             live = state.filter("active").select("id", "prev", "cur")
-            parked = state.filter("NOT active").select(
-                "id", "prev", "cur", "active"
-            )
             mark = ie.select(F.col("src").alias("mx"), F.col("dst").alias("mp"))
             bias = (
                 F.when(F.col("e.dst") == F.col("w.prev"), F.lit(mult_return))
@@ -468,14 +487,10 @@ def node2vec_walks(
                 cand.select("id").distinct(), "id", "left_anti"
             ).select("id", "prev", "cur", F.lit(False).alias("active"))
             obs = Observation(f"n2v-{k}")
-            planned = (
-                stepped.unionByName(dead)
-                .unionByName(parked)
-                .observe(
-                    obs,
-                    F.count(F.lit(1)).alias("rows"),
-                    F.sum(F.col("active").cast("long")).alias("changed"),
-                )
+            planned = stepped.unionByName(dead).observe(
+                obs,
+                F.count(F.lit(1)).alias("rows"),
+                F.sum(F.col("active").cast("long")).alias("changed"),
             )
             new_state = planned.localCheckpoint(
                 eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK
@@ -511,4 +526,46 @@ def node2vec_walks(
                 F.col("cur").alias("vertex"),
             )
         )
-    return corpus, LoopResult(state, k, history, converged)
+    final_state = frames[-1][1] if frames else first
+    for _, frame in frames[:-1]:
+        final_state = final_state.unionByName(frame.filter("NOT active"))
+    return corpus, LoopResult(final_state, k, history, converged)
+
+
+def skipgram_pairs(
+    corpus: DataFrame,
+    window: int = 2,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """(center BIGINT, context BIGINT, n_pairs BIGINT) — skip-gram
+    training pairs from a walk corpus (the output contract of
+    :func:`random_walks` / :func:`node2vec_walks`): for every walk and
+    every position, each vertex within ``window`` steps on either side
+    is one (center, context) observation; identical pairs aggregate to
+    a count. This is the corpus->examples step of a DeepWalk/node2vec
+    embedding pipeline — "sentences" in, SGNS training pairs out.
+
+    100 TB shape: ONE self-join co-partitioned on walk_id (a walk's
+    rows are walk_length+1 long, so the join fan-out is bounded by
+    2*window per row, never quadratic in the corpus), then a map-side
+    partial count into the (center, context) aggregate; the only
+    corpus-sized exchange is the walk_id hash used by both join sides.
+    """
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    c = corpus.select("walk_id", "step", "vertex")
+    if num_partitions:
+        c = c.repartition(num_partitions, "walk_id")
+    a, b = c.alias("a"), c.alias("b")
+    return (
+        a.join(b, "walk_id")
+        .where(
+            (F.col("b.step") != F.col("a.step"))
+            & (F.abs(F.col("b.step") - F.col("a.step")) <= window)
+        )
+        .groupBy(
+            F.col("a.vertex").alias("center"),
+            F.col("b.vertex").alias("context"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )

@@ -59,6 +59,14 @@ def get_spark(
         "spark.sql.broadcastTimeout": "1200",
         # Keep plans from growing unboundedly across supersteps.
         "spark.cleaner.referenceTracking.cleanCheckpoints": "true",
+        # Serialized cached blocks (per-superstep localCheckpoint state,
+        # retained walk corpus frames) are NOT compressed by default,
+        # unlike shuffle — LZ4 them: vertex-state rows are narrow
+        # integer tuples that compress several-fold, and the retained
+        # DISK_ONLY walk frames turn from disk-bandwidth-bound writes
+        # into cheap compressed streams. Deserialized MEMORY_ONLY
+        # caches are unaffected.
+        "spark.rdd.compress": "true",
         # A convergence run is hundreds of supersteps = hundreds of SQL
         # executions; the status store retains plan-description strings
         # per execution (default 1000) which accumulate to real driver

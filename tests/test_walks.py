@@ -291,3 +291,35 @@ def test_frame_storage_disk_only_same_corpus(spark):
         e, walk_length=5, portable=True, frame_storage=StorageLevel.DISK_ONLY
     )
     assert sorted(map(tuple, base.collect())) == sorted(map(tuple, disk.collect()))
+
+
+def test_walk_resume_from_partial_checkpoints(spark, tmp_path):
+    """Kill/resume: a run checkpointed every step, then resumed after
+    'losing' the in-memory state, must rebuild the identical corpus —
+    committed snapshots double as corpus frames."""
+    from linkgraph.algorithms.walks import random_walks
+    from linkgraph.checkpoint import CheckpointManager
+
+    e = spark.createDataFrame(
+        [(i, (i * 3 + 1) % 20) for i in range(20)]
+        + [(i, (i * 7 + 2) % 20) for i in range(20)],
+        "src long, dst long",
+    )
+    full, _ = random_walks(e, walk_length=6, seed=5, portable=True)
+    expected = sorted(map(tuple, full.collect()))
+
+    ck1 = CheckpointManager(spark, str(tmp_path / "ck"), every=1)
+    partial, res1 = random_walks(
+        e, walk_length=3, seed=5, portable=True, ckpt=ck1
+    )
+    partial.count()  # materialize through step 3; snapshots committed
+    assert ck1.committed_supersteps() == [1, 2, 3]
+
+    # resume in a fresh manager over the same dir, extending to 6
+    ck2 = CheckpointManager(spark, str(tmp_path / "ck"), every=1)
+    corpus, res2 = random_walks(
+        e, walk_length=6, seed=5, portable=True, ckpt=ck2, resume=True
+    )
+    assert sorted(map(tuple, corpus.collect())) == expected
+    # only steps 4..6 were actually re-run
+    assert [h.superstep for h in res2.history] == [1, 2, 3, 4, 5, 6]
