@@ -129,6 +129,8 @@ SAMPLE_SEED = 42
 RW_W = 2
 RW_LEN = 6
 RW_SEED = 7
+# skip-gram context window over the walk corpus
+SG_WINDOW = 2
 # Luby MIS: coin seed / oracle unroll depth (engine fails loudly if it
 # needs more rounds — same rule as KCORE_PASSES)
 MIS_SEED = 3
@@ -769,6 +771,32 @@ def _q_dedup_clusters(spark, sf):
     return dedup_clusters(load_documents(spark, sf), threshold=0.3, portable=True)
 
 
+def _q_canonical_docs(spark, sf):
+    """Quality-aware dedup pass: one surviving doc per near-dup
+    cluster, chosen by the integer quality key (ties to lowest
+    doc_id) — dedup that actually drops documents."""
+    from linkgraph.pipeline.dedup import canonical_docs
+
+    return canonical_docs(load_documents(spark, sf), threshold=0.3, portable=True)
+
+
+def _q_skipgram_pairs(spark, sf):
+    """Embedding-pipeline composition: the portable walk corpus turned
+    into aggregated (center, context) SGNS training pairs."""
+    from linkgraph import random_walks
+    from linkgraph.algorithms.walks import skipgram_pairs
+
+    corpus, _ = random_walks(
+        document_edges(spark, sf),
+        walks_per_vertex=RW_W,
+        walk_length=RW_LEN,
+        seed=RW_SEED,
+        vertices=document_vertices(spark, sf),
+        portable=True,
+    )
+    return skipgram_pairs(corpus, window=SG_WINDOW)
+
+
 def _q_vocabulary(spark, sf):
     from linkgraph.pipeline.textstats import vocabulary
 
@@ -1300,6 +1328,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_sessions": _q_sessionize,
         "minhash_lsh_pairs": _q_minhash_lsh,
         "dedup_clusters": _q_dedup_clusters,
+        "canonical_docs": _q_canonical_docs,
+        "skipgram_pairs": _q_skipgram_pairs,
         "distinct_token_sketch": _q_kmv_sketch,
         "cms_token_counts": _q_cms_probe,
         "simhash64": _q_simhash,
@@ -2169,6 +2199,73 @@ def _dedup_clusters_sql(
     )
 
 
+def _canonical_docs_sql(
+    num_hashes: int, bands: int, shingle_n: int, threshold: float, seed: int
+) -> str:
+    """dedup_clusters' recursive-CTE closure + the INTEGER quality key
+    (textstats.quality_key: 5/3/2 band points, every band test an
+    integer compare so the ranking has no float ties), survivor = max
+    q10 then min doc_id per cluster."""
+    ctes = _minhash_ctes(num_hashes, bands, shingle_n, seed)
+    ctes.append(
+        f"pairs AS MATERIALIZED (SELECT doc_a, doc_b FROM est"
+        f" WHERE est_jaccard >= {threshold})"
+    )
+    ctes.append(
+        "sym AS MATERIALIZED (SELECT doc_a AS s, doc_b AS d FROM pairs"
+        " UNION ALL SELECT doc_b, doc_a FROM pairs)"
+    )
+    ctes.append(
+        "reach(doc, r) AS (SELECT doc_id, doc_id FROM documents"
+        " UNION"
+        " SELECT re.doc, sym.d FROM reach re JOIN sym ON sym.s = re.r)"
+    )
+    ctes.append(
+        "comp AS MATERIALIZED (SELECT doc AS doc_id, MIN(r) AS cluster"
+        " FROM reach GROUP BY doc)"
+    )
+    ctes.append(
+        "qk AS MATERIALIZED ("
+        " WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks"
+        "   FROM documents),"
+        " m AS (SELECT doc_id, len(toks)::BIGINT AS n_tok,"
+        f"   len(list_filter(toks, x -> list_contains({_STOP}, x)))::BIGINT AS n_stop,"
+        "   list_sum(list_transform(toks, x -> length(x)))::BIGINT AS sum_len"
+        "  FROM t)"
+        " SELECT doc_id,"
+        "  CAST((CASE WHEN n_tok >= 5 AND n_tok <= 5000 THEN 5 ELSE 0 END)"
+        "   + (CASE WHEN 100*n_stop > n_tok AND 10*n_stop < 6*n_tok THEN 3 ELSE 0 END)"
+        "   + (CASE WHEN sum_len > 2*n_tok AND sum_len < 12*n_tok THEN 2 ELSE 0 END)"
+        "  AS INT) AS q10 FROM m)"
+    )
+    return (
+        "WITH RECURSIVE "
+        + ",\n".join(ctes)
+        + "\nSELECT cluster, kept_doc_id, q10, cluster_size FROM ("
+        " SELECT c.cluster, c.doc_id AS kept_doc_id, q.q10,"
+        "  COUNT(*) OVER (PARTITION BY c.cluster) AS cluster_size,"
+        "  ROW_NUMBER() OVER (PARTITION BY c.cluster"
+        "   ORDER BY q.q10 DESC, c.doc_id ASC) AS rn"
+        " FROM comp c JOIN qk q USING (doc_id)) WHERE rn = 1"
+    )
+
+
+def _skipgram_sql(w: int, length: int, seed: int, window: int) -> str:
+    """Skip-gram pairs over the unrolled portable walk corpus: the
+    corpus statement (_random_walks_sql) nested as a CTE, self-joined
+    on walk_id with |step delta| in [1, window], counted per
+    (center, context)."""
+    corpus_stmt = _random_walks_sql(w, length, seed)
+    return (
+        f"WITH corpus AS ({corpus_stmt})"
+        " SELECT a.vertex AS center, b.vertex AS context,"
+        " COUNT(*)::BIGINT AS n_pairs"
+        " FROM corpus a JOIN corpus b ON a.walk_id = b.walk_id"
+        f" AND b.step <> a.step AND abs(b.step - a.step) <= {window}"
+        " GROUP BY a.vertex, b.vertex"
+    )
+
+
 def _simhash_fp_ctes(shingle_n: int) -> list[str]:
     """CTE chain ending in ``fp(doc_id, simhash)`` — the bit-exact
     SimHash fingerprint: md5-digit hi/lo shingle-hash halves, per-bit
@@ -2686,6 +2783,8 @@ def oracle_sql() -> dict[str, str]:
     # near-dup clusters: same pair CTEs + recursive-CTE transitive
     # closure (min reachable doc_id == the engine's min-label CC)
     sql["dedup_clusters"] = _dedup_clusters_sql(64, 16, 3, 0.3, 42)
+    sql["canonical_docs"] = _canonical_docs_sql(64, 16, 3, 0.3, 42)
+    sql["skipgram_pairs"] = _skipgram_sql(RW_W, RW_LEN, RW_SEED, SG_WINDOW)
     # corpus vocabulary: top-50 terms by doc frequency
     sql["vocabulary"] = (
         "WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term"

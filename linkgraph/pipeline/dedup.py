@@ -634,3 +634,58 @@ def dedup_clusters(
         F.col("component").alias("cluster"),
         (F.col("id") == F.col("component")).cast("int").alias("is_representative"),
     )
+
+
+def canonical_docs(
+    docs: DataFrame,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    threshold: float = 0.4,
+    seed: int = 42,
+    max_bucket_size: int | None = 100_000,
+    portable: bool = False,
+) -> DataFrame:
+    """(cluster, kept_doc_id, q10, cluster_size) — the dedup pass that
+    actually DROPS documents: one surviving row per near-duplicate
+    cluster, the survivor chosen by highest integer quality key
+    (:func:`~linkgraph.pipeline.textstats.quality_key`), ties to the
+    lowest doc_id. Composes :func:`dedup_clusters` (MinHash-LSH pairs
+    closed by the CC loop) with quality-aware representative selection
+    — the reference's dedup story keeps min-id; a training-data
+    pipeline keeps the best-quality copy.
+
+    100 TB shape: clustering is the linear banded bucket join + the
+    delta CC loop (see dedup_clusters); selection adds ONE
+    cluster-keyed shuffle. The quality key never touches the text a
+    second time per step — it's computed in the same single scan that
+    feeds clustering, and the per-cluster argmax is a partial-aggregate
+    (max_by) rather than a window sort, so the exchange carries one row
+    per (partition, cluster).
+    """
+    from .textstats import quality_key
+
+    clusters = dedup_clusters(
+        docs,
+        num_hashes=num_hashes,
+        bands=bands,
+        shingle_n=shingle_n,
+        threshold=threshold,
+        seed=seed,
+        max_bucket_size=max_bucket_size,
+        portable=portable,
+    )
+    keyed = clusters.join(quality_key(docs), "doc_id")
+    # argmax by (q10 desc, doc_id asc) as a single aggregate: pack the
+    # ordering into one BIGINT sort key (q10 is 0..10, doc_id >= 0) so
+    # min_by suffices and the agg combines map-side
+    sort_key = ((F.lit(10) - F.col("q10")).cast("long") * F.lit(2**53) + F.col("doc_id"))
+    return (
+        keyed.withColumn("_sk", sort_key)
+        .groupBy("cluster")
+        .agg(
+            F.min_by("doc_id", "_sk").alias("kept_doc_id"),
+            F.min_by("q10", "_sk").alias("q10"),
+            F.count(F.lit(1)).alias("cluster_size"),
+        )
+    )

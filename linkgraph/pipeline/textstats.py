@@ -52,6 +52,31 @@ def quality_score(docs: DataFrame) -> DataFrame:
     )
 
 
+def quality_key(docs: DataFrame) -> DataFrame:
+    """(doc_id, q10 INT) — the :func:`quality_score` heuristic as an
+    INTEGER key in tenths (5/3/2 points for the length / stopword-ratio
+    / token-length bands), with every band test spelled as an integer
+    compare (``n_stop/n_tok > 0.01`` ⟺ ``100*n_stop > n_tok`` etc.) so
+    ranking by quality is exact in any engine — no float division, no
+    ROUND ties. ``q10 == CAST(10*quality AS INT)`` of quality_score.
+    """
+    toks = _tokens()
+    stop_arr = "array({})".format(",".join(f"'{w}'" for w in STOPWORDS))
+    n_stop = F.size(F.expr(f"filter(split(text, ' '), t -> array_contains({stop_arr}, t))"))
+    n_tok = F.size(toks)
+    sum_len = F.expr("aggregate(split(text, ' '), 0L, (acc, t) -> acc + length(t))")
+    q10 = (
+        F.when((n_tok >= 5) & (n_tok <= 5000), F.lit(5)).otherwise(F.lit(0))
+        + F.when(
+            (100 * n_stop > n_tok) & (10 * n_stop < 6 * n_tok), F.lit(3)
+        ).otherwise(F.lit(0))
+        + F.when(
+            (sum_len > 2 * n_tok) & (sum_len < 12 * n_tok), F.lit(2)
+        ).otherwise(F.lit(0))
+    )
+    return docs.select("doc_id", q10.cast("int").alias("q10"))
+
+
 def language_id(docs: DataFrame) -> DataFrame:
     """(doc_id, pred_lang) — n-gram/stopword heuristic language ID:
      'en' when English stopword density clears a threshold."""

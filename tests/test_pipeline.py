@@ -875,3 +875,93 @@ class TestSessionize:
         )
         # gap == gap_sec exactly: NOT a break (strict >)
         assert sessionize_events(ev, gap_sec=1800).count() == 1
+
+
+class TestCanonicalDocs:
+    def test_survivor_is_highest_quality_not_min_id(self, spark):
+        from linkgraph.pipeline.dedup import canonical_docs
+        from linkgraph.pipeline.textstats import quality_key
+
+        # doc 0 and doc 1 are near-dups; doc 0 (min id) is a short
+        # low-quality fragment, doc 1 is a healthy sentence with
+        # stopwords — the survivor must be 1, NOT the min id
+        long_tail = " ".join(f"tok{i} the of and to quick brown fox" for i in range(4))
+        rows = [
+            (0, "x y"),  # n_tok < 5 and no stopwords: q10 = 2 at best
+            (1, "the quick brown fox jumps of and to " + long_tail),
+            (2, "the quick brown fox jumps of and to " + long_tail + " end"),
+            (3, "an unrelated singleton document all by itself entirely"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+        qk = {r["doc_id"]: r["q10"] for r in quality_key(docs).collect()}
+        got = {
+            r["cluster"]: (r["kept_doc_id"], r["q10"], r["cluster_size"])
+            for r in canonical_docs(docs, threshold=0.2, portable=True).collect()
+        }
+        # every cluster keeps exactly one doc; total rows == n clusters
+        assert sum(v[2] for v in got.values()) == 4
+        for cluster, (kept, q10, size) in got.items():
+            assert qk[kept] == q10
+            if size > 1:
+                assert kept != 0, "low-quality min-id doc must not survive"
+        # the singleton survives as its own representative
+        assert any(size == 1 and kept == 3 for kept, _, size in got.values())
+
+    def test_quality_key_matches_quality_score_tenths(self, spark):
+        from linkgraph.pipeline.textstats import quality_key, quality_score
+
+        rows = [
+            (0, "x y"),
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "a " * 6000),
+            (3, "supercalifragilisticexpialidocious " * 20),
+            (4, "the a of and to in is the a of"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+        qs = {r["doc_id"]: r["quality"] for r in quality_score(docs).collect()}
+        qk = {r["doc_id"]: r["q10"] for r in quality_key(docs).collect()}
+        for d in qs:
+            assert qk[d] == round(10 * qs[d]), (d, qs[d], qk[d])
+
+
+class TestSkipgramPairs:
+    def test_matches_bruteforce(self, spark):
+        from linkgraph.algorithms.walks import random_walks, skipgram_pairs
+        from linkgraph.synth import adjacency_to_edges, edges_df
+        from linkgraph.synth import WEBMAP
+
+        edges = edges_df(spark, adjacency_to_edges(WEBMAP))
+        corpus, _ = random_walks(edges, walks_per_vertex=2, walk_length=5, seed=3)
+        window = 2
+        got = {
+            (r["center"], r["context"]): r["n_pairs"]
+            for r in skipgram_pairs(corpus, window=window).collect()
+        }
+        walks = {}
+        for r in corpus.collect():
+            walks.setdefault(r["walk_id"], {})[r["step"]] = r["vertex"]
+        expected = {}
+        for steps in walks.values():
+            for i, ci in steps.items():
+                for j, cj in steps.items():
+                    if i != j and abs(i - j) <= window:
+                        expected[(ci, cj)] = expected.get((ci, cj), 0) + 1
+        assert got == expected
+        assert sum(got.values()) > 0
+
+    def test_window_bounds_fanout(self, spark):
+        from linkgraph.algorithms.walks import skipgram_pairs
+
+        rows = [(0, s, 100 + s) for s in range(6)]  # one walk, distinct vertices
+        corpus = spark.createDataFrame(rows, "walk_id LONG, step INT, vertex LONG")
+        n = skipgram_pairs(corpus, window=1).agg({"n_pairs": "sum"}).first()[0]
+        assert n == 2 * 5  # each adjacent pair counted in both directions
+
+    def test_rejects_bad_window(self, spark):
+        import pytest as _pytest
+
+        from linkgraph.algorithms.walks import skipgram_pairs
+
+        corpus = spark.createDataFrame([(0, 0, 1)], "walk_id LONG, step INT, vertex LONG")
+        with _pytest.raises(ValueError):
+            skipgram_pairs(corpus, window=0)
