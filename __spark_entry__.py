@@ -131,6 +131,15 @@ RW_LEN = 6
 RW_SEED = 7
 # skip-gram context window over the walk corpus
 SG_WINDOW = 2
+# integer SGNS trainer: dim / epochs / negatives / lr / coin seed /
+# embedding scale (coordinates are BIGINTs in units of 2^-SCALE_BITS)
+SGNS_DIM = 4
+SGNS_EPOCHS = 2
+SGNS_NEG = 2
+SGNS_LR_NUM = 1
+SGNS_LR_DEN = 4
+SGNS_SEED = 11
+SGNS_SCALE_BITS = 14
 # Luby MIS: coin seed / oracle unroll depth (engine fails loudly if it
 # needs more rounds — same rule as KCORE_PASSES)
 MIS_SEED = 3
@@ -797,6 +806,39 @@ def _q_skipgram_pairs(spark, sf):
     return skipgram_pairs(corpus, window=SG_WINDOW)
 
 
+def _q_sgns_embeddings(spark, sf):
+    """Bit-exact integer SGNS: walks -> skip-gram pairs -> scaled-
+    integer embedding training (hard sigmoid, counter-based init and
+    negatives) — the full graph-embedding pipeline, every coordinate a
+    BIGINT the oracle replays exactly."""
+    from linkgraph import random_walks
+    from linkgraph.algorithms.walks import skipgram_pairs
+    from linkgraph.pipeline.sgns import train_sgns
+
+    corpus, _ = random_walks(
+        document_edges(spark, sf),
+        walks_per_vertex=RW_W,
+        walk_length=RW_LEN,
+        seed=RW_SEED,
+        vertices=document_vertices(spark, sf),
+        portable=True,
+    )
+    pairs = skipgram_pairs(corpus, window=SG_WINDOW)
+    out, _ = train_sgns(
+        pairs,
+        vertices=document_vertices(spark, sf),
+        dim=SGNS_DIM,
+        epochs=SGNS_EPOCHS,
+        negatives=SGNS_NEG,
+        lr_num=SGNS_LR_NUM,
+        lr_den=SGNS_LR_DEN,
+        seed=SGNS_SEED,
+        scale_bits=SGNS_SCALE_BITS,
+        portable=True,
+    )
+    return out
+
+
 def _q_vocabulary(spark, sf):
     from linkgraph.pipeline.textstats import vocabulary
 
@@ -1330,6 +1372,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": _q_dedup_clusters,
         "canonical_docs": _q_canonical_docs,
         "skipgram_pairs": _q_skipgram_pairs,
+        "sgns_embeddings": _q_sgns_embeddings,
         "distinct_token_sketch": _q_kmv_sketch,
         "cms_token_counts": _q_cms_probe,
         "simhash64": _q_simhash,
@@ -2266,6 +2309,112 @@ def _skipgram_sql(w: int, length: int, seed: int, window: int) -> str:
     )
 
 
+def _fdiv(a: str, b: int) -> str:
+    """Exact floor division for possibly-negative ``a`` by positive
+    literal ``b`` in DuckDB, whose ``//`` truncates toward zero —
+    spelled with pure integer arithmetic so there is no float anywhere
+    in the SGNS oracle."""
+    return (
+        f"(CASE WHEN ({a}) >= 0 THEN ({a}) // {b}"
+        f" ELSE -((-({a}) + {b} - 1) // {b}) END)"
+    )
+
+
+def _sgns_sql(
+    w: int,
+    length: int,
+    walk_seed: int,
+    window: int,
+    dim: int,
+    epochs: int,
+    negatives: int,
+    lr_num: int,
+    lr_den: int,
+    seed: int,
+    scale_bits: int,
+) -> str:
+    """Unrolled integer SGNS (pipeline/sgns.py spec): the skip-gram
+    pair statement nested as a CTE, counter-based init and negative
+    draws (md5 coins), per-epoch full-batch hard-sigmoid gradients in
+    exact integer arithmetic — every CTE mirrors one numpy statement
+    of the IMRU kernel, so the final (vertex, side, dim, value) rows
+    hash-match bit for bit."""
+    from linkgraph.pipeline.sgns import coin_sql_oracle
+
+    S = 1 << scale_bits
+    half, quarter_den, upd_den, clamp = S // 2, 4 * S, lr_den * S, 2 * S
+    max_n = 1 << 15
+    sg = _skipgram_sql(w, length, walk_seed, window)
+    ctes = [
+        f"sg AS MATERIALIZED ({sg})",
+        # vocabulary = ALL document vertices (the driver passes
+        # document_vertices), indexed in sorted order for negatives
+        "vocab AS MATERIALIZED (SELECT doc_id AS v,"
+        " ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS idx FROM documents)",
+        f"dims AS (SELECT unnest(generate_series(0, {dim - 1})) AS j)",
+        "grid AS (SELECT v, j FROM vocab CROSS JOIN dims)",
+        f"ein0 AS MATERIALIZED (SELECT v, j,"
+        f" {coin_sql_oracle('sgi', ['v', 'j'], seed)} % {S} - {half} AS val"
+        f" FROM grid)",
+        f"eout0 AS MATERIALIZED (SELECT v, j,"
+        f" {coin_sql_oracle('sgo', ['v', 'j'], seed)} % {S} - {half} AS val"
+        f" FROM grid)",
+        # examples: positives (m = -1, x0 = x) + counter-drawn
+        # negatives (x0 = the source pair's context — kept so the
+        # per-example group key (c, x0, m) stays UNIQUE even when two
+        # pairs draw the same negative vertex; collapsing such rows
+        # would halve their gradient weight vs the row-wise kernel);
+        # weights capped like the kernel's max_pair_weight
+        f"pos AS (SELECT center AS c, context AS x0, context AS x, 1 AS y,"
+        f" LEAST(n_pairs, {max_n}) AS n, -1 AS m FROM sg)",
+        f"negm AS (SELECT center AS c, context AS x0,"
+        f" LEAST(n_pairs, {max_n}) AS n, g.m AS m,"
+        f" {coin_sql_oracle('sgn', ['center', 'context', 'g.m'], seed)}"
+        f" % (SELECT COUNT(*) FROM vocab) AS idx"
+        f" FROM sg CROSS JOIN (SELECT unnest(generate_series(0, {negatives - 1})) AS m) g(m))"
+        if negatives > 0
+        else "negm AS (SELECT NULL AS c, NULL AS x0, NULL AS n, NULL AS m,"
+        " NULL AS idx WHERE FALSE)",
+        "neg AS (SELECT negm.c, negm.x0, vocab.v AS x, 0 AS y, negm.n, negm.m"
+        " FROM negm JOIN vocab USING (idx))",
+        "ex AS MATERIALIZED (SELECT * FROM pos UNION ALL SELECT * FROM neg)",
+    ]
+    for e in range(epochs):
+        s_expr = "SUM(i.val * o.val)"
+        g_expr = (
+            f"LEAST(GREATEST({half} + {_fdiv('s', quarter_den)}, 0), {S})"
+            f" - y * {S}"
+        )
+        ctes += [
+            f"sc{e} AS MATERIALIZED (SELECT ex.c, ex.x0, ex.x, ex.y, ex.n, ex.m,"
+            f" {s_expr} AS s"
+            f" FROM ex JOIN ein{e} i ON i.v = ex.c"
+            f" JOIN eout{e} o ON o.v = ex.x AND o.j = i.j"
+            f" GROUP BY ex.c, ex.x0, ex.x, ex.y, ex.n, ex.m)",
+            f"gr{e} AS MATERIALIZED (SELECT c, x, n, ({g_expr}) AS g FROM sc{e})",
+            f"gin{e} AS (SELECT gr.c AS v, o.j,"
+            f" SUM({_fdiv('-(gr.n * gr.g) * ' + str(lr_num) + ' * o.val', upd_den)})"
+            f" AS dval FROM gr{e} gr JOIN eout{e} o ON o.v = gr.x"
+            f" GROUP BY gr.c, o.j)",
+            f"gout{e} AS (SELECT gr.x AS v, i.j,"
+            f" SUM({_fdiv('-(gr.n * gr.g) * ' + str(lr_num) + ' * i.val', upd_den)})"
+            f" AS dval FROM gr{e} gr JOIN ein{e} i ON i.v = gr.c"
+            f" GROUP BY gr.x, i.j)",
+            f"ein{e + 1} AS MATERIALIZED (SELECT b.v, b.j,"
+            f" LEAST(GREATEST(b.val + COALESCE(d.dval, 0), -{clamp}), {clamp}) AS val"
+            f" FROM ein{e} b LEFT JOIN gin{e} d ON d.v = b.v AND d.j = b.j)",
+            f"eout{e + 1} AS MATERIALIZED (SELECT b.v, b.j,"
+            f" LEAST(GREATEST(b.val + COALESCE(d.dval, 0), -{clamp}), {clamp}) AS val"
+            f" FROM eout{e} b LEFT JOIN gout{e} d ON d.v = b.v AND d.j = b.j)",
+        ]
+    return (
+        "WITH " + ",\n".join(ctes) + f"\nSELECT v AS vertex, 'in' AS side,"
+        f" CAST(j AS INT) AS dim, CAST(val AS BIGINT) AS value FROM ein{epochs}"
+        f" UNION ALL SELECT v, 'out', CAST(j AS INT), CAST(val AS BIGINT)"
+        f" FROM eout{epochs}"
+    )
+
+
 def _simhash_fp_ctes(shingle_n: int) -> list[str]:
     """CTE chain ending in ``fp(doc_id, simhash)`` — the bit-exact
     SimHash fingerprint: md5-digit hi/lo shingle-hash halves, per-bit
@@ -2785,6 +2934,11 @@ def oracle_sql() -> dict[str, str]:
     sql["dedup_clusters"] = _dedup_clusters_sql(64, 16, 3, 0.3, 42)
     sql["canonical_docs"] = _canonical_docs_sql(64, 16, 3, 0.3, 42)
     sql["skipgram_pairs"] = _skipgram_sql(RW_W, RW_LEN, RW_SEED, SG_WINDOW)
+    sql["sgns_embeddings"] = _sgns_sql(
+        RW_W, RW_LEN, RW_SEED, SG_WINDOW,
+        SGNS_DIM, SGNS_EPOCHS, SGNS_NEG, SGNS_LR_NUM, SGNS_LR_DEN,
+        SGNS_SEED, SGNS_SCALE_BITS,
+    )
     # corpus vocabulary: top-50 terms by doc frequency
     sql["vocabulary"] = (
         "WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term"
