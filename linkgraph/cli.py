@@ -51,6 +51,7 @@ def _build_parser() -> argparse.ArgumentParser:
             "ppr", "hits", "kcore", "walks", "node2vec", "mis",
             "summary", "coreness", "betweenness", "harmonic",
             "closeness", "knn-degree", "rich-club",
+            "canonical", "skipgram", "sgns",
         ],
     )
     src = p.add_argument_group("input (exactly one)")
@@ -120,6 +121,14 @@ def _build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mult-far", type=int, default=1,
                    help="node2vec: integer bias for other neighbors "
                    "(1/q scaled to integers)")
+    p.add_argument("--sg-window", type=int, default=2,
+                   help="skipgram/sgns: context window over the walk corpus")
+    p.add_argument("--sgns-dim", type=int, default=8,
+                   help="sgns: embedding dimension")
+    p.add_argument("--sgns-epochs", type=int, default=3,
+                   help="sgns: full-batch training epochs")
+    p.add_argument("--sgns-negatives", type=int, default=2,
+                   help="sgns: negative samples per observed pair")
     p.add_argument("--directed", action="store_true",
                    help="cc/lpa/triangles: consume edges as-given instead of symmetrizing")
     p.add_argument("--metrics-output", help="write per-superstep metrics JSON lines here")
@@ -162,7 +171,7 @@ def main(argv: list[str] | None = None) -> None:
 
         ckpt = CheckpointManager(spark, args.checkpoint, every=args.checkpoint_every)
 
-    if args.algorithm in ("dedup", "vocab", "pii", "repetition"):
+    if args.algorithm in ("dedup", "canonical", "vocab", "pii", "repetition"):
         if not args.documents:
             raise SystemExit(f"{args.algorithm} requires --documents")
         docs = spark.read.load(args.documents).select(
@@ -180,6 +189,15 @@ def main(argv: list[str] | None = None) -> None:
             from linkgraph.pipeline.dedup import dedup_clusters
 
             out = dedup_clusters(
+                docs,
+                threshold=args.threshold,
+                seed=args.seed,
+                portable=args.portable_hash,
+            )
+        elif args.algorithm == "canonical":
+            from linkgraph.pipeline.dedup import canonical_docs
+
+            out = canonical_docs(
                 docs,
                 threshold=args.threshold,
                 seed=args.seed,
@@ -340,6 +358,30 @@ def main(argv: list[str] | None = None) -> None:
             weight_col=args.weight_col,
             **common,
         )
+    elif args.algorithm in ("skipgram", "sgns"):
+        from linkgraph.algorithms.walks import random_walks, skipgram_pairs
+
+        corpus, res = random_walks(
+            edges,
+            walks_per_vertex=args.walks_per_vertex,
+            walk_length=args.walk_length,
+            seed=args.seed,
+            portable=args.portable_hash,
+            weight_col=args.weight_col,
+            **common,
+        )
+        out = skipgram_pairs(corpus, window=args.sg_window)
+        if args.algorithm == "sgns":
+            from linkgraph.pipeline.sgns import train_sgns
+
+            out, _ = train_sgns(
+                out,
+                dim=args.sgns_dim,
+                epochs=args.sgns_epochs,
+                negatives=args.sgns_negatives,
+                seed=args.seed,
+                portable=args.portable_hash,
+            )
     elif args.algorithm == "summary":
         from linkgraph.algorithms.stats import graph_summary
 
