@@ -140,6 +140,8 @@ SGNS_LR_NUM = 1
 SGNS_LR_DEN = 4
 SGNS_SEED = 11
 SGNS_SCALE_BITS = 14
+# k-hop feature propagation depth
+KHOP_HOPS = 2
 # Luby MIS: coin seed / oracle unroll depth (engine fails loudly if it
 # needs more rounds — same rule as KCORE_PASSES)
 MIS_SEED = 3
@@ -806,6 +808,24 @@ def _q_skipgram_pairs(spark, sf):
     return skipgram_pairs(corpus, window=SG_WINDOW)
 
 
+def _q_khop_features(spark, sf):
+    """GNN-style feature propagation: whitespace token counts pushed
+    KHOP_HOPS hops through the document graph — floor-mean of
+    in-neighbors combined with the own value, all integer."""
+    from linkgraph.algorithms.khop import khop_features
+    from linkgraph.pipeline.textstats import token_count
+
+    feats = token_count(load_documents(spark, sf)).select(
+        F.col("doc_id").alias("id"), F.col("n_tokens").cast("long").alias("f")
+    )
+    return khop_features(
+        document_edges(spark, sf),
+        feats,
+        hops=KHOP_HOPS,
+        vertices=document_vertices(spark, sf),
+    )
+
+
 def _q_sgns_embeddings(spark, sf):
     """Bit-exact integer SGNS: walks -> skip-gram pairs -> scaled-
     integer embedding training (hard sigmoid, counter-based init and
@@ -1373,6 +1393,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canonical_docs": _q_canonical_docs,
         "skipgram_pairs": _q_skipgram_pairs,
         "sgns_embeddings": _q_sgns_embeddings,
+        "khop_features": _q_khop_features,
         "distinct_token_sketch": _q_kmv_sketch,
         "cms_token_counts": _q_cms_probe,
         "simhash64": _q_simhash,
@@ -2309,6 +2330,33 @@ def _skipgram_sql(w: int, length: int, seed: int, window: int) -> str:
     )
 
 
+def _khop_sql(hops: int) -> str:
+    """Unrolled k-hop floor-mean feature propagation (algorithms/
+    khop.py rule): per hop, in-neighbor SUM/COUNT join, nbr_mean =
+    sum // indeg (operands non-negative, so DuckDB's truncating //
+    equals floor), combine = (own + nbr_mean) // 2."""
+    ctes = [
+        EDGES_CTES.strip(),
+        "feat AS (SELECT doc_id AS id,"
+        " len(string_split(text, ' '))::BIGINT AS f FROM documents)",
+        "s0 AS MATERIALIZED (SELECT d.doc_id AS id, COALESCE(feat.f, 0) AS f0"
+        " FROM documents d LEFT JOIN feat ON feat.id = d.doc_id)",
+    ]
+    for k in range(1, hops + 1):
+        p = k - 1
+        ctes += [
+            f"agg{k} AS (SELECT e.dst AS id, SUM(s.f{p}) AS sm,"
+            f" COUNT(*) AS dg FROM edges e JOIN s{p} s ON s.id = e.src"
+            f" GROUP BY e.dst)",
+            f"s{k} AS MATERIALIZED (SELECT s.*,"
+            f" CAST((s.f{p} + COALESCE(a.sm // a.dg, s.f{p})) // 2 AS BIGINT)"
+            f" AS f{k}"
+            f" FROM s{p} s LEFT JOIN agg{k} a ON a.id = s.id)",
+        ]
+    cols = ", ".join(f"CAST(f{k} AS BIGINT) AS f{k}" for k in range(hops + 1))
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT id, {cols} FROM s{hops}"
+
+
 def _fdiv(a: str, b: int) -> str:
     """Exact floor division for possibly-negative ``a`` by positive
     literal ``b`` in DuckDB, whose ``//`` truncates toward zero —
@@ -2934,6 +2982,7 @@ def oracle_sql() -> dict[str, str]:
     sql["dedup_clusters"] = _dedup_clusters_sql(64, 16, 3, 0.3, 42)
     sql["canonical_docs"] = _canonical_docs_sql(64, 16, 3, 0.3, 42)
     sql["skipgram_pairs"] = _skipgram_sql(RW_W, RW_LEN, RW_SEED, SG_WINDOW)
+    sql["khop_features"] = _khop_sql(KHOP_HOPS)
     sql["sgns_embeddings"] = _sgns_sql(
         RW_W, RW_LEN, RW_SEED, SG_WINDOW,
         SGNS_DIM, SGNS_EPOCHS, SGNS_NEG, SGNS_LR_NUM, SGNS_LR_DEN,
