@@ -142,6 +142,8 @@ SGNS_SEED = 11
 SGNS_SCALE_BITS = 14
 # k-hop feature propagation depth
 KHOP_HOPS = 2
+# BPE tokenizer training: number of learned merges
+BPE_MERGES = 16
 # Luby MIS: coin seed / oracle unroll depth (engine fails loudly if it
 # needs more rounds — same rule as KCORE_PASSES)
 MIS_SEED = 3
@@ -826,6 +828,23 @@ def _q_khop_features(spark, sf):
     )
 
 
+def _q_bpe_merges(spark, sf):
+    """Distributed BPE tokenizer training: BPE_MERGES rounds of
+    pair-count -> argmax -> merge over the word-type table (the
+    corpus is scanned exactly once)."""
+    from linkgraph.pipeline.bpe import bpe_merges
+
+    return bpe_merges(load_documents(spark, sf), num_merges=BPE_MERGES)
+
+
+def _q_bpe_encode_counts(spark, sf):
+    """Encode the corpus with the learned BPE merges (broadcast
+    vocab join) and count subword tokens per document."""
+    from linkgraph.pipeline.bpe import bpe_token_counts
+
+    return bpe_token_counts(load_documents(spark, sf), num_merges=BPE_MERGES)
+
+
 def _q_sgns_embeddings(spark, sf):
     """Bit-exact integer SGNS: walks -> skip-gram pairs -> scaled-
     integer embedding training (hard sigmoid, counter-based init and
@@ -1394,6 +1413,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skipgram_pairs": _q_skipgram_pairs,
         "sgns_embeddings": _q_sgns_embeddings,
         "khop_features": _q_khop_features,
+        "bpe_merges": _q_bpe_merges,
+        "bpe_encode_counts": _q_bpe_encode_counts,
         "distinct_token_sketch": _q_kmv_sketch,
         "cms_token_counts": _q_cms_probe,
         "simhash64": _q_simhash,
@@ -2330,6 +2351,75 @@ def _skipgram_sql(w: int, length: int, seed: int, window: int) -> str:
     )
 
 
+def _bpe_ctes(k: int) -> str:
+    """Shared CTE chain for the BPE oracles: word types -> initial
+    character symbols -> k unrolled merge rounds (pipeline/bpe.py
+    semantics: pair positions weighted by word freq, argmax with
+    cnt DESC / l ASC / r ASC ties, DOUBLED-separator encoding so one
+    replace-all pass == the greedy left-to-right scan — see the
+    pipeline/bpe.py module docstring for the proof sketch)."""
+    sep, end = "\x1f", "</w>"
+    ctes = [
+        "w0 AS (SELECT word, COUNT(*)::BIGINT AS freq FROM"
+        " (SELECT unnest(string_split(text, ' ')) AS word FROM documents)"
+        " WHERE regexp_matches(word, '^[a-z]+$') GROUP BY word)",
+        f"s0 AS MATERIALIZED (SELECT word,"
+        f" '{sep}{sep}' || regexp_replace(word, '(.)', '\\1{sep}{sep}', 'g')"
+        f" || '{end}{sep}{sep}' AS sym, freq FROM w0)",
+    ]
+    for r in range(1, k + 1):
+        p = r - 1
+        ctes += [
+            f"a{r} AS (SELECT word, sym, freq,"
+            f" list_filter(string_split(sym, '{sep}'), x -> x <> '') AS a"
+            f" FROM s{p})",
+            f"p{r} AS (SELECT a[i] AS l, a[i+1] AS r,"
+            f" SUM(freq)::BIGINT AS cnt FROM"
+            f" (SELECT a, freq,"
+            f" unnest(generate_series(1, list_count(a) - 1)) AS i"
+            f" FROM a{r}) GROUP BY 1, 2)",
+            f"b{r} AS (SELECT l, r, cnt FROM p{r}"
+            f" ORDER BY cnt DESC, l, r LIMIT 1)",
+            f"s{r} AS MATERIALIZED (SELECT word,"
+            f" replace(sym, pat, rep) AS sym, freq"
+            f" FROM a{r}, (SELECT"
+            f" '{sep}' || l || '{sep}{sep}' || r || '{sep}' AS pat,"
+            f" '{sep}' || l || r || '{sep}' AS rep FROM b{r}))",
+        ]
+    return ",\n".join(ctes)
+
+
+def _bpe_sql(k: int) -> str:
+    """Learned merge table: (round, l, r, merged, pair_count)."""
+    sel = " UNION ALL ".join(
+        f"SELECT {r}::BIGINT AS round, l, r, l || r AS merged,"
+        f" cnt AS pair_count FROM b{r}"
+        for r in range(1, k + 1)
+    )
+    return (
+        "WITH " + _bpe_ctes(k) + "\nSELECT * FROM (" + sel + ") ORDER BY round"
+    )
+
+
+def _bpe_counts_sql(k: int) -> str:
+    """Per-document subword token counts under the learned merges
+    (docs with no ^[a-z]+$ token count 0, matching bpe_token_counts)."""
+    sep = "\x1f"
+    return (
+        "WITH " + _bpe_ctes(k) + ",\n"
+        f"wt AS (SELECT word,"
+        f" list_count(list_filter(string_split(sym, '{sep}'), x -> x <> ''))"
+        f"::BIGINT AS n_sym FROM s{k}),\n"
+        "corp AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word"
+        " FROM documents),\n"
+        "cj AS (SELECT doc_id, n_sym FROM corp JOIN wt USING (word))\n"
+        "SELECT d.doc_id,"
+        " COALESCE(SUM(cj.n_sym), 0)::BIGINT AS n_bpe_tokens"
+        " FROM documents d LEFT JOIN cj ON cj.doc_id = d.doc_id"
+        " GROUP BY d.doc_id"
+    )
+
+
 def _khop_sql(hops: int) -> str:
     """Unrolled k-hop floor-mean feature propagation (algorithms/
     khop.py rule): per hop, in-neighbor SUM/COUNT join, nbr_mean =
@@ -2983,6 +3073,8 @@ def oracle_sql() -> dict[str, str]:
     sql["canonical_docs"] = _canonical_docs_sql(64, 16, 3, 0.3, 42)
     sql["skipgram_pairs"] = _skipgram_sql(RW_W, RW_LEN, RW_SEED, SG_WINDOW)
     sql["khop_features"] = _khop_sql(KHOP_HOPS)
+    sql["bpe_merges"] = _bpe_sql(BPE_MERGES)
+    sql["bpe_encode_counts"] = _bpe_counts_sql(BPE_MERGES)
     sql["sgns_embeddings"] = _sgns_sql(
         RW_W, RW_LEN, RW_SEED, SG_WINDOW,
         SGNS_DIM, SGNS_EPOCHS, SGNS_NEG, SGNS_LR_NUM, SGNS_LR_DEN,
