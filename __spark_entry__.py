@@ -144,6 +144,8 @@ SGNS_SCALE_BITS = 14
 KHOP_HOPS = 2
 # BPE tokenizer training: number of learned merges
 BPE_MERGES = 16
+# Collocation mining: minimum bigram occurrences
+COLLOC_MIN_PAIRS = 3
 # Luby MIS: coin seed / oracle unroll depth (engine fails loudly if it
 # needs more rounds — same rule as KCORE_PASSES)
 MIS_SEED = 3
@@ -845,6 +847,17 @@ def _q_bpe_encode_counts(spark, sf):
     return bpe_token_counts(load_documents(spark, sf), num_merges=BPE_MERGES)
 
 
+def _q_collocations(spark, sf):
+    """Collocation (phrase) mining: exact integer lift scores for
+    adjacent-token bigrams — one corpus scan, two vocabulary-sized
+    shuffles, broadcast unigram join."""
+    from linkgraph.pipeline.collocations import collocation_pairs
+
+    return collocation_pairs(
+        load_documents(spark, sf), min_pair_count=COLLOC_MIN_PAIRS
+    )
+
+
 def _q_sgns_embeddings(spark, sf):
     """Bit-exact integer SGNS: walks -> skip-gram pairs -> scaled-
     integer embedding training (hard sigmoid, counter-based init and
@@ -1415,6 +1428,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "khop_features": _q_khop_features,
         "bpe_merges": _q_bpe_merges,
         "bpe_encode_counts": _q_bpe_encode_counts,
+        "collocations": _q_collocations,
         "distinct_token_sketch": _q_kmv_sketch,
         "cms_token_counts": _q_cms_probe,
         "simhash64": _q_simhash,
@@ -2420,6 +2434,34 @@ def _bpe_counts_sql(k: int) -> str:
     )
 
 
+def _colloc_sql(min_pairs: int) -> str:
+    """Collocation lift oracle (pipeline/collocations.py semantics):
+    bigrams are adjacent raw-split positions where BOTH tokens match
+    ^[a-z]+$; lift_micro = floor(1e6 * c_xy * N / (c_x * c_y)) in
+    HUGEINT (matching Spark's DECIMAL(38,0) DIV)."""
+    return f"""
+WITH arr AS (SELECT string_split(text, ' ') AS a FROM documents),
+pos AS (SELECT a, unnest(generate_series(1, len(a) - 1)) AS i FROM arr),
+pr AS (SELECT a[i] AS l, a[i + 1] AS r FROM pos
+       WHERE regexp_matches(a[i], '^[a-z]+$')
+         AND regexp_matches(a[i + 1], '^[a-z]+$')),
+pc AS (SELECT l, r, COUNT(*)::BIGINT AS pair_count FROM pr
+       GROUP BY l, r HAVING COUNT(*) >= {min_pairs}),
+uni AS (SELECT tok, COUNT(*)::BIGINT AS w_cnt FROM
+        (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        WHERE regexp_matches(tok, '^[a-z]+$') GROUP BY tok),
+tot AS (SELECT SUM(w_cnt)::BIGINT AS n_total FROM uni)
+SELECT pc.l, pc.r, pc.pair_count,
+       ul.w_cnt AS left_count, ur.w_cnt AS right_count,
+       ((1000000::HUGEINT * pc.pair_count * tot.n_total)
+        // (ul.w_cnt::HUGEINT * ur.w_cnt))::BIGINT AS lift_micro
+FROM pc
+JOIN uni ul ON ul.tok = pc.l
+JOIN uni ur ON ur.tok = pc.r
+CROSS JOIN tot
+"""
+
+
 def _khop_sql(hops: int) -> str:
     """Unrolled k-hop floor-mean feature propagation (algorithms/
     khop.py rule): per hop, in-neighbor SUM/COUNT join, nbr_mean =
@@ -3075,6 +3117,7 @@ def oracle_sql() -> dict[str, str]:
     sql["khop_features"] = _khop_sql(KHOP_HOPS)
     sql["bpe_merges"] = _bpe_sql(BPE_MERGES)
     sql["bpe_encode_counts"] = _bpe_counts_sql(BPE_MERGES)
+    sql["collocations"] = _colloc_sql(COLLOC_MIN_PAIRS)
     sql["sgns_embeddings"] = _sgns_sql(
         RW_W, RW_LEN, RW_SEED, SG_WINDOW,
         SGNS_DIM, SGNS_EPOCHS, SGNS_NEG, SGNS_LR_NUM, SGNS_LR_DEN,
