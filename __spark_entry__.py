@@ -150,6 +150,10 @@ COLLOC_MIN_PAIRS = 3
 # needs more rounds — same rule as KCORE_PASSES)
 MIS_SEED = 3
 MIS_ROUNDS = 10
+# Jones-Plassmann coloring: coin seed / oracle unroll depth (engine
+# fails loudly if it needs more rounds — same rule as MIS_ROUNDS)
+COLORING_SEED = 11
+COLORING_ROUNDS = 16
 # sequence packing: context-window token budget / parallel streams
 PACK_BUDGET = 512
 PACK_GROUPS = 8
@@ -1266,6 +1270,82 @@ def _mis_sql(rounds: int, seed: int) -> str:
     return "".join(parts)
 
 
+def _q_coloring(spark, sf):
+    """Jones-Plassmann greedy coloring over the undirected doc graph —
+    per-round coin winners pick the mex of colored-neighbor colors;
+    unrolled round-by-round oracle."""
+    from linkgraph import greedy_coloring
+
+    out, res = greedy_coloring(
+        document_edges(spark, sf),
+        seed=COLORING_SEED,
+        vertices=document_vertices(spark, sf),
+        portable=True,
+    )
+    # the unrolled oracle replays COLORING_ROUNDS rounds; more live
+    # rounds would leave oracle vertices uncolored — fail LOUDLY
+    if not res.converged or res.supersteps > COLORING_ROUNDS:
+        raise RuntimeError(
+            f"Jones-Plassmann ran {res.supersteps} rounds "
+            f"(converged={res.converged}); the unrolled oracle covers "
+            f"{COLORING_ROUNDS} rounds — raise COLORING_ROUNDS"
+        )
+    return out
+
+
+def _coloring_sql(rounds: int, seed: int) -> str:
+    """Unrolled Jones-Plassmann rounds: per round, uncolored vertices
+    draw the engine-neutral md5 coin (coloring.coloring_coin_sql), a
+    vertex wins when its coin is strictly below every uncolored
+    neighbor's, and each winner takes the mex of its already-colored
+    neighbors' colors — computed relationally (mex = MIN over the
+    candidates {0} ∪ {c+1 : c used} that are themselves unused), the
+    exact per-superstep rule algorithms/coloring.py applies JVM-side
+    via aggregate(array_sort(used), ...)."""
+    from linkgraph.algorithms.coloring import coloring_coin_sql
+
+    parts = [
+        "WITH " + EDGES_CTES.strip() + ", " + SYM_CTE.strip() + ",",
+        " live0 AS (SELECT doc_id AS id FROM documents),",
+        " colored0 AS (SELECT CAST(NULL AS BIGINT) AS id,"
+        "   CAST(NULL AS INT) AS color WHERE 1 = 0)",
+    ]
+    for k in range(1, rounds + 1):
+        coin = coloring_coin_sql("id", k, seed)
+        # MATERIALIZED: each CTE is referenced several times; inlined
+        # expansion would grow exponentially in the round count
+        parts.append(
+            f", coins{k} AS MATERIALIZED (SELECT id, {coin} AS ck FROM live{k - 1})"
+            f", mn{k} AS (SELECT s.src AS id, MIN(c2.ck) AS mn FROM sym s"
+            f"   JOIN coins{k} c1 ON c1.id = s.src"
+            f"   JOIN coins{k} c2 ON c2.id = s.dst GROUP BY s.src)"
+            f", win{k} AS MATERIALIZED (SELECT c.id FROM coins{k} c"
+            f"   LEFT JOIN mn{k} m ON m.id = c.id"
+            f"   WHERE m.mn IS NULL OR c.ck < m.mn)"
+            f", used{k} AS MATERIALIZED (SELECT DISTINCT s.src AS id, t.color"
+            f"   FROM sym s JOIN win{k} w ON w.id = s.src"
+            f"   JOIN colored{k - 1} t ON t.id = s.dst)"
+            f", cand{k} AS ("
+            f"   SELECT w.id, 0 AS c FROM win{k} w WHERE NOT EXISTS"
+            f"     (SELECT 1 FROM used{k} u WHERE u.id = w.id AND u.color = 0)"
+            f"   UNION ALL"
+            f"   SELECT u.id, u.color + 1 AS c FROM used{k} u WHERE NOT EXISTS"
+            f"     (SELECT 1 FROM used{k} u2 WHERE u2.id = u.id"
+            f"      AND u2.color = u.color + 1))"
+            f", pick{k} AS MATERIALIZED (SELECT id, CAST(MIN(c) AS INT) AS color"
+            f"   FROM cand{k} GROUP BY id)"
+            f", colored{k} AS MATERIALIZED (SELECT id, color FROM colored{k - 1}"
+            f"   UNION ALL SELECT id, color FROM pick{k})"
+            f", live{k} AS MATERIALIZED (SELECT id FROM live{k - 1}"
+            f"   EXCEPT SELECT id FROM pick{k})"
+        )
+    parts.append(
+        f" SELECT d.doc_id AS id, CAST(t.color AS INT) AS color"
+        f" FROM documents d JOIN colored{rounds} t ON t.id = d.doc_id"
+    )
+    return "".join(parts)
+
+
 def _random_walks_sql(w: int, length: int, seed: int) -> str:
     """Unrolled walk chain: step k joins step k-1 against the indexed
     edge relation on (src, idx = coin % deg) — the exact rule
@@ -1443,6 +1523,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "random_walks_weighted": _q_random_walks_weighted,
         "node2vec_walks": _q_node2vec_walks,
         "maximal_independent_set": _q_mis,
+        "greedy_coloring": _q_coloring,
         "graph_summary": _q_graph_summary,
         "avg_neighbor_degree": _q_avg_neighbor_degree,
         "rich_club_profile": _q_rich_club,
@@ -3008,6 +3089,7 @@ def oracle_sql() -> dict[str, str]:
     sql["random_walks_weighted"] = _weighted_walks_sql(RW_LEN, RW_SEED)
     sql["node2vec_walks"] = _node2vec_sql(RW_LEN, RW_SEED, *N2V_MULTS)
     sql["maximal_independent_set"] = _mis_sql(MIS_ROUNDS, MIS_SEED)
+    sql["greedy_coloring"] = _coloring_sql(COLORING_ROUNDS, COLORING_SEED)
     # graph summary: every ratio is exact-integer sums cast to DOUBLE in
     # the same expression order as algorithms/stats.py, rounded to 6dp
     sql["graph_summary"] = (

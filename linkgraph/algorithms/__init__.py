@@ -16,6 +16,7 @@ from .scc import strongly_connected_components  # noqa: F401
 from .sssp import shortest_paths
 from .reachability import reachability
 from .mis import maximal_independent_set
+from .coloring import greedy_coloring
 from .sampling import graph_sample
 from .stats import (
     avg_neighbor_degree,
@@ -33,6 +34,7 @@ __all__ = [
     "modularity",
     "rich_club_profile",
     "maximal_independent_set",
+    "greedy_coloring",
     "node2vec_walks",
     "random_walks",
     "local_maximal_cliques",

@@ -49,6 +49,7 @@ def _build_parser() -> argparse.ArgumentParser:
             "derive-repo", "wpr", "linkpred",
             "dedup", "vocab", "pii", "repetition",
             "ppr", "hits", "kcore", "walks", "node2vec", "mis",
+            "coloring",
             "summary", "coreness", "betweenness", "harmonic",
             "closeness", "knn-degree", "rich-club",
             "canonical", "skipgram", "sgns",
@@ -433,6 +434,16 @@ def main(argv: list[str] | None = None) -> None:
         from linkgraph.algorithms.mis import maximal_independent_set
 
         out, res = maximal_independent_set(
+            edges,
+            seed=args.seed,
+            max_supersteps=args.max_supersteps,
+            portable=args.portable_hash,
+            **common,
+        )
+    elif args.algorithm == "coloring":
+        from linkgraph.algorithms.coloring import greedy_coloring
+
+        out, res = greedy_coloring(
             edges,
             seed=args.seed,
             max_supersteps=args.max_supersteps,
