@@ -154,6 +154,9 @@ MIS_ROUNDS = 10
 # fails loudly if it needs more rounds — same rule as MIS_ROUNDS)
 COLORING_SEED = 11
 COLORING_ROUNDS = 16
+# MSF derived-weight modulus (weight = 1 + (31u+v) % MOD on canonical
+# u < v endpoints — identical formula in engine and oracle)
+MSF_WEIGHT_MOD = 97
 # sequence packing: context-window token budget / parallel streams
 PACK_BUDGET = 512
 PACK_GROUPS = 8
@@ -1270,6 +1273,59 @@ def _mis_sql(rounds: int, seed: int) -> str:
     return "".join(parts)
 
 
+def _q_msf(spark, sf):
+    """Borůvka minimum spanning forest over the undirected doc graph
+    with derived integer weights — the oracle recomputes it via an
+    INDEPENDENT algorithm (sequential Kruskal as a single DuckDB
+    list_reduce fold over the rank-ordered edge list), so the gate
+    checks algorithmic agreement, not a replay of the engine's own
+    rule. Unique under the total order (weight, u, v)."""
+    from linkgraph.algorithms.msf import minimum_spanning_forest
+
+    e = document_edges(spark, sf).selectExpr(
+        "src",
+        "dst",
+        f"1 + (LEAST(src, dst)*31 + GREATEST(src, dst)) % {MSF_WEIGHT_MOD} AS w",
+    )
+    out, _rounds = minimum_spanning_forest(e, weight_col="w")
+    return out
+
+
+def _msf_sql() -> str:
+    """Sequential Kruskal folded into ONE DuckDB list_reduce: the
+    accumulator is an INT list holding dense component labels up front
+    and picked edge ranks (offset by 10^6 so they can never collide
+    with a label) appended at the back; each rank-ordered edge either
+    merges two labels (one list_transform relabel + append its rank)
+    or leaves the accumulator unchanged. Under the total order
+    (weight, u, v) the MSF is unique, so this independent algorithm
+    must produce exactly the engine's Borůvka edge set."""
+    off = 1000000
+    return (
+        "WITH " + EDGES_CTES.strip() + ","
+        " verts AS (SELECT doc_id AS id,"
+        "   CAST(ROW_NUMBER() OVER (ORDER BY doc_id) AS INT) AS ix FROM documents),"
+        " canon AS (SELECT LEAST(src, dst) AS u, GREATEST(src, dst) AS v,"
+        f"   MIN(1 + (LEAST(src, dst)*31 + GREATEST(src, dst)) % {MSF_WEIGHT_MOD}) AS w"
+        "   FROM edges WHERE src <> dst GROUP BY 1, 2),"
+        " krank AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY w, u, v) AS INT) AS k,"
+        "   u, v, w, vu.ix AS iu, vv.ix AS iv"
+        "   FROM canon JOIN verts vu ON vu.id = u JOIN verts vv ON vv.id = v),"
+        " fold AS (SELECT list_reduce("
+        "   list_prepend((SELECT list(ix ORDER BY ix) FROM verts),"
+        "                (SELECT list([iu, iv, k] ORDER BY k) FROM krank)),"
+        "   (acc, x) -> CASE WHEN acc[x[1]] <> acc[x[2]]"
+        "     THEN list_append(list_transform(acc,"
+        "       c -> CASE WHEN c = acc[x[2]] THEN acc[x[1]] ELSE c END),"
+        f"       x[3] + {off})"
+        "     ELSE acc END) AS st),"
+        f" pickedk AS (SELECT unnest(list_filter(st, c -> c >= {off})) - {off} AS k"
+        "   FROM fold)"
+        " SELECT e.u, e.v, CAST(e.w AS BIGINT) AS weight"
+        " FROM krank e JOIN pickedk p ON p.k = e.k"
+    )
+
+
 def _q_coloring(spark, sf):
     """Jones-Plassmann greedy coloring over the undirected doc graph —
     per-round coin winners pick the mex of colored-neighbor colors;
@@ -1524,6 +1580,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "node2vec_walks": _q_node2vec_walks,
         "maximal_independent_set": _q_mis,
         "greedy_coloring": _q_coloring,
+        "minimum_spanning_forest": _q_msf,
         "graph_summary": _q_graph_summary,
         "avg_neighbor_degree": _q_avg_neighbor_degree,
         "rich_club_profile": _q_rich_club,
@@ -3090,6 +3147,7 @@ def oracle_sql() -> dict[str, str]:
     sql["node2vec_walks"] = _node2vec_sql(RW_LEN, RW_SEED, *N2V_MULTS)
     sql["maximal_independent_set"] = _mis_sql(MIS_ROUNDS, MIS_SEED)
     sql["greedy_coloring"] = _coloring_sql(COLORING_ROUNDS, COLORING_SEED)
+    sql["minimum_spanning_forest"] = _msf_sql()
     # graph summary: every ratio is exact-integer sums cast to DOUBLE in
     # the same expression order as algorithms/stats.py, rounded to 6dp
     sql["graph_summary"] = (

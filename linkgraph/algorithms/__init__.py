@@ -17,6 +17,7 @@ from .sssp import shortest_paths
 from .reachability import reachability
 from .mis import maximal_independent_set
 from .coloring import greedy_coloring
+from .msf import minimum_spanning_forest
 from .sampling import graph_sample
 from .stats import (
     avg_neighbor_degree,
@@ -35,6 +36,7 @@ __all__ = [
     "rich_club_profile",
     "maximal_independent_set",
     "greedy_coloring",
+    "minimum_spanning_forest",
     "node2vec_walks",
     "random_walks",
     "local_maximal_cliques",

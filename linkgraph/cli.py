@@ -49,7 +49,7 @@ def _build_parser() -> argparse.ArgumentParser:
             "derive-repo", "wpr", "linkpred",
             "dedup", "vocab", "pii", "repetition",
             "ppr", "hits", "kcore", "walks", "node2vec", "mis",
-            "coloring",
+            "coloring", "msf",
             "summary", "coreness", "betweenness", "harmonic",
             "closeness", "knn-degree", "rich-club",
             "canonical", "skipgram", "sgns",
@@ -439,6 +439,14 @@ def main(argv: list[str] | None = None) -> None:
             max_supersteps=args.max_supersteps,
             portable=args.portable_hash,
             **common,
+        )
+    elif args.algorithm == "msf":
+        from linkgraph.algorithms.msf import minimum_spanning_forest
+
+        out, _rounds = minimum_spanning_forest(
+            edges,
+            weight_col=args.weight_col,
+            num_partitions=args.num_partitions,
         )
     elif args.algorithm == "coloring":
         from linkgraph.algorithms.coloring import greedy_coloring
