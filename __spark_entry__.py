@@ -1402,6 +1402,59 @@ def _coloring_sql(rounds: int, seed: int) -> str:
     return "".join(parts)
 
 
+def _q_bipartite(spark, sf):
+    """Bipartiteness test + 2-coloring via parity-mask propagation over
+    the undirected doc graph. The output is a pure function of the
+    graph (no coin, no tie order): side = the parity of every walk from
+    the component representative when that parity is unique, NULL when
+    the component holds an odd cycle."""
+    from linkgraph.algorithms.bipartite import bipartite_check
+
+    out, res = bipartite_check(
+        document_edges(spark, sf), vertices=document_vertices(spark, sf)
+    )
+    if not res.converged:
+        raise RuntimeError(
+            f"bipartite_check did not converge in {res.supersteps} "
+            "supersteps — raise max_supersteps"
+        )
+    return out
+
+
+def _bipartite_sql() -> str:
+    """Independent parity-closure oracle: a recursive CTE enumerates
+    (vertex, source, parity) walk states over the symmetrized edges, so
+    (v, rep, p) holds iff some walk rep->v has parity p. The component
+    label is min-reachable-id (the engine's CC rule); a component is
+    bipartite iff no vertex is reachable from its representative at
+    both parities, and then each vertex's unique parity IS its side —
+    the graph-theoretic definition, not a replay of the engine's
+    bitmask lattice."""
+    return (
+        "WITH RECURSIVE "
+        + EDGES_CTES.strip()
+        + ", "
+        + SYM_CTE.strip()
+        + ", reach(id, lbl, par) AS ("
+        "   SELECT doc_id, doc_id, 0 FROM documents"
+        "   UNION"
+        "   SELECT s.dst, r.lbl, 1 - r.par FROM reach r JOIN sym s ON s.src = r.id"
+        " ),"
+        " comp AS (SELECT id, MIN(lbl) AS component FROM reach GROUP BY id),"
+        " pr AS (SELECT r.id, r.par FROM reach r"
+        "   JOIN comp c ON c.id = r.id AND c.component = r.lbl),"
+        " mask AS (SELECT id, MIN(par) AS mn, MAX(par) AS mx FROM pr GROUP BY id),"
+        " cw AS (SELECT c.component,"
+        "   MAX(CASE WHEN m.mn <> m.mx THEN 1 ELSE 0 END) AS bad"
+        "   FROM comp c JOIN mask m ON m.id = c.id GROUP BY c.component)"
+        " SELECT c.id, c.component,"
+        "   CAST(CASE WHEN w.bad = 0 THEN m.mn END AS INT) AS side,"
+        "   CAST(1 - w.bad AS INT) AS is_bipartite"
+        " FROM comp c JOIN mask m ON m.id = c.id"
+        " JOIN cw w ON w.component = c.component"
+    )
+
+
 def _random_walks_sql(w: int, length: int, seed: int) -> str:
     """Unrolled walk chain: step k joins step k-1 against the indexed
     edge relation on (src, idx = coin % deg) — the exact rule
@@ -1581,6 +1634,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maximal_independent_set": _q_mis,
         "greedy_coloring": _q_coloring,
         "minimum_spanning_forest": _q_msf,
+        "bipartite_check": _q_bipartite,
         "graph_summary": _q_graph_summary,
         "avg_neighbor_degree": _q_avg_neighbor_degree,
         "rich_club_profile": _q_rich_club,
@@ -3148,6 +3202,7 @@ def oracle_sql() -> dict[str, str]:
     sql["maximal_independent_set"] = _mis_sql(MIS_ROUNDS, MIS_SEED)
     sql["greedy_coloring"] = _coloring_sql(COLORING_ROUNDS, COLORING_SEED)
     sql["minimum_spanning_forest"] = _msf_sql()
+    sql["bipartite_check"] = _bipartite_sql()
     # graph summary: every ratio is exact-integer sums cast to DOUBLE in
     # the same expression order as algorithms/stats.py, rounded to 6dp
     sql["graph_summary"] = (

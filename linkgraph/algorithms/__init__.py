@@ -18,6 +18,7 @@ from .reachability import reachability
 from .mis import maximal_independent_set
 from .coloring import greedy_coloring
 from .msf import minimum_spanning_forest
+from .bipartite import bipartite_check
 from .sampling import graph_sample
 from .stats import (
     avg_neighbor_degree,
@@ -37,6 +38,7 @@ __all__ = [
     "maximal_independent_set",
     "greedy_coloring",
     "minimum_spanning_forest",
+    "bipartite_check",
     "node2vec_walks",
     "random_walks",
     "local_maximal_cliques",

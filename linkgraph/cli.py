@@ -49,7 +49,7 @@ def _build_parser() -> argparse.ArgumentParser:
             "derive-repo", "wpr", "linkpred",
             "dedup", "vocab", "pii", "repetition",
             "ppr", "hits", "kcore", "walks", "node2vec", "mis",
-            "coloring", "msf",
+            "coloring", "msf", "bipartite",
             "summary", "coreness", "betweenness", "harmonic",
             "closeness", "knn-degree", "rich-club",
             "canonical", "skipgram", "sgns",
@@ -438,6 +438,14 @@ def main(argv: list[str] | None = None) -> None:
             seed=args.seed,
             max_supersteps=args.max_supersteps,
             portable=args.portable_hash,
+            **common,
+        )
+    elif args.algorithm == "bipartite":
+        from linkgraph.algorithms.bipartite import bipartite_check
+
+        out, res = bipartite_check(
+            edges,
+            max_supersteps=args.max_supersteps,
             **common,
         )
     elif args.algorithm == "msf":
