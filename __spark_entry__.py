@@ -1455,6 +1455,46 @@ def _bipartite_sql() -> str:
     )
 
 
+def _q_cocitation(spark, sf):
+    """Co-citation pairs (shared citers) over the DIRECTED doc graph —
+    one center self-join + pair groupBy, cosine over true in-degrees."""
+    from linkgraph.algorithms.cocitation import cocitation
+
+    return cocitation(document_edges(spark, sf), min_common=2)
+
+
+def _q_coupling(spark, sf):
+    """Bibliographic-coupling pairs (shared targets) over the DIRECTED
+    doc graph — same shape centered on the cited vertex."""
+    from linkgraph.algorithms.cocitation import bibliographic_coupling
+
+    return bibliographic_coupling(document_edges(spark, sf), min_common=2)
+
+
+def _cocitation_sql(center: str, leaf: str) -> str:
+    """Shared-center pair counts + cosine: center self-join with the
+    identical 10_000 center cap (a no-op on this fixture, asserted by
+    construction: doc out-degree tops out at 38) and HAVING >= 2; both
+    engines compute cosine as one count / sqrt(bigint product) — single
+    correctly-rounded IEEE ops, so the hash match is exact."""
+    return (
+        "WITH " + EDGES_CTES.strip() + ","
+        f" rel AS (SELECT DISTINCT {center} AS center, {leaf} AS leaf FROM edges),"
+        " nl AS (SELECT leaf, COUNT(*) AS n FROM rel GROUP BY leaf),"
+        " cd AS (SELECT center, COUNT(*) AS cdeg FROM rel GROUP BY center),"
+        " capped AS (SELECT r.center, r.leaf FROM rel r"
+        "   JOIN cd ON cd.center = r.center WHERE cd.cdeg <= 10000),"
+        " pairs AS (SELECT a.leaf AS u, b.leaf AS v,"
+        "   CAST(COUNT(*) AS BIGINT) AS common"
+        "   FROM capped a JOIN capped b"
+        "   ON a.center = b.center AND a.leaf < b.leaf"
+        "   GROUP BY 1, 2 HAVING COUNT(*) >= 2)"
+        " SELECT p.u, p.v, p.common,"
+        "   p.common / SQRT(CAST(nu.n * nv.n AS DOUBLE)) AS cosine"
+        " FROM pairs p JOIN nl nu ON nu.leaf = p.u JOIN nl nv ON nv.leaf = p.v"
+    )
+
+
 def _random_walks_sql(w: int, length: int, seed: int) -> str:
     """Unrolled walk chain: step k joins step k-1 against the indexed
     edge relation on (src, idx = coin % deg) — the exact rule
@@ -1635,6 +1675,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "greedy_coloring": _q_coloring,
         "minimum_spanning_forest": _q_msf,
         "bipartite_check": _q_bipartite,
+        "cocitation_pairs": _q_cocitation,
+        "bibliographic_coupling": _q_coupling,
         "graph_summary": _q_graph_summary,
         "avg_neighbor_degree": _q_avg_neighbor_degree,
         "rich_club_profile": _q_rich_club,
@@ -3203,6 +3245,8 @@ def oracle_sql() -> dict[str, str]:
     sql["greedy_coloring"] = _coloring_sql(COLORING_ROUNDS, COLORING_SEED)
     sql["minimum_spanning_forest"] = _msf_sql()
     sql["bipartite_check"] = _bipartite_sql()
+    sql["cocitation_pairs"] = _cocitation_sql("src", "dst")
+    sql["bibliographic_coupling"] = _cocitation_sql("dst", "src")
     # graph summary: every ratio is exact-integer sums cast to DOUBLE in
     # the same expression order as algorithms/stats.py, rounded to 6dp
     sql["graph_summary"] = (

@@ -19,6 +19,7 @@ from .mis import maximal_independent_set
 from .coloring import greedy_coloring
 from .msf import minimum_spanning_forest
 from .bipartite import bipartite_check
+from .cocitation import bibliographic_coupling, cocitation
 from .sampling import graph_sample
 from .stats import (
     avg_neighbor_degree,
@@ -39,6 +40,8 @@ __all__ = [
     "greedy_coloring",
     "minimum_spanning_forest",
     "bipartite_check",
+    "cocitation",
+    "bibliographic_coupling",
     "node2vec_walks",
     "random_walks",
     "local_maximal_cliques",

@@ -49,7 +49,7 @@ def _build_parser() -> argparse.ArgumentParser:
             "derive-repo", "wpr", "linkpred",
             "dedup", "vocab", "pii", "repetition",
             "ppr", "hits", "kcore", "walks", "node2vec", "mis",
-            "coloring", "msf", "bipartite",
+            "coloring", "msf", "bipartite", "cocitation", "coupling",
             "summary", "coreness", "betweenness", "harmonic",
             "closeness", "knn-degree", "rich-club",
             "canonical", "skipgram", "sgns",
@@ -101,9 +101,11 @@ def _build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max-h", type=int, default=8,
                    help="anf: maximum neighborhood depth")
     p.add_argument("--min-common", type=int, default=2,
-                   help="linkpred: minimum shared neighbors per pair")
+                   help="linkpred/cocitation/coupling: minimum shared "
+                   "neighbors (centers) per pair")
     p.add_argument("--max-center-degree", type=int, default=10_000,
-                   help="linkpred: drop common-neighbor centers above this degree "
+                   help="linkpred/cocitation/coupling: drop pair-generating "
+                   "centers above this degree "
                    "(bounds the hub wedge set at scale; 0 = uncapped)")
     p.add_argument("--iterations", type=int, default=20, help="hits: fixed iterations")
     p.add_argument("--walks-per-vertex", type=int, default=1,
@@ -474,6 +476,18 @@ def main(argv: list[str] | None = None) -> None:
             min_common=args.min_common,
             max_center_degree=args.max_center_degree or None,
             symmetrize_edges=not args.directed,
+        )
+    elif args.algorithm in ("cocitation", "coupling"):
+        from linkgraph.algorithms.cocitation import (
+            bibliographic_coupling,
+            cocitation,
+        )
+
+        fn = cocitation if args.algorithm == "cocitation" else bibliographic_coupling
+        out = fn(
+            edges,
+            min_common=args.min_common,
+            max_center_degree=args.max_center_degree or None,
         )
     elif args.algorithm == "cc-hashmin":
         from linkgraph.algorithms.cc import connected_components_hashmin
