@@ -1495,6 +1495,35 @@ def _cocitation_sql(center: str, leaf: str) -> str:
     )
 
 
+def _q_cooccur(spark, sf):
+    """Token co-occurrence graph built FROM the corpus (doc-level
+    distinct-token pairs, df caps shared exactly with the oracle). The
+    fixture vocabulary has 30 near-ubiquitous terms (df 373-402 of 500)
+    plus one rare term; max_df=390 keeps the lower half so the cap is
+    exercised, not vacuous."""
+    from linkgraph.pipeline.cooccur import token_cooccurrence
+
+    return token_cooccurrence(
+        load_documents(spark, sf), min_df=2, max_df=390, min_count=2
+    )
+
+
+def _cooccur_sql() -> str:
+    """Same construction relationally: distinct incidence -> df filter
+    -> doc-centered self-join -> pair counts; integer counts only."""
+    return (
+        "WITH dt AS (SELECT DISTINCT doc_id, t AS term FROM"
+        "   (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)"
+        "   WHERE t <> ''),"
+        " dfx AS (SELECT term, COUNT(*) AS df FROM dt GROUP BY term),"
+        " kept AS (SELECT dt.doc_id, dt.term FROM dt"
+        "   JOIN dfx ON dfx.term = dt.term WHERE df BETWEEN 2 AND 390)"
+        " SELECT a.term AS u, b.term AS v, CAST(COUNT(*) AS BIGINT) AS n_docs"
+        " FROM kept a JOIN kept b ON a.doc_id = b.doc_id AND a.term < b.term"
+        " GROUP BY 1, 2 HAVING COUNT(*) >= 2"
+    )
+
+
 def _random_walks_sql(w: int, length: int, seed: int) -> str:
     """Unrolled walk chain: step k joins step k-1 against the indexed
     edge relation on (src, idx = coin % deg) — the exact rule
@@ -1677,6 +1706,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bipartite_check": _q_bipartite,
         "cocitation_pairs": _q_cocitation,
         "bibliographic_coupling": _q_coupling,
+        "token_cooccurrence": _q_cooccur,
         "graph_summary": _q_graph_summary,
         "avg_neighbor_degree": _q_avg_neighbor_degree,
         "rich_club_profile": _q_rich_club,
@@ -3247,6 +3277,7 @@ def oracle_sql() -> dict[str, str]:
     sql["bipartite_check"] = _bipartite_sql()
     sql["cocitation_pairs"] = _cocitation_sql("src", "dst")
     sql["bibliographic_coupling"] = _cocitation_sql("dst", "src")
+    sql["token_cooccurrence"] = _cooccur_sql()
     # graph summary: every ratio is exact-integer sums cast to DOUBLE in
     # the same expression order as algorithms/stats.py, rounded to 6dp
     sql["graph_summary"] = (

@@ -49,7 +49,7 @@ def _build_parser() -> argparse.ArgumentParser:
             "derive-repo", "wpr", "linkpred",
             "dedup", "vocab", "pii", "repetition",
             "ppr", "hits", "kcore", "walks", "node2vec", "mis",
-            "coloring", "msf", "bipartite", "cocitation", "coupling",
+            "coloring", "msf", "bipartite", "cocitation", "coupling", "cooccur",
             "summary", "coreness", "betweenness", "harmonic",
             "closeness", "knn-degree", "rich-club",
             "canonical", "skipgram", "sgns",
@@ -107,6 +107,11 @@ def _build_parser() -> argparse.ArgumentParser:
                    help="linkpred/cocitation/coupling: drop pair-generating "
                    "centers above this degree "
                    "(bounds the hub wedge set at scale; 0 = uncapped)")
+    p.add_argument("--min-df", type=int, default=2,
+                   help="cooccur: keep tokens in at least this many documents")
+    p.add_argument("--max-df", type=int, default=0,
+                   help="cooccur: drop tokens above this document frequency "
+                   "(the stopword hub cap; 0 = uncapped, small corpora only)")
     p.add_argument("--iterations", type=int, default=20, help="hits: fixed iterations")
     p.add_argument("--walks-per-vertex", type=int, default=1,
                    help="walks/node2vec: walks started from every vertex")
@@ -174,7 +179,7 @@ def main(argv: list[str] | None = None) -> None:
 
         ckpt = CheckpointManager(spark, args.checkpoint, every=args.checkpoint_every)
 
-    if args.algorithm in ("dedup", "canonical", "vocab", "pii", "repetition"):
+    if args.algorithm in ("dedup", "canonical", "vocab", "pii", "repetition", "cooccur"):
         if not args.documents:
             raise SystemExit(f"{args.algorithm} requires --documents")
         docs = spark.read.load(args.documents).select(
@@ -205,6 +210,15 @@ def main(argv: list[str] | None = None) -> None:
                 threshold=args.threshold,
                 seed=args.seed,
                 portable=args.portable_hash,
+            )
+        elif args.algorithm == "cooccur":
+            from linkgraph.pipeline.cooccur import token_cooccurrence
+
+            out = token_cooccurrence(
+                docs,
+                min_df=args.min_df,
+                max_df=args.max_df or None,
+                min_count=args.min_common,
             )
         else:
             from linkgraph.pipeline.textstats import vocabulary

@@ -24,6 +24,7 @@ from .textstats import (
     token_count,
     vocabulary,
 )
+from .cooccur import token_cooccurrence
 from .packing import pack_sequences
 from .sample import proportional_sample, stratified_sample, weighted_sample
 from .sessions import sessionize_events
@@ -62,6 +63,7 @@ __all__ = [
     "stratified_sample",
     "proportional_sample",
     "pack_sequences",
+    "token_cooccurrence",
     "cosine_topk",
     "lsh_cosine_topk",
     "ivf_cosine_topk",
