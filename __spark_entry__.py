@@ -1495,6 +1495,58 @@ def _cocitation_sql(center: str, leaf: str) -> str:
     )
 
 
+def _q_salsa(spark, sf):
+    """SALSA hub/authority scores via the closed form: degree ratios
+    within double-cover components (one CC run over |E| edges, no
+    power iteration, no quadratic projection). Exact integer ratios in
+    ONE double division each, so the gate is a full hash match."""
+    from linkgraph.algorithms.salsa import salsa_scores
+
+    out, res = salsa_scores(
+        document_edges(spark, sf), vertices=document_vertices(spark, sf)
+    )
+    if not res.converged:
+        raise RuntimeError(
+            f"salsa CC phase did not converge in {res.supersteps} "
+            "supersteps — raise max_supersteps"
+        )
+    return out
+
+
+def _salsa_sql() -> str:
+    """Independent oracle: recursive min-label closure over the
+    symmetrized double cover (hub copy 2u, authority copy 2v+1), then
+    indeg/outdeg window ratios per component — the Lempel-Moran
+    stationary distribution computed from the definition."""
+    return (
+        "WITH RECURSIVE "
+        + EDGES_CTES.strip()
+        + ","
+        " dc AS (SELECT src*2 AS s, dst*2+1 AS d FROM edges),"
+        " symdc AS (SELECT s, d FROM dc UNION SELECT d, s FROM dc),"
+        " dverts AS (SELECT DISTINCT s AS v FROM symdc),"
+        " reach(id, lbl) AS ("
+        "   SELECT v, v FROM dverts"
+        "   UNION"
+        "   SELECT sy.d, r.lbl FROM reach r JOIN symdc sy ON sy.s = r.id"
+        " ),"
+        " comp AS (SELECT id, MIN(lbl) AS c FROM reach GROUP BY id),"
+        " odeg AS (SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS od"
+        "   FROM edges GROUP BY src),"
+        " ideg AS (SELECT dst AS id, CAST(COUNT(*) AS BIGINT) AS idg"
+        "   FROM edges GROUP BY dst),"
+        " hubs AS (SELECT o.id, CAST(o.od AS DOUBLE) /"
+        "   CAST(SUM(o.od) OVER (PARTITION BY cm.c) AS DOUBLE) AS hub"
+        "   FROM odeg o JOIN comp cm ON cm.id = o.id*2),"
+        " auths AS (SELECT i.id, CAST(i.idg AS DOUBLE) /"
+        "   CAST(SUM(i.idg) OVER (PARTITION BY cm.c) AS DOUBLE) AS authority"
+        "   FROM ideg i JOIN comp cm ON cm.id = i.id*2+1)"
+        " SELECT d.doc_id AS id, h.hub, a.authority"
+        " FROM documents d LEFT JOIN hubs h ON h.id = d.doc_id"
+        " LEFT JOIN auths a ON a.id = d.doc_id"
+    )
+
+
 def _q_cooccur(spark, sf):
     """Token co-occurrence graph built FROM the corpus (doc-level
     distinct-token pairs, df caps shared exactly with the oracle). The
@@ -1707,6 +1759,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cocitation_pairs": _q_cocitation,
         "bibliographic_coupling": _q_coupling,
         "token_cooccurrence": _q_cooccur,
+        "salsa_scores": _q_salsa,
         "graph_summary": _q_graph_summary,
         "avg_neighbor_degree": _q_avg_neighbor_degree,
         "rich_club_profile": _q_rich_club,
@@ -3278,6 +3331,7 @@ def oracle_sql() -> dict[str, str]:
     sql["cocitation_pairs"] = _cocitation_sql("src", "dst")
     sql["bibliographic_coupling"] = _cocitation_sql("dst", "src")
     sql["token_cooccurrence"] = _cooccur_sql()
+    sql["salsa_scores"] = _salsa_sql()
     # graph summary: every ratio is exact-integer sums cast to DOUBLE in
     # the same expression order as algorithms/stats.py, rounded to 6dp
     sql["graph_summary"] = (

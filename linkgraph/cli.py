@@ -50,6 +50,7 @@ def _build_parser() -> argparse.ArgumentParser:
             "dedup", "vocab", "pii", "repetition",
             "ppr", "hits", "kcore", "walks", "node2vec", "mis",
             "coloring", "msf", "bipartite", "cocitation", "coupling", "cooccur",
+            "salsa",
             "summary", "coreness", "betweenness", "harmonic",
             "closeness", "knn-degree", "rich-club",
             "canonical", "skipgram", "sgns",
@@ -460,6 +461,14 @@ def main(argv: list[str] | None = None) -> None:
         from linkgraph.algorithms.bipartite import bipartite_check
 
         out, res = bipartite_check(
+            edges,
+            max_supersteps=args.max_supersteps,
+            **common,
+        )
+    elif args.algorithm == "salsa":
+        from linkgraph.algorithms.salsa import salsa_scores
+
+        out, res = salsa_scores(
             edges,
             max_supersteps=args.max_supersteps,
             **common,
