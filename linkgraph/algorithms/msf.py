@@ -17,15 +17,22 @@ function of the input — and lets the driver gate verify it against an
 independently-computed Kruskal oracle (a recursive CTE in DuckDB):
 both algorithms must produce the identical edge set.
 
-Component merging: the edges selected in one round form a graph over
-component labels whose connected components are exactly the merge
-groups (each group is a pseudo-tree: out-degree one per component and,
-because the edge order is total, every cycle is a mutual-minimum
-2-cycle). Rather than re-deriving pointer-jumping machinery here, the
-merge runs :func:`linkgraph.algorithms.cc.connected_components` on
-that contracted graph — after round one it is tiny (≤ one edge per
-surviving component), so the inner loop is a few sub-second supersteps
-over a frame that shrinks geometrically.
+Component merging: each round's per-component minimum edges define a
+FUNCTIONAL graph over component labels (every component points at the
+other endpoint of its pick), whose weak components are exactly the
+merge groups and whose cycles are all mutual-minimum 2-cycles (the
+edge order is total). That structure admits classic pointer doubling:
+anchor each 2-cycle at its smaller label, then square the parent
+function until fixpoint — O(log chain depth) iterations of ONE
+self-equi-join each over an O(components) frame. This matters at both
+ends of the scale: merge groups are chains in the worst case (a path
+graph's first round picks V/2 edges forming one long chain), so
+min-label propagation would cost O(chain length) supersteps exactly
+when the graph is largest; and a full CC engine's per-round machinery
+(adjacency build, vertex-state frames, set checksums) is measurable
+overhead when the merge graph is tiny — a measured 1.5-2x of this
+operator's toy-scale wall time. Pointer doubling is the cheap AND
+depth-robust middle.
 
 Distributed shape (the 100 TB story): the canonical weighted edge
 relation is built once, hash-partitioned, and persisted; each round
@@ -48,8 +55,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..graph import choose_partitions
-from ..superstep import iteration_conf
-from .cc import connected_components
+from ..superstep import iteration_conf, local_checkpoint_fresh_stats
 
 
 def minimum_spanning_forest(
@@ -108,11 +114,10 @@ def minimum_spanning_forest(
             # edges bridging two current components, labeled both sides
             lu = lab.select(F.col("id").alias("u"), F.col("comp").alias("cu"))
             lv = lab.select(F.col("id").alias("v"), F.col("comp").alias("cv"))
-            bridge = (
+            bridge = local_checkpoint_fresh_stats(
                 canon.join(lu, "u")
                 .join(lv, "v")
                 .filter(F.col("cu") != F.col("cv"))
-                .localCheckpoint(eager=True)
             )
             if bridge.isEmpty():
                 break
@@ -125,29 +130,53 @@ def minimum_spanning_forest(
             offers = bridge.select(F.col("cu").alias("c"), cand.alias("m")).unionAll(
                 bridge.select(F.col("cv").alias("c"), cand.alias("m"))
             )
-            picked = (
-                offers.groupBy("c")
-                .agg(F.min("m").alias("m"))
-                .select("m.weight", "m.u", "m.v", "m.cu", "m.cv")
+            mins = offers.groupBy("c").agg(F.min("m").alias("m"))
+            picked = local_checkpoint_fresh_stats(
+                mins.select("m.weight", "m.u", "m.v", "m.cu", "m.cv")
                 .distinct()  # mutual-minimum pairs pick the same edge twice
-                .localCheckpoint(eager=True)
             )
             forest_frames.append(picked.select("u", "v", "weight"))
 
-            # contract: merge groups = connected components of the
-            # picked edges viewed over component labels (tiny graph)
-            merge, _res = connected_components(
-                picked.select(F.col("cu").alias("src"), F.col("cv").alias("dst")),
-                track_messages=False,
+            # contract by pointer doubling (see module docstring):
+            # parent(c) = other endpoint of c's pick; anchor each
+            # mutual-minimum 2-cycle at its smaller label...
+            par = mins.select(
+                "c",
+                F.when(F.col("m.cu") == F.col("c"), F.col("m.cv"))
+                .otherwise(F.col("m.cu"))
+                .alias("p"),
             )
-            new_comp = merge.select(
-                F.col("id").alias("comp"), F.col("component").alias("nc")
+            g = par.select(F.col("c").alias("c2"), F.col("p").alias("gp"))
+            par = local_checkpoint_fresh_stats(
+                par.join(g, par["p"] == g["c2"]).select(
+                    "c",
+                    F.when(
+                        (F.col("gp") == F.col("c")) & (F.col("c") < F.col("p")),
+                        F.col("c"),
+                    )
+                    .otherwise(F.col("p"))
+                    .alias("p"),
+                )
             )
-            lab = (
+            # ...then square the parent function to fixpoint
+            for _jump in range(64):
+                g = par.select(F.col("c").alias("c2"), F.col("p").alias("gp"))
+                nxt = local_checkpoint_fresh_stats(
+                    par.join(g, par["p"] == g["c2"]).select(
+                        "c",
+                        F.col("gp").alias("p"),
+                        (F.col("gp") != F.col("p")).alias("_moved"),
+                    )
+                )
+                done = nxt.filter("_moved").isEmpty()
+                par = nxt.drop("_moved")
+                if done:
+                    break
+            new_comp = par.select(F.col("c").alias("comp"), F.col("p").alias("nc"))
+            lab = local_checkpoint_fresh_stats(
                 lab.join(new_comp, "comp", "left_outer")
                 .select("id", F.coalesce("nc", "comp").alias("comp"))
                 .repartition(p, "id")
-                .localCheckpoint(eager=True)
             )
 
         if forest_frames:

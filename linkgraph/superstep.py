@@ -132,6 +132,53 @@ def release_local_checkpoint(df: DataFrame) -> None:
         pass
 
 
+def local_checkpoint_fresh_stats(df: DataFrame, eager: bool = True) -> DataFrame:
+    """``localCheckpoint`` that also RESETS Catalyst's size statistics.
+
+    ``Dataset.localCheckpoint`` truncates the logical plan to a
+    ``LogicalRDD`` but deliberately carries the ORIGIN plan's
+    ``Statistics`` forward. For a loop frame that is re-JOINED with a
+    frame derived from itself (pointer doubling, label contraction),
+    that is catastrophic: the size-only estimator multiplies the two
+    sides' ``sizeInBytes``, so the carried BigInteger doubles in BIT
+    LENGTH every iteration, and by ~iteration 20 the driver spends
+    whole seconds per plan inside ``BigInteger.multiply`` (measured:
+    0.1s -> 32s per 10-row join over 24 self-join+checkpoint rounds;
+    jstack shows ``multiplyToomCook3`` on megabit integers). Rebuilding
+    the ``LogicalRDD`` WITHOUT ``originStats`` resets ``sizeInBytes``
+    to the session default, which bounds the bit growth per plan to a
+    constant regardless of loop depth. Partitioning/ordering metadata
+    and the materialized RDD are copied verbatim, so co-partitioning
+    contracts are unaffected. The stripped frame estimates as "large"
+    (``spark.sql.defaultSizeInBytes``), which can only DISABLE an
+    automatic broadcast — a safe direction at scale; loops that want a
+    broadcast say so explicitly.
+
+    Falls back to the plain checkpointed frame if the JVM internals
+    ever move (the reconstruction reaches through py4j into
+    ``LogicalRDD``'s constructor — package-private in Scala, public in
+    bytecode).
+    """
+    out = df.localCheckpoint(eager=eager)
+    try:
+        spark = out.sparkSession
+        jvm = spark._jvm
+        lr = out._jdf.queryExecution().analyzed()
+        if lr.getClass().getSimpleName() != "LogicalRDD":
+            return out
+        none = jvm.scala.Option.empty()
+        args = [lr.productElement(i) for i in range(lr.productArity())]
+        new_lr = jvm.org.apache.spark.sql.execution.LogicalRDD(
+            *args, spark._jsparkSession, none, none
+        )
+        ds = jvm.org.apache.spark.sql.classic.Dataset.ofRows(
+            spark._jsparkSession, new_lr
+        )
+        return DataFrame(ds, spark)
+    except Exception:
+        return out
+
+
 def iterate(
     init_state: DataFrame,
     superstep_fn: Callable[[DataFrame, int], StepResult],
