@@ -43,7 +43,12 @@ from ..graph import choose_partitions, vertices_from_edges
 from ..metrics import SuperstepMetrics
 from ..partitioning import build_adjacency, symmetrize
 from ..phash import md5_digits_spark_sql
-from ..superstep import LoopResult, iteration_conf, release_local_checkpoint
+from ..superstep import (
+    LoopResult,
+    local_checkpoint_fresh_stats,
+    iteration_conf,
+    release_local_checkpoint,
+)
 
 FM_PHI = 0.77351
 
@@ -172,16 +177,14 @@ def neighborhood_function(
                 + ") AS _anf_changed",
             )
             obs = Observation(f"anf-{h}")
-            nxt = (
+            nxt = local_checkpoint_fresh_stats(
                 new.observe(
                     obs,
                     F.count(F.lit(1)).alias("rows"),
                     obs_changed.alias("changed"),
                     obs_rank.alias("sum_rank"),
                     obs_est.alias("est"),
-                )
-                .drop("_anf_changed")
-                .localCheckpoint(eager=True)
+                ).drop("_anf_changed")
             )
             row = obs.get
             stats = SuperstepMetrics(superstep=h)
@@ -351,14 +354,12 @@ def _ball_delta_loop(
                 )
             )
             obs = Observation(f"ball-{h}")
-            nxt = (
+            nxt = local_checkpoint_fresh_stats(
                 new.observe(
                     obs,
                     F.count(F.lit(1)).alias("rows"),
                     F.expr("SUM(_sk_changed)").alias("changed"),
-                )
-                .drop("_sk_changed")
-                .localCheckpoint(eager=True)
+                ).drop("_sk_changed")
             )
             row = obs.get
             stats = SuperstepMetrics(superstep=h)

@@ -55,7 +55,12 @@ from pyspark.sql import functions as F
 from ..graph import choose_partitions
 from ..metrics import SuperstepMetrics
 from ..partitioning import symmetrize
-from ..superstep import LoopResult, iteration_conf, release_local_checkpoint
+from ..superstep import (
+    LoopResult,
+    local_checkpoint_fresh_stats,
+    iteration_conf,
+    release_local_checkpoint,
+)
 
 UNIT = 1_000_000
 
@@ -130,14 +135,12 @@ def betweenness_centrality(
                 .selectExpr("s", "v", f"CAST({d} AS INT) AS dist", "sigma")
             )
             obs = Observation(f"bc-fwd-{d}")
-            nxt = (
-                dag.unionByName(lvl)
-                .observe(
+            nxt = local_checkpoint_fresh_stats(
+                dag.unionByName(lvl).observe(
                     obs,
                     F.count(F.lit(1)).alias("rows"),
                     F.sum((F.col("dist") == d).cast("long")).alias("new"),
                 )
-                .localCheckpoint(eager=True)
             )
             row = obs.get
             stats = SuperstepMetrics(superstep=d)
@@ -200,10 +203,10 @@ def betweenness_centrality(
                 )
             )
             obs = Observation(f"bc-bwd-{d}")
-            nxt = (
-                deltas.unionByName(lvl)
-                .observe(obs, F.count(F.lit(1)).alias("rows"))
-                .localCheckpoint(eager=True)
+            nxt = local_checkpoint_fresh_stats(
+                deltas.unionByName(lvl).observe(
+                    obs, F.count(F.lit(1)).alias("rows")
+                )
             )
             stats = SuperstepMetrics(superstep=depth + (depth - d) + 1)
             stats.rows = int(obs.get["rows"])

@@ -39,6 +39,7 @@ from ..superstep import (
     StepResult,
     iterate,
     iteration_conf,
+    local_checkpoint_fresh_stats,
     release_local_checkpoint,
 )
 
@@ -259,7 +260,7 @@ def connected_components_hashmin(
                 F.expr("bit_xor(xxhash64(hi, lo))").alias("sig1"),
                 F.expr("bit_xor(xxhash64(lo, hi, 7L))").alias("sig2"),
             )
-            nxt = planned.localCheckpoint(eager=True)
+            nxt = local_checkpoint_fresh_stats(planned)
             row = obs.get
             sig = (int(row["rows"]), row["sig1"], row["sig2"])
 

@@ -48,7 +48,12 @@ from pyspark.sql import functions as F
 from ..graph import choose_partitions, vertices_from_edges
 from ..metrics import SuperstepMetrics
 from ..partitioning import symmetrize
-from ..superstep import LoopResult, iteration_conf, release_local_checkpoint
+from ..superstep import (
+    LoopResult,
+    local_checkpoint_fresh_stats,
+    iteration_conf,
+    release_local_checkpoint,
+)
 
 
 def core_decomposition(
@@ -146,11 +151,13 @@ def core_decomposition(
                 )
             )
             obs = Observation(f"coreness-{it}")
-            nxt = new.observe(
-                obs,
-                F.count(F.lit(1)).alias("rows"),
-                F.sum("chg").alias("changed"),
-            ).localCheckpoint(eager=True)
+            nxt = local_checkpoint_fresh_stats(
+                new.observe(
+                    obs,
+                    F.count(F.lit(1)).alias("rows"),
+                    F.sum("chg").alias("changed"),
+                )
+            )
             row = obs.get
             stats = SuperstepMetrics(superstep=it)
             stats.rows = int(row["rows"])

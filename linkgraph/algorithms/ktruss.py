@@ -38,7 +38,12 @@ from pyspark.sql import functions as F
 from ..graph import choose_partitions
 from ..metrics import SuperstepMetrics
 from ..partitioning import symmetrize
-from ..superstep import LoopResult, iteration_conf, release_local_checkpoint
+from ..superstep import (
+    LoopResult,
+    local_checkpoint_fresh_stats,
+    iteration_conf,
+    release_local_checkpoint,
+)
 
 
 def ktruss(
@@ -95,12 +100,11 @@ def ktruss(
                 .agg(F.count(F.lit(1)).alias("support"))
             )
             obs = Observation(f"ktruss-{r}")
-            new_kept = (
+            new_kept = local_checkpoint_fresh_stats(
                 e.join(sup, ["a", "b"], "left_outer")
                 .selectExpr("a", "b", "COALESCE(support, 0L) AS support")
                 .filter(F.col("support") >= need)
                 .observe(obs, F.count(F.lit(1)).alias("rows"))
-                .localCheckpoint(eager=True)
             )
             n = int(obs.get["rows"])
 

@@ -53,6 +53,7 @@ from ..superstep import (
     StepResult,
     iterate,
     iteration_conf,
+    local_checkpoint_fresh_stats,
     release_local_checkpoint,
 )
 
@@ -163,9 +164,9 @@ def strongly_connected_components(
             total_steps += res.supersteps
 
             st = res.state  # id, f, b, fch, bch (localCheckpoint'ed)
-            new_done = done.unionAll(
-                st.filter("f = b").selectExpr("id", "f AS scc")
-            ).localCheckpoint(eager=True)
+            new_done = local_checkpoint_fresh_stats(
+                done.unionAll(st.filter("f = b").selectExpr("id", "f AS scc"))
+            )
             new_live = st.filter("f != b").select("id", "f", "b")
             # restrict edges to survivors in the SAME (f, b) block — two
             # co-partitioned joins (e, live both hash-partitioned by the
@@ -173,14 +174,13 @@ def strongly_connected_components(
             # SCC, so dropping them is exact
             s_lbl = new_live.selectExpr("id AS src", "f AS sf", "b AS sb")
             d_lbl = new_live.selectExpr("id AS dst", "f AS df", "b AS db")
-            new_e = (
+            new_e = local_checkpoint_fresh_stats(
                 e.join(s_lbl, "src")
                 .join(d_lbl, "dst")
                 .filter("sf = df AND sb = db")
                 .select("src", "dst")
-                .localCheckpoint(eager=True)
             )
-            next_live = new_live.select("id").localCheckpoint(eager=True)
+            next_live = local_checkpoint_fresh_stats(new_live.select("id"))
             n_live = next_live.count()
 
             adj_out.unpersist()

@@ -59,6 +59,7 @@ from ..phash import md5_int_sql as _md5_int_sql
 from ..superstep import (
     LoopResult,
     iteration_conf,
+    local_checkpoint_fresh_stats,
     release_local_checkpoint,
 )
 
@@ -287,9 +288,9 @@ def random_walks(
             # (measured 9-52s step swings at 40M x 16 under
             # MEMORY_AND_DISK on a 48g heap; a production corpus never
             # fits executor memory anyway)
-            new_state = planned.localCheckpoint(
-                eager=True,
-                storageLevel=frame_storage or StorageLevel.MEMORY_AND_DISK,
+            new_state = local_checkpoint_fresh_stats(
+                planned,
+                storage_level=frame_storage or StorageLevel.MEMORY_AND_DISK,
             )
             row = obs.get
 
@@ -492,8 +493,8 @@ def node2vec_walks(
                 F.count(F.lit(1)).alias("rows"),
                 F.sum(F.col("active").cast("long")).alias("changed"),
             )
-            new_state = planned.localCheckpoint(
-                eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK
+            new_state = local_checkpoint_fresh_stats(
+                planned, storage_level=StorageLevel.MEMORY_AND_DISK
             )
             row = obs.get
 

@@ -47,6 +47,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from ..superstep import local_checkpoint_fresh_stats
+
 SEP = "\x1f"
 END = "</w>"
 
@@ -152,7 +154,7 @@ def learn_bpe(
             )
         l, r, cnt = best[0]["l"], best[0]["r"], int(best[0]["cnt"])
         merges.append((rnd, l, r, l + r, cnt))
-        state = _apply_merge(state, l, r).localCheckpoint(eager=True)
+        state = local_checkpoint_fresh_stats(_apply_merge(state, l, r))
     return merges, state
 
 

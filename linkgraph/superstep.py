@@ -132,7 +132,11 @@ def release_local_checkpoint(df: DataFrame) -> None:
         pass
 
 
-def local_checkpoint_fresh_stats(df: DataFrame, eager: bool = True) -> DataFrame:
+def local_checkpoint_fresh_stats(
+    df: DataFrame,
+    eager: bool = True,
+    storage_level: StorageLevel | None = None,
+) -> DataFrame:
     """``localCheckpoint`` that also RESETS Catalyst's size statistics.
 
     ``Dataset.localCheckpoint`` truncates the logical plan to a
@@ -159,7 +163,10 @@ def local_checkpoint_fresh_stats(df: DataFrame, eager: bool = True) -> DataFrame
     ``LogicalRDD``'s constructor — package-private in Scala, public in
     bytecode).
     """
-    out = df.localCheckpoint(eager=eager)
+    if storage_level is not None:
+        out = df.localCheckpoint(eager=eager, storageLevel=storage_level)
+    else:
+        out = df.localCheckpoint(eager=eager)
     try:
         spark = out.sparkSession
         jvm = spark._jvm
@@ -264,11 +271,20 @@ def iterate(
             # checkpointed frame loses its partitioning — see above.)
             # transient stat columns are dropped BEFORE materialization —
             # the observe node sits below the projection so the metrics
-            # still fire, and the cached state carries only real columns
-            new_state = (
-                res.state.observe(obs, *agg_exprs)
-                .drop("_delta", "_changed", "_msgs")
-                .localCheckpoint(eager=True)
+            # still fire, and the cached state carries only real columns.
+            # Stats are RESET as well: a superstep whose message frame
+            # self-joins state-derived frames (Luby MIS, coloring)
+            # multiplies the carried sizeInBytes each superstep, so its
+            # bit length grows geometrically with loop depth — harmless
+            # for tens of supersteps, unbounded BigInteger arithmetic in
+            # every later plan at O(log n)-round scale. The estimate is
+            # a useless overestimate after ~2 supersteps anyway (2^544
+            # "bytes" measured at superstep 40), so nothing downstream
+            # loses a broadcast it would actually have gotten.
+            new_state = local_checkpoint_fresh_stats(
+                res.state.observe(obs, *agg_exprs).drop(
+                    "_delta", "_changed", "_msgs"
+                )
             )
 
             stats = SuperstepMetrics(superstep=k)
