@@ -1495,6 +1495,44 @@ def _cocitation_sql(center: str, leaf: str) -> str:
     )
 
 
+def _q_rectangles(spark, sf):
+    """Per-vertex rectangle (4-cycle) counts over the undirected doc
+    graph via the opposite-pair identity rect(a) = sum_c C(codeg(a,c),2)
+    — one center self-join + two integer aggregates, exact BIGINT."""
+    from linkgraph.algorithms.rectangles import rectangle_counts
+
+    return rectangle_counts(
+        document_edges(spark, sf), vertices=document_vertices(spark, sf)
+    )
+
+
+def _rectangles_sql() -> str:
+    """Same identity in DuckDB: symmetrized incidence self-joined on the
+    shared center with the identical 10_000 center cap (a no-op on this
+    fixture: symmetrized doc degree tops out well below it), codeg pairs
+    with codeg >= 2, C(codeg, 2) exact in BIGINT (consecutive-integer
+    product is even, and the double division is exact below 2^53),
+    zero-filled over all documents."""
+    return (
+        "WITH " + EDGES_CTES.strip() + "," + SYM_CTE.strip() + ","
+        " rel AS (SELECT src AS center, dst AS leaf FROM sym),"
+        " cd AS (SELECT center, COUNT(*) AS cdeg FROM rel GROUP BY center),"
+        " capped AS (SELECT r.center, r.leaf FROM rel r"
+        "   JOIN cd ON cd.center = r.center WHERE cd.cdeg <= 10000),"
+        " pairs AS (SELECT a.leaf AS u, b.leaf AS v,"
+        "   CAST(COUNT(*) AS BIGINT) AS codeg"
+        "   FROM capped a JOIN capped b"
+        "   ON a.center = b.center AND a.leaf < b.leaf"
+        "   GROUP BY 1, 2 HAVING COUNT(*) >= 2),"
+        " pr AS (SELECT u, v, CAST(codeg*(codeg-1)/2 AS BIGINT) AS pr FROM pairs),"
+        " per_v AS (SELECT id, CAST(SUM(pr) AS BIGINT) AS rect FROM"
+        "   (SELECT u AS id, pr FROM pr UNION ALL SELECT v AS id, pr FROM pr)"
+        "   GROUP BY id)"
+        " SELECT d.doc_id AS id, COALESCE(p.rect, 0) AS rect"
+        " FROM documents d LEFT JOIN per_v p ON p.id = d.doc_id"
+    )
+
+
 def _q_salsa(spark, sf):
     """SALSA hub/authority scores via the closed form: degree ratios
     within double-cover components (one CC run over |E| edges, no
@@ -1756,6 +1794,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "greedy_coloring": _q_coloring,
         "minimum_spanning_forest": _q_msf,
         "bipartite_check": _q_bipartite,
+        "rectangle_count": _q_rectangles,
         "cocitation_pairs": _q_cocitation,
         "bibliographic_coupling": _q_coupling,
         "token_cooccurrence": _q_cooccur,
@@ -3328,6 +3367,7 @@ def oracle_sql() -> dict[str, str]:
     sql["greedy_coloring"] = _coloring_sql(COLORING_ROUNDS, COLORING_SEED)
     sql["minimum_spanning_forest"] = _msf_sql()
     sql["bipartite_check"] = _bipartite_sql()
+    sql["rectangle_count"] = _rectangles_sql()
     sql["cocitation_pairs"] = _cocitation_sql("src", "dst")
     sql["bibliographic_coupling"] = _cocitation_sql("dst", "src")
     sql["token_cooccurrence"] = _cooccur_sql()

@@ -20,6 +20,7 @@ from .coloring import greedy_coloring
 from .msf import minimum_spanning_forest
 from .bipartite import bipartite_check
 from .cocitation import bibliographic_coupling, cocitation
+from .rectangles import rectangle_counts
 from .salsa import salsa_scores
 from .sampling import graph_sample
 from .stats import (
@@ -43,6 +44,7 @@ __all__ = [
     "bipartite_check",
     "cocitation",
     "bibliographic_coupling",
+    "rectangle_counts",
     "salsa_scores",
     "node2vec_walks",
     "random_walks",
