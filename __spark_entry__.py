@@ -90,6 +90,10 @@ SSSP_HOPS = 12
 # (measured), unrolled with >2x slack (extra passes are no-ops) and the
 # engine ASSERTS convergence so a deeper future fixture fails loudly
 WSSSP_STEPS = 16
+# landmark labels: 4 top-degree pivots, hop-bounded BFS — both engines
+# bound at the same depth, so the gate is exact even on deeper graphs
+LM_COUNT = 4
+LM_HOPS = 8
 JACCARD_T = 0.12
 # count-min sketch params: narrow width so collisions actually occur at
 # sf0.01 (the gate then checks the sketch's collision arithmetic, not
@@ -1533,6 +1537,38 @@ def _rectangles_sql() -> str:
     )
 
 
+def _q_landmarks(spark, sf):
+    """Landmark distance labels: ONE composite-key BFS from the top-4
+    degree pivots of the symmetrized doc graph, hop-bounded at LM_HOPS
+    on both engines so the gate is exact by construction."""
+    from linkgraph.algorithms.landmarks import landmark_distances
+
+    out, _lms = landmark_distances(
+        document_edges(spark, sf), num_landmarks=LM_COUNT, max_depth=LM_HOPS
+    )
+    return out
+
+
+def _landmarks_sql() -> str:
+    """Same labels in DuckDB: degree-ordered LIMIT picks the identical
+    pivots (deterministic id tiebreak), a hop-bounded recursive CTE
+    walks the symmetrized edges, MIN(d) per (landmark, vertex)."""
+    return (
+        "WITH RECURSIVE " + EDGES_CTES.strip() + "," + SYM_CTE.strip() + ","
+        " lms AS (SELECT src AS lm FROM ("
+        "   SELECT src, COUNT(*) AS dg FROM sym GROUP BY src"
+        f"   ORDER BY dg DESC, src LIMIT {LM_COUNT})),"
+        " walk(lm, id, d) AS ("
+        "   SELECT lm, lm, 0 FROM lms"
+        "   UNION"
+        "   SELECT w.lm, e.dst, w.d + 1 FROM walk w"
+        f"   JOIN sym e ON e.src = w.id WHERE w.d < {LM_HOPS}"
+        " )"
+        " SELECT id, lm AS landmark, CAST(MIN(d) AS INT) AS dist"
+        " FROM walk GROUP BY id, lm"
+    )
+
+
 def _q_salsa(spark, sf):
     """SALSA hub/authority scores via the closed form: degree ratios
     within double-cover components (one CC run over |E| edges, no
@@ -1795,6 +1831,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minimum_spanning_forest": _q_msf,
         "bipartite_check": _q_bipartite,
         "rectangle_count": _q_rectangles,
+        "landmark_distances": _q_landmarks,
         "cocitation_pairs": _q_cocitation,
         "bibliographic_coupling": _q_coupling,
         "token_cooccurrence": _q_cooccur,
@@ -3368,6 +3405,7 @@ def oracle_sql() -> dict[str, str]:
     sql["minimum_spanning_forest"] = _msf_sql()
     sql["bipartite_check"] = _bipartite_sql()
     sql["rectangle_count"] = _rectangles_sql()
+    sql["landmark_distances"] = _landmarks_sql()
     sql["cocitation_pairs"] = _cocitation_sql("src", "dst")
     sql["bibliographic_coupling"] = _cocitation_sql("dst", "src")
     sql["token_cooccurrence"] = _cooccur_sql()

@@ -50,7 +50,7 @@ def _build_parser() -> argparse.ArgumentParser:
             "dedup", "vocab", "pii", "repetition",
             "ppr", "hits", "kcore", "walks", "node2vec", "mis",
             "coloring", "msf", "bipartite", "cocitation", "coupling", "cooccur",
-            "salsa",
+            "salsa", "rectangles", "landmarks",
             "summary", "coreness", "betweenness", "harmonic",
             "closeness", "knn-degree", "rich-club",
             "canonical", "skipgram", "sgns",
@@ -105,7 +105,8 @@ def _build_parser() -> argparse.ArgumentParser:
                    help="linkpred/cocitation/coupling: minimum shared "
                    "neighbors (centers) per pair")
     p.add_argument("--max-center-degree", type=int, default=10_000,
-                   help="linkpred/cocitation/coupling: drop pair-generating "
+                   help="linkpred/cocitation/coupling/rectangles: drop "
+                   "pair-generating "
                    "centers above this degree "
                    "(bounds the hub wedge set at scale; 0 = uncapped)")
     p.add_argument("--min-df", type=int, default=2,
@@ -472,6 +473,20 @@ def main(argv: list[str] | None = None) -> None:
             edges,
             max_supersteps=args.max_supersteps,
             **common,
+        )
+    elif args.algorithm == "rectangles":
+        from linkgraph.algorithms.rectangles import rectangle_counts
+
+        out = rectangle_counts(
+            edges,
+            max_center_degree=args.max_center_degree or None,
+        )
+    elif args.algorithm == "landmarks":
+        from linkgraph.algorithms.landmarks import landmark_distances
+
+        out, _lms = landmark_distances(
+            edges,
+            num_partitions=args.num_partitions,
         )
     elif args.algorithm == "msf":
         from linkgraph.algorithms.msf import minimum_spanning_forest
