@@ -94,6 +94,12 @@ WSSSP_STEPS = 16
 # bound at the same depth, so the gate is exact even on deeper graphs
 LM_COUNT = 4
 LM_HOPS = 8
+# neighborhood MinHash-LSH: 16 hashes x 8 bands of 2 over the
+# symmetrized adjacency sets; exact-Jaccard verification at 0.2
+NMH_HASHES = 16
+NMH_BANDS = 8
+NMH_T = 0.2
+NMH_SEED = 42
 JACCARD_T = 0.12
 # count-min sketch params: narrow width so collisions actually occur at
 # sf0.01 (the gate then checks the sketch's collision arithmetic, not
@@ -1569,6 +1575,67 @@ def _landmarks_sql() -> str:
     )
 
 
+def _q_structsim(spark, sf):
+    """Structural similarity (neighborhood MinHash-LSH + exact-Jaccard
+    verify) over the symmetrized doc graph — the 100 TB tier of the
+    cocitation matrix; portable md5 base hash so the full LSH chain is
+    oracle-reproducible."""
+    from linkgraph.algorithms.structsim import neighborhood_minhash_pairs
+
+    return neighborhood_minhash_pairs(
+        document_edges(spark, sf),
+        num_hashes=NMH_HASHES,
+        bands=NMH_BANDS,
+        threshold=NMH_T,
+        seed=NMH_SEED,
+        portable=True,
+    )
+
+
+def _structsim_sql() -> str:
+    """The identical LSH chain in DuckDB: md5-digit base hash,
+    (a*x+b) mod 2^31-1 signature mins with the engine's literal (a, b)
+    draws, md5 band buckets, bucket-join candidates, exact Jaccard
+    common/(deg_u+deg_v-common) in one IEEE division."""
+    from linkgraph.phash import md5_digits_sql
+    from linkgraph.pipeline.dedup import MINHASH_P, _hash_params
+
+    a, b = _hash_params(NMH_HASHES, NMH_SEED)
+    r = NMH_HASHES // NMH_BANDS
+    params = ", ".join(
+        f"({i + 1}, {int(a[i])}, {int(b[i])})" for i in range(NMH_HASHES)
+    )
+    return (
+        "WITH " + EDGES_CTES.strip() + "," + SYM_CTE.strip() + ","
+        " nx AS MATERIALIZED (SELECT src AS v, dst AS n FROM sym),"
+        " nh AS MATERIALIZED (SELECT v, n,"
+        "  md5(concat_ws(':', 'nmh', CAST(n AS VARCHAR))) AS h FROM nx),"
+        f" nxx AS MATERIALIZED (SELECT v, {md5_digits_sql('h', 7)} AS x FROM nh),"
+        f" params AS (SELECT * FROM (VALUES {params}) p(i, a, b)),"
+        f" sigs AS MATERIALIZED (SELECT s.v, p.i,"
+        f"  MIN((s.x * p.a + p.b) % {MINHASH_P}) AS m"
+        f"  FROM nxx s CROSS JOIN params p GROUP BY s.v, p.i),"
+        " sigarr AS MATERIALIZED (SELECT v, list(m ORDER BY i) AS sig"
+        "  FROM sigs GROUP BY v),"
+        " banded AS MATERIALIZED (SELECT v, g.bd AS band,"
+        f"  md5(array_to_string(sig[g.bd*{r}+1:g.bd*{r}+{r}], ',')) AS bucket"
+        f"  FROM sigarr CROSS JOIN generate_series(0, {NMH_BANDS - 1}) g(bd)),"
+        " cands AS MATERIALIZED (SELECT DISTINCT a.v AS u, b.v AS v"
+        "  FROM banded a JOIN banded b"
+        "  ON a.band = b.band AND a.bucket = b.bucket AND a.v < b.v),"
+        " vdeg AS (SELECT v, COUNT(*) AS dg FROM nx GROUP BY v),"
+        " com AS (SELECT c.u, c.v, CAST(COUNT(*) AS BIGINT) AS common"
+        "  FROM cands c JOIN nx x1 ON x1.v = c.u JOIN nx x2 ON x2.v = c.v"
+        "  AND x2.n = x1.n GROUP BY c.u, c.v)"
+        " SELECT m.u, m.v, m.common,"
+        "  CAST(m.common AS DOUBLE) /"
+        "  CAST(du.dg + dv.dg - m.common AS DOUBLE) AS jaccard"
+        " FROM com m JOIN vdeg du ON du.v = m.u JOIN vdeg dv ON dv.v = m.v"
+        f" WHERE CAST(m.common AS DOUBLE) /"
+        f"  CAST(du.dg + dv.dg - m.common AS DOUBLE) >= {NMH_T}"
+    )
+
+
 def _q_salsa(spark, sf):
     """SALSA hub/authority scores via the closed form: degree ratios
     within double-cover components (one CC run over |E| edges, no
@@ -1832,6 +1899,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bipartite_check": _q_bipartite,
         "rectangle_count": _q_rectangles,
         "landmark_distances": _q_landmarks,
+        "neighborhood_minhash_pairs": _q_structsim,
         "cocitation_pairs": _q_cocitation,
         "bibliographic_coupling": _q_coupling,
         "token_cooccurrence": _q_cooccur,
@@ -3406,6 +3474,7 @@ def oracle_sql() -> dict[str, str]:
     sql["bipartite_check"] = _bipartite_sql()
     sql["rectangle_count"] = _rectangles_sql()
     sql["landmark_distances"] = _landmarks_sql()
+    sql["neighborhood_minhash_pairs"] = _structsim_sql()
     sql["cocitation_pairs"] = _cocitation_sql("src", "dst")
     sql["bibliographic_coupling"] = _cocitation_sql("dst", "src")
     sql["token_cooccurrence"] = _cooccur_sql()

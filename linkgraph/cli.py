@@ -50,7 +50,7 @@ def _build_parser() -> argparse.ArgumentParser:
             "dedup", "vocab", "pii", "repetition",
             "ppr", "hits", "kcore", "walks", "node2vec", "mis",
             "coloring", "msf", "bipartite", "cocitation", "coupling", "cooccur",
-            "salsa", "rectangles", "landmarks",
+            "salsa", "rectangles", "landmarks", "structsim",
             "summary", "coreness", "betweenness", "harmonic",
             "closeness", "knn-degree", "rich-club",
             "canonical", "skipgram", "sgns",
@@ -488,6 +488,10 @@ def main(argv: list[str] | None = None) -> None:
             edges,
             num_partitions=args.num_partitions,
         )
+    elif args.algorithm == "structsim":
+        from linkgraph.algorithms.structsim import neighborhood_minhash_pairs
+
+        out = neighborhood_minhash_pairs(edges)
     elif args.algorithm == "msf":
         from linkgraph.algorithms.msf import minimum_spanning_forest
 
