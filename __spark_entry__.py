@@ -908,6 +908,86 @@ def _q_sgns_embeddings(spark, sf):
     return out
 
 
+def _q_sgns_auc(spark, sf):
+    """Link-prediction AUC of the SGNS embeddings (exact Mann-Whitney
+    rank-sum over integer dot products): re-trains the bit-exact
+    portable embeddings, then scores true edges vs the deterministic
+    negative sample. One row; u2 is the exact integer numerator."""
+    from linkgraph import random_walks
+    from linkgraph.algorithms.walks import skipgram_pairs
+    from linkgraph.pipeline.embed_eval import linkpred_auc
+    from linkgraph.pipeline.sgns import train_sgns
+
+    edges = document_edges(spark, sf)
+    verts = document_vertices(spark, sf)
+    n = load_documents(spark, sf).count()
+    corpus, _ = random_walks(
+        edges,
+        walks_per_vertex=RW_W,
+        walk_length=RW_LEN,
+        seed=RW_SEED,
+        vertices=verts,
+        portable=True,
+    )
+    emb, _ = train_sgns(
+        skipgram_pairs(corpus, window=SG_WINDOW),
+        vertices=verts,
+        dim=SGNS_DIM,
+        epochs=SGNS_EPOCHS,
+        negatives=SGNS_NEG,
+        lr_num=SGNS_LR_NUM,
+        lr_den=SGNS_LR_DEN,
+        seed=SGNS_SEED,
+        scale_bits=SGNS_SCALE_BITS,
+        portable=True,
+    )
+    return linkpred_auc(emb, edges, verts, n)
+
+
+def _sgns_auc_sql() -> str:
+    """The same statistic in DuckDB with the full bit-exact SGNS chain
+    nested as a CTE: canonical positive edges, the engine's arithmetic
+    negative rule anti-joined against true edges, integer dot products,
+    average ranks via RANK + tie COUNT windows, u2 = 2U exact."""
+    from linkgraph.pipeline.embed_eval import NEG_A, NEG_B
+
+    emb = _sgns_sql(
+        RW_W, RW_LEN, RW_SEED, SG_WINDOW,
+        SGNS_DIM, SGNS_EPOCHS, SGNS_NEG, SGNS_LR_NUM, SGNS_LR_DEN,
+        SGNS_SEED, SGNS_SCALE_BITS,
+    )
+    return (
+        "WITH " + EDGES_CTES.strip() + ","
+        f" embx AS MATERIALIZED ({emb}),"
+        " ein AS (SELECT vertex, dim, value FROM embx WHERE side = 'in'),"
+        " pos AS (SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v"
+        "  FROM edges WHERE src != dst),"
+        " nn AS (SELECT COUNT(*) AS n FROM documents),"
+        f" cand AS (SELECT DISTINCT LEAST(doc_id, (doc_id*{NEG_A} + {NEG_B}) % nn.n) AS u,"
+        f"  GREATEST(doc_id, (doc_id*{NEG_A} + {NEG_B}) % nn.n) AS v"
+        f"  FROM documents, nn WHERE doc_id != (doc_id*{NEG_A} + {NEG_B}) % nn.n),"
+        " neg AS (SELECT c.u, c.v FROM cand c ANTI JOIN pos p"
+        "  ON p.u = c.u AND p.v = c.v),"
+        " pairs AS (SELECT u, v, 1 AS label FROM pos"
+        "  UNION ALL SELECT u, v, 0 AS label FROM neg),"
+        " scored AS (SELECT p.u, p.v, p.label,"
+        "  SUM(a.value * b.value) AS score"
+        "  FROM pairs p JOIN ein a ON a.vertex = p.u"
+        "  JOIN ein b ON b.vertex = p.v AND b.dim = a.dim"
+        "  GROUP BY p.u, p.v, p.label),"
+        " ranked AS (SELECT label,"
+        "  2 * RANK() OVER (ORDER BY score)"
+        "  + COUNT(*) OVER (PARTITION BY score) - 1 AS avg2 FROM scored),"
+        " agg AS (SELECT CAST(SUM(label) AS BIGINT) AS n_pos,"
+        "  CAST(SUM(1 - label) AS BIGINT) AS n_neg,"
+        "  CAST(SUM(CASE WHEN label = 1 THEN avg2 ELSE 0 END)"
+        "   - SUM(label) * (SUM(label) + 1) AS BIGINT) AS u2 FROM ranked)"
+        " SELECT n_pos, n_neg, u2,"
+        "  CAST(u2 AS DOUBLE) / CAST(2 * n_pos * n_neg AS DOUBLE) AS auc"
+        " FROM agg"
+    )
+
+
 def _q_vocabulary(spark, sf):
     from linkgraph.pipeline.textstats import vocabulary
 
@@ -1876,6 +1956,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canonical_docs": _q_canonical_docs,
         "skipgram_pairs": _q_skipgram_pairs,
         "sgns_embeddings": _q_sgns_embeddings,
+        "sgns_linkpred_auc": _q_sgns_auc,
         "khop_features": _q_khop_features,
         "bpe_merges": _q_bpe_merges,
         "bpe_encode_counts": _q_bpe_encode_counts,
@@ -3475,6 +3556,7 @@ def oracle_sql() -> dict[str, str]:
     sql["rectangle_count"] = _rectangles_sql()
     sql["landmark_distances"] = _landmarks_sql()
     sql["neighborhood_minhash_pairs"] = _structsim_sql()
+    sql["sgns_linkpred_auc"] = _sgns_auc_sql()
     sql["cocitation_pairs"] = _cocitation_sql("src", "dst")
     sql["bibliographic_coupling"] = _cocitation_sql("dst", "src")
     sql["token_cooccurrence"] = _cooccur_sql()
