@@ -171,6 +171,9 @@ MSF_WEIGHT_MOD = 97
 PACK_BUDGET = 512
 PACK_GROUPS = 8
 PACK_SEED = 13
+# training-batch composition: canonical dedup survivors with integer
+# quality key >= this enter the packed batch stream
+PIPE_QMIN = 8
 # corpus mixing: per-language keep rates (unlisted strata -> 0.1)
 MIX_RATES = {"en": 1.0, "de": 0.5, "zh": 0.25}
 MIX_DEFAULT = 0.1
@@ -810,6 +813,63 @@ def _q_canonical_docs(spark, sf):
     from linkgraph.pipeline.dedup import canonical_docs
 
     return canonical_docs(load_documents(spark, sf), threshold=0.3, portable=True)
+
+
+def _q_training_pipeline(spark, sf):
+    """END-TO-END training-batch assembly — the composition a real
+    corpus run executes as ONE dataflow: near-dup clustering picks the
+    best-quality survivor per cluster (canonical_docs), survivors below
+    the integer quality floor drop, and the kept docs pack into
+    token-budget bins (pack_sequences). Every stage is the already-
+    gated operator; the gate here checks the COMPOSITION end to end."""
+    from linkgraph.pipeline import pack_sequences
+    from linkgraph.pipeline.dedup import canonical_docs
+
+    docs = load_documents(spark, sf)
+    surv = canonical_docs(docs, threshold=0.3, portable=True)
+    kept = docs.join(
+        surv.filter(F.col("q10") >= PIPE_QMIN).select(
+            F.col("kept_doc_id").alias("doc_id")
+        ),
+        "doc_id",
+    )
+    return pack_sequences(
+        kept,
+        budget=PACK_BUDGET,
+        n_groups=PACK_GROUPS,
+        seed=PACK_SEED,
+        portable=True,
+    )
+
+
+def _training_pipeline_sql() -> str:
+    """The identical composition in DuckDB: the full canonical-docs
+    statement (MinHash-LSH + recursive closure + integer quality
+    argmax) nested as a CTE, quality-floored survivors re-joined to the
+    corpus, then the pack window arithmetic over the KEPT set only."""
+    from linkgraph.pipeline.packing import pack_group_sql
+
+    canon = _canonical_docs_sql(64, 16, 3, 0.3, 42)
+    g = pack_group_sql("d.doc_id", PACK_GROUPS, PACK_SEED)
+    return (
+        f"WITH canon AS MATERIALIZED ({canon}),"
+        f" kept AS (SELECT kept_doc_id AS doc_id FROM canon"
+        f"  WHERE q10 >= {PIPE_QMIN}),"
+        " base AS (SELECT d.doc_id,"
+        "  CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,"
+        f"  CAST({g} AS INT) AS \"group\""
+        "  FROM documents d JOIN kept k USING (doc_id)),"
+        " pos AS (SELECT doc_id, n_tokens, \"group\","
+        "  CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY \"group\""
+        "   ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),"
+        "   0) AS BIGINT) AS start FROM base)"
+        " SELECT doc_id, n_tokens, \"group\", start,"
+        f" CAST(start // {PACK_BUDGET} AS BIGINT) AS bin,"
+        f" CAST(start % {PACK_BUDGET} AS BIGINT) AS \"offset\","
+        f" CAST(CASE WHEN n_tokens = 0 THEN 0 ELSE"
+        f"  CEIL((start % {PACK_BUDGET} + n_tokens) / CAST({PACK_BUDGET} AS DOUBLE))"
+        f" END AS BIGINT) AS n_spans FROM pos"
+    )
 
 
 def _q_skipgram_pairs(spark, sf):
@@ -1954,6 +2014,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": _q_minhash_lsh,
         "dedup_clusters": _q_dedup_clusters,
         "canonical_docs": _q_canonical_docs,
+        "training_batch_pipeline": _q_training_pipeline,
         "skipgram_pairs": _q_skipgram_pairs,
         "sgns_embeddings": _q_sgns_embeddings,
         "sgns_linkpred_auc": _q_sgns_auc,
@@ -3666,6 +3727,7 @@ def oracle_sql() -> dict[str, str]:
     # closure (min reachable doc_id == the engine's min-label CC)
     sql["dedup_clusters"] = _dedup_clusters_sql(64, 16, 3, 0.3, 42)
     sql["canonical_docs"] = _canonical_docs_sql(64, 16, 3, 0.3, 42)
+    sql["training_batch_pipeline"] = _training_pipeline_sql()
     sql["skipgram_pairs"] = _skipgram_sql(RW_W, RW_LEN, RW_SEED, SG_WINDOW)
     sql["khop_features"] = _khop_sql(KHOP_HOPS)
     sql["bpe_merges"] = _bpe_sql(BPE_MERGES)
