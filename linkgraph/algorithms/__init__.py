@@ -20,7 +20,9 @@ from .coloring import greedy_coloring
 from .msf import minimum_spanning_forest
 from .bipartite import bipartite_check
 from .cocitation import bibliographic_coupling, cocitation
+from .landmarks import landmark_distances, select_landmarks
 from .rectangles import rectangle_counts
+from .structsim import neighborhood_minhash_pairs
 from .salsa import salsa_scores
 from .sampling import graph_sample
 from .stats import (
@@ -44,6 +46,9 @@ __all__ = [
     "bipartite_check",
     "cocitation",
     "bibliographic_coupling",
+    "landmark_distances",
+    "select_landmarks",
+    "neighborhood_minhash_pairs",
     "rectangle_counts",
     "salsa_scores",
     "node2vec_walks",

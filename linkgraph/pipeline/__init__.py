@@ -25,6 +25,7 @@ from .textstats import (
     vocabulary,
 )
 from .cooccur import token_cooccurrence
+from .embed_eval import linkpred_auc, negative_pairs
 from .packing import pack_sequences
 from .sample import proportional_sample, stratified_sample, weighted_sample
 from .sessions import sessionize_events
@@ -62,6 +63,8 @@ __all__ = [
     "weighted_sample",
     "stratified_sample",
     "proportional_sample",
+    "linkpred_auc",
+    "negative_pairs",
     "pack_sequences",
     "token_cooccurrence",
     "cosine_topk",
