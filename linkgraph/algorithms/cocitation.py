@@ -48,7 +48,9 @@ def _pair_scores(
 ) -> DataFrame:
     """Shared-center pair counts for DF(center, leaf), u < v, plus
     cosine over the leaves' true center counts."""
-    rel = rel.distinct()
+    # distinct incidence feeds four plan branches (self-join sides, the
+    # center cap, leaf counts): persist so it materializes once
+    rel = rel.distinct().persist()
     n_leaf = rel.groupBy("leaf").agg(F.count(F.lit(1)).alias("n"))
 
     centers = rel

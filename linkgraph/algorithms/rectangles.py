@@ -63,7 +63,12 @@ def rectangle_counts(
     if vertices is None:
         vertices = vertices_from_edges(edges)
 
-    rel = sym.select(F.col("src").alias("center"), F.col("dst").alias("leaf"))
+    # the incidence feeds four plan branches (both self-join sides, the
+    # degree cap, the vertex zero-fill base when derived): persist so the
+    # symmetrized distinct relation materializes once, not per branch
+    rel = sym.select(
+        F.col("src").alias("center"), F.col("dst").alias("leaf")
+    ).persist()
     if max_center_degree is not None:
         cdeg = rel.groupBy("center").agg(F.count(F.lit(1)).alias("cdeg"))
         rel = rel.join(
