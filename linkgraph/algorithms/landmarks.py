@@ -36,11 +36,7 @@ from pyspark.sql import functions as F
 
 from ..graph import choose_partitions
 from ..partitioning import symmetrize
-from ..superstep import (
-    iteration_conf,
-    local_checkpoint_fresh_stats,
-    release_local_checkpoint,
-)
+from ..superstep import iteration_conf, local_checkpoint_fresh_stats
 
 
 def select_landmarks(
@@ -84,28 +80,43 @@ def landmark_distances(
         )
         adj.count()
 
-        lab = (
-            spark.createDataFrame([(int(l),) for l in landmarks], "landmark long")
-            .select("landmark", F.col("landmark").alias("id"), F.lit(0).cast("int").alias("dist"))
+        # retained FRONTIER-sized level frames (the walks.py lesson):
+        # each level checkpoints only its NEW (landmark, id) rows; the
+        # visited set for the anti-join is the lazy union of the
+        # retained frames — scanned, never re-materialized, so total
+        # checkpoint writes are O(L*V) across the whole run instead of
+        # O(L*V*depth) from rewriting the accumulated label set per level
+        frontier = local_checkpoint_fresh_stats(
+            spark.createDataFrame(
+                [(int(l),) for l in landmarks], "landmark long"
+            )
+            .select(
+                "landmark",
+                F.col("landmark").alias("id"),
+                F.lit(0).cast("int").alias("dist"),
+            )
             .repartition(p, "id")
-            .localCheckpoint(eager=True)
         )
-        frontier = lab
+        level_frames = [frontier]
         for d in range(1, max_depth + 1):
+            visited = level_frames[0].select("landmark", "id")
+            for fr in level_frames[1:]:
+                visited = visited.unionAll(fr.select("landmark", "id"))
             nxt = (
                 frontier.alias("f")
                 .join(adj.alias("e"), F.col("f.id") == F.col("e.src"))
                 .select("f.landmark", F.col("e.dst").alias("id"))
                 .distinct()
-                .join(lab, ["landmark", "id"], "left_anti")
+                .join(visited, ["landmark", "id"], "left_anti")
                 .select("landmark", "id", F.lit(d).cast("int").alias("dist"))
             )
             frontier = local_checkpoint_fresh_stats(nxt)
             if frontier.isEmpty():
                 break
-            old = lab
-            lab = local_checkpoint_fresh_stats(lab.unionByName(frontier))
-            release_local_checkpoint(old)
+            level_frames.append(frontier)
 
         adj.unpersist()
+        lab = level_frames[0]
+        for fr in level_frames[1:]:
+            lab = lab.unionAll(fr)
     return lab.select("id", "landmark", "dist"), landmarks

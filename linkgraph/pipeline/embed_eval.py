@@ -23,9 +23,11 @@ of bounded negative sample; P+N stays O(V+E).
 
 Distributed shape: dot products are one join per endpoint against the
 (vertex, dim, value) embedding relation + a pair groupBy (exact BIGINT:
-|value| <= 2^15+1 and dim is small, so each product term < 2^31);
-the rank-sum is ONE global window over P+N scored pairs — a sort of
-the scored sample, not of the vertex set, and the only non-linear step.
+|value| <= 2^15+1 and dim is small, so each product term < 2^31).
+The rank-sum never ranks raw rows (an unpartitioned window is a
+single-task sort in Spark): pairs aggregate to the score HISTOGRAM
+first, and the cumulative negative count runs over that aggregated
+frame — the one remaining ordered pass touches distinct scores only.
 """
 
 from __future__ import annotations
@@ -90,20 +92,34 @@ def linkpred_auc(
         .agg(F.sum(F.col("vu") * F.col("vv")).alias("score"))
     )
 
-    w_rank = Window.orderBy("score")
-    w_tie = Window.partitionBy("score")
-    ranked = scored.select(
-        "label",
-        (
-            F.lit(2) * F.rank().over(w_rank) + F.count(F.lit(1)).over(w_tie) - 1
-        ).alias("avg2"),
+    # Rank-sum WITHOUT ranking raw rows: a global window over the raw
+    # scored pairs would shuffle P+N rows into ONE partition (Spark
+    # windows with no partitionBy are single-task). Instead aggregate
+    # to the score HISTOGRAM first — (score, n, n_pos) — and take the
+    # running sum over that far smaller frame; U then needs only
+    # "negatives strictly below" plus half the same-score negatives:
+    #   2U = sum over scores s of n_pos(s) * (2*cum_neg_below(s) + n_neg(s))
+    # which equals the tie-averaged Mann-Whitney numerator exactly.
+    hist = scored.groupBy("score").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("label").cast("long").alias("n_pos"),
+    )
+    w_cum = Window.orderBy("score").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    ranked = hist.select(
+        "n",
+        "n_pos",
+        (F.col("n") - F.col("n_pos")).alias("n_neg"),
+        F.coalesce(
+            F.sum(F.col("n") - F.col("n_pos")).over(w_cum), F.lit(0)
+        ).alias("cum_neg_below"),
     )
     return ranked.agg(
-        F.sum(F.col("label")).cast("long").alias("n_pos"),
-        F.sum(1 - F.col("label")).cast("long").alias("n_neg"),
-        (
-            F.sum(F.when(F.col("label") == 1, F.col("avg2")).otherwise(F.lit(0)))
-            - F.sum("label") * (F.sum("label") + 1)
+        F.sum("n_pos").cast("long").alias("n_pos"),
+        F.sum("n_neg").cast("long").alias("n_neg"),
+        F.sum(
+            F.col("n_pos") * (2 * F.col("cum_neg_below") + F.col("n_neg"))
         )
         .cast("long")
         .alias("u2"),
