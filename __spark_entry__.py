@@ -84,6 +84,9 @@ ANF_MAPS = 16   # FM bitmaps per vertex for the neighborhood function
 ANF_MAX_H = 6   # fixed sketch depth: both engines run exactly 6 passes
 BGD_UPDATES = 5
 LPA_STEPS = 4
+# one-level Louvain: fixed synchronous move rounds (even count so both
+# alternating move directions fire equally)
+LOUVAIN_ROUNDS = 4
 SSSP_HOPS = 12
 # weighted SSSP: oracle-derivable edge weight 1 + (src+dst) % 5 and an
 # unrolled Bellman-Ford oracle; the sf0.01 fixpoint is 7 supersteps
@@ -1683,6 +1686,67 @@ def _rectangles_sql() -> str:
     )
 
 
+def _q_louvain(spark, sf):
+    """One-level Louvain communities: synchronous greedy modularity
+    moves with the alternating-direction oscillation guard, exact
+    integer gain comparisons — fixed LOUVAIN_ROUNDS rounds on both
+    engines so the gate is an exact unrolled replay."""
+    from linkgraph.algorithms.louvain import greedy_modularity_communities
+
+    return greedy_modularity_communities(
+        document_edges(spark, sf),
+        rounds=LOUVAIN_ROUNDS,
+        vertices=document_vertices(spark, sf),
+    )
+
+
+def _louvain_sql(rounds: int) -> str:
+    """Unrolled synchronous Louvain rounds in DuckDB: per round, the
+    community-volume and edge-to-community aggregates, HUGEINT gain
+    scores 2m*(e_vc-e_va') - deg_v*(vol_c-vol_rest), the direction
+    filter (even: lower ids, odd: higher), and the directional
+    tie-broken argmax."""
+    parts = [
+        "WITH " + EDGES_CTES.strip() + "," + SYM_CTE.strip() + ",",
+        " vdeg AS (SELECT src AS id, COUNT(*) AS deg FROM sym GROUP BY src),",
+        " twom AS (SELECT CAST(COUNT(*) AS HUGEINT) AS m2 FROM sym),",
+        " lab0 AS (SELECT doc_id AS id, doc_id AS community FROM documents)",
+    ]
+    for k in range(rounds):
+        cmp_dir = "<" if k % 2 == 0 else ">"
+        tie = "ASC" if k % 2 == 0 else "DESC"
+        parts.append(
+            f", vol{k} AS (SELECT l.community, SUM(d.deg) AS vol"
+            f"   FROM lab{k} l JOIN vdeg d USING (id) GROUP BY 1)"
+            f", evc{k} AS (SELECT s.src AS id, l.community AS c2,"
+            f"   COUNT(*) AS e FROM sym s JOIN lab{k} l ON l.id = s.dst"
+            f"   GROUP BY 1, 2)"
+            f", cur{k} AS (SELECT l.id, l.community AS a,"
+            f"   COALESCE(d.deg, 0) AS deg_v,"
+            f"   COALESCE(v.vol, 0) - COALESCE(d.deg, 0) AS vol_rest,"
+            f"   COALESCE(ea.e, 0) AS e_a"
+            f"   FROM lab{k} l LEFT JOIN vdeg d USING (id)"
+            f"   LEFT JOIN vol{k} v ON v.community = l.community"
+            f"   LEFT JOIN evc{k} ea ON ea.id = l.id AND ea.c2 = l.community)"
+            f", cand{k} AS (SELECT e.id, c.a, e.c2,"
+            f"   (SELECT m2 FROM twom) * (e.e - c.e_a)"
+            f"   - CAST(c.deg_v AS HUGEINT) * (v.vol - c.vol_rest) AS score"
+            f"   FROM evc{k} e JOIN cur{k} c ON c.id = e.id"
+            f"   JOIN vol{k} v ON v.community = e.c2"
+            f"   WHERE e.c2 {cmp_dir} c.a)"
+            f", best{k} AS (SELECT id, score, c2 AS c_new FROM ("
+            f"   SELECT cand{k}.*, ROW_NUMBER() OVER (PARTITION BY id"
+            f"    ORDER BY score DESC, c2 {tie}) AS rn FROM cand{k})"
+            f"   WHERE rn = 1)"
+            f", lab{k + 1} AS (SELECT l.id,"
+            f"   CASE WHEN b.score > 0 THEN b.c_new ELSE l.community END"
+            f"   AS community FROM lab{k} l"
+            f"   LEFT JOIN best{k} b ON b.id = l.id)"
+        )
+    parts.append(f" SELECT id, community FROM lab{rounds}")
+    return "".join(parts)
+
+
 def _q_landmarks(spark, sf):
     """Landmark distance labels: ONE composite-key BFS from the top-4
     degree pivots of the symmetrized doc graph, hop-bounded at LM_HOPS
@@ -2041,6 +2105,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bipartite_check": _q_bipartite,
         "rectangle_count": _q_rectangles,
         "landmark_distances": _q_landmarks,
+        "louvain_communities": _q_louvain,
         "neighborhood_minhash_pairs": _q_structsim,
         "cocitation_pairs": _q_cocitation,
         "bibliographic_coupling": _q_coupling,
@@ -3616,6 +3681,7 @@ def oracle_sql() -> dict[str, str]:
     sql["bipartite_check"] = _bipartite_sql()
     sql["rectangle_count"] = _rectangles_sql()
     sql["landmark_distances"] = _landmarks_sql()
+    sql["louvain_communities"] = _louvain_sql(LOUVAIN_ROUNDS)
     sql["neighborhood_minhash_pairs"] = _structsim_sql()
     sql["sgns_linkpred_auc"] = _sgns_auc_sql()
     sql["cocitation_pairs"] = _cocitation_sql("src", "dst")
