@@ -163,6 +163,10 @@ COLLOC_MIN_PAIRS = 3
 # needs more rounds — same rule as KCORE_PASSES)
 MIS_SEED = 3
 MIS_ROUNDS = 10
+# Maximal matching: coin seed / oracle unroll depth (engine fails
+# loudly if it needs more rounds — same rule as MIS_ROUNDS)
+MM_SEED = 3
+MM_ROUNDS = 14
 # Jones-Plassmann coloring: coin seed / oracle unroll depth (engine
 # fails loudly if it needs more rounds — same rule as MIS_ROUNDS)
 COLORING_SEED = 11
@@ -1426,6 +1430,71 @@ def _mis_sql(rounds: int, seed: int) -> str:
     return "".join(parts)
 
 
+def _q_matching(spark, sf):
+    """Maximal matching over the undirected doc graph — local-minimum
+    edge coins (Luby on the line graph); unrolled round-by-round
+    oracle."""
+    from linkgraph import maximal_matching
+
+    out, res = maximal_matching(
+        document_edges(spark, sf),
+        seed=MM_SEED,
+        vertices=document_vertices(spark, sf),
+        portable=True,
+    )
+    # the unrolled oracle replays MM_ROUNDS rounds; more live rounds
+    # would make it silently under-match — fail LOUDLY instead
+    if not res.converged or res.supersteps > MM_ROUNDS:
+        raise RuntimeError(
+            f"maximal matching ran {res.supersteps} rounds "
+            f"(converged={res.converged}); the unrolled oracle covers "
+            f"{MM_ROUNDS} rounds — raise MM_ROUNDS"
+        )
+    return out
+
+
+def _matching_sql(rounds: int, seed: int) -> str:
+    """Unrolled matching rounds: per round, live canonical edges draw
+    the engine-neutral md5 coin (matching.matching_coin_sql), an edge
+    wins when it is the UNIQUE per-vertex minimum at BOTH endpoints,
+    and winners' endpoints record each other as mates — the exact
+    per-superstep rule algorithms/matching.py applies."""
+    from linkgraph.algorithms.matching import matching_coin_sql
+
+    parts = [
+        "WITH " + EDGES_CTES.strip() + ", " + SYM_CTE.strip() + ",",
+        " canon AS (SELECT src AS u, dst AS v FROM sym WHERE src < dst),",
+        " mate0 AS (SELECT doc_id AS id, CAST(-1 AS BIGINT) AS mate"
+        "   FROM documents)",
+    ]
+    for k in range(1, rounds + 1):
+        coin = matching_coin_sql("c.u", "c.v", k, seed)
+        # MATERIALIZED: each CTE is referenced several times; inlined
+        # expansion would grow exponentially in the round count
+        parts.append(
+            f", le{k} AS MATERIALIZED (SELECT c.u, c.v, {coin} AS ck"
+            f"   FROM canon c"
+            f"   JOIN mate{k - 1} mu ON mu.id = c.u AND mu.mate = -1"
+            f"   JOIN mate{k - 1} mv ON mv.id = c.v AND mv.mate = -1)"
+            f", inc{k} AS (SELECT u AS vid, u, v, ck FROM le{k}"
+            f"   UNION ALL SELECT v AS vid, u, v, ck FROM le{k})"
+            f", vm{k} AS (SELECT vid, MIN(ck) AS m1 FROM inc{k} GROUP BY vid)"
+            f", am{k} AS (SELECT i.vid, i.u, i.v FROM inc{k} i"
+            f"   JOIN vm{k} m ON m.vid = i.vid AND i.ck = m.m1)"
+            f", uq{k} AS (SELECT vid, MIN(u) AS u, MIN(v) AS v FROM am{k}"
+            f"   GROUP BY vid HAVING COUNT(*) = 1)"
+            f", win{k} AS MATERIALIZED (SELECT u, v FROM uq{k}"
+            f"   GROUP BY u, v HAVING COUNT(*) = 2)"
+            f", mate{k} AS MATERIALIZED (SELECT m.id,"
+            f"   COALESCE(w.mt, m.mate) AS mate FROM mate{k - 1} m"
+            f"   LEFT JOIN (SELECT u AS id, v AS mt FROM win{k}"
+            f"     UNION ALL SELECT v AS id, u AS mt FROM win{k}) w"
+            f"   ON w.id = m.id)"
+        )
+    parts.append(f" SELECT id, mate FROM mate{rounds}")
+    return "".join(parts)
+
+
 def _q_msf(spark, sf):
     """Borůvka minimum spanning forest over the undirected doc graph
     with derived integer weights — the oracle recomputes it via an
@@ -2100,6 +2169,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "random_walks_weighted": _q_random_walks_weighted,
         "node2vec_walks": _q_node2vec_walks,
         "maximal_independent_set": _q_mis,
+        "maximal_matching": _q_matching,
         "greedy_coloring": _q_coloring,
         "minimum_spanning_forest": _q_msf,
         "bipartite_check": _q_bipartite,
@@ -3676,6 +3746,7 @@ def oracle_sql() -> dict[str, str]:
     sql["random_walks_weighted"] = _weighted_walks_sql(RW_LEN, RW_SEED)
     sql["node2vec_walks"] = _node2vec_sql(RW_LEN, RW_SEED, *N2V_MULTS)
     sql["maximal_independent_set"] = _mis_sql(MIS_ROUNDS, MIS_SEED)
+    sql["maximal_matching"] = _matching_sql(MM_ROUNDS, MM_SEED)
     sql["greedy_coloring"] = _coloring_sql(COLORING_ROUNDS, COLORING_SEED)
     sql["minimum_spanning_forest"] = _msf_sql()
     sql["bipartite_check"] = _bipartite_sql()

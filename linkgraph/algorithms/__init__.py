@@ -16,6 +16,7 @@ from .scc import strongly_connected_components  # noqa: F401
 from .sssp import shortest_paths
 from .reachability import reachability
 from .mis import maximal_independent_set
+from .matching import maximal_matching
 from .coloring import greedy_coloring
 from .msf import minimum_spanning_forest
 from .bipartite import bipartite_check
@@ -41,6 +42,7 @@ __all__ = [
     "modularity",
     "rich_club_profile",
     "maximal_independent_set",
+    "maximal_matching",
     "greedy_coloring",
     "minimum_spanning_forest",
     "bipartite_check",

@@ -48,7 +48,7 @@ def _build_parser() -> argparse.ArgumentParser:
             "reachability", "sample", "cliques", "derive",
             "derive-repo", "wpr", "linkpred",
             "dedup", "vocab", "pii", "repetition",
-            "ppr", "hits", "kcore", "walks", "node2vec", "mis",
+            "ppr", "hits", "kcore", "walks", "node2vec", "mis", "matching",
             "coloring", "msf", "bipartite", "cocitation", "coupling", "cooccur",
             "salsa", "rectangles", "landmarks", "structsim",
             "summary", "coreness", "betweenness", "harmonic",
@@ -452,6 +452,16 @@ def main(argv: list[str] | None = None) -> None:
         from linkgraph.algorithms.mis import maximal_independent_set
 
         out, res = maximal_independent_set(
+            edges,
+            seed=args.seed,
+            max_supersteps=args.max_supersteps,
+            portable=args.portable_hash,
+            **common,
+        )
+    elif args.algorithm == "matching":
+        from linkgraph.algorithms.matching import maximal_matching
+
+        out, res = maximal_matching(
             edges,
             seed=args.seed,
             max_supersteps=args.max_supersteps,
