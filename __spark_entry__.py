@@ -167,6 +167,13 @@ MIS_ROUNDS = 10
 # loudly if it needs more rounds — same rule as MIS_ROUNDS)
 MM_SEED = 3
 MM_ROUNDS = 14
+# Dependency levels (Kahn peel): oracle unroll depth (engine fails
+# loudly if it peels deeper — same rule as MIS_ROUNDS). The raw doc
+# graph has no sources (outdeg >= 1 everywhere), so the gated fixture
+# keeps forward edges plus a deterministic slice of back-edges: a DAG
+# skeleton with planted cycles, exercising layering AND residue.
+TOPO_ROUNDS = 20
+TOPO_BACK_MOD, TOPO_BACK_RES = 23, 5
 # Jones-Plassmann coloring: coin seed / oracle unroll depth (engine
 # fails loudly if it needs more rounds — same rule as MIS_ROUNDS)
 COLORING_SEED = 11
@@ -1430,6 +1437,59 @@ def _mis_sql(rounds: int, seed: int) -> str:
     return "".join(parts)
 
 
+def _q_topo(spark, sf):
+    """Dependency levels (distributed Kahn peel) over the doc graph's
+    forward-edge DAG skeleton with planted back-edge cycles — level =
+    peel round, -1 = on/downstream of a cycle; unrolled oracle."""
+    from pyspark.sql import functions as F
+
+    from linkgraph.algorithms.toposort import dependency_levels
+
+    dag = document_edges(spark, sf).filter(
+        (F.col("src") < F.col("dst"))
+        | (F.col("src") % TOPO_BACK_MOD == TOPO_BACK_RES)
+    )
+    out, res = dependency_levels(
+        dag, vertices=document_vertices(spark, sf)
+    )
+    # the unrolled oracle replays TOPO_ROUNDS peel rounds; a deeper
+    # peel would leave the oracle under-leveled — fail LOUDLY instead
+    # (the final engine superstep is the no-op fixpoint check)
+    if not res.converged or res.supersteps - 1 > TOPO_ROUNDS:
+        raise RuntimeError(
+            f"Kahn peel ran {res.supersteps} rounds "
+            f"(converged={res.converged}); the unrolled oracle covers "
+            f"{TOPO_ROUNDS} rounds — raise TOPO_ROUNDS"
+        )
+    return out
+
+
+def _topo_sql(rounds: int) -> str:
+    """Unrolled Kahn peel rounds over the same forward+back-edge view:
+    per round, live vertices (level = -1) with no incoming edge from a
+    live vertex take level k; the cyclic residue keeps -1 — the exact
+    per-superstep rule algorithms/toposort.py applies."""
+    parts = [
+        "WITH " + EDGES_CTES.strip() + ",",
+        f" dedges AS (SELECT src, dst FROM edges WHERE src < dst"
+        f"   OR src % {TOPO_BACK_MOD} = {TOPO_BACK_RES}),",
+        " lab0 AS (SELECT doc_id AS id, CAST(-1 AS BIGINT) AS level"
+        "   FROM documents)",
+    ]
+    for k in range(1, rounds + 1):
+        parts.append(
+            f", hasin{k} AS (SELECT DISTINCT e.dst AS id FROM dedges e"
+            f"   JOIN lab{k - 1} s ON s.id = e.src AND s.level = -1"
+            f"   JOIN lab{k - 1} d ON d.id = e.dst AND d.level = -1)"
+            f", lab{k} AS MATERIALIZED (SELECT l.id,"
+            f"   CASE WHEN l.level = -1 AND h.id IS NULL"
+            f"     THEN CAST({k - 1} AS BIGINT) ELSE l.level END AS level"
+            f"   FROM lab{k - 1} l LEFT JOIN hasin{k} h ON h.id = l.id)"
+        )
+    parts.append(f" SELECT id, level FROM lab{rounds}")
+    return "".join(parts)
+
+
 def _q_matching(spark, sf):
     """Maximal matching over the undirected doc graph — local-minimum
     edge coins (Luby on the line graph); unrolled round-by-round
@@ -2170,6 +2230,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "node2vec_walks": _q_node2vec_walks,
         "maximal_independent_set": _q_mis,
         "maximal_matching": _q_matching,
+        "dependency_levels": _q_topo,
         "greedy_coloring": _q_coloring,
         "minimum_spanning_forest": _q_msf,
         "bipartite_check": _q_bipartite,
@@ -3747,6 +3808,7 @@ def oracle_sql() -> dict[str, str]:
     sql["node2vec_walks"] = _node2vec_sql(RW_LEN, RW_SEED, *N2V_MULTS)
     sql["maximal_independent_set"] = _mis_sql(MIS_ROUNDS, MIS_SEED)
     sql["maximal_matching"] = _matching_sql(MM_ROUNDS, MM_SEED)
+    sql["dependency_levels"] = _topo_sql(TOPO_ROUNDS)
     sql["greedy_coloring"] = _coloring_sql(COLORING_ROUNDS, COLORING_SEED)
     sql["minimum_spanning_forest"] = _msf_sql()
     sql["bipartite_check"] = _bipartite_sql()

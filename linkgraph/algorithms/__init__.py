@@ -17,6 +17,7 @@ from .sssp import shortest_paths
 from .reachability import reachability
 from .mis import maximal_independent_set
 from .matching import maximal_matching
+from .toposort import dependency_levels
 from .coloring import greedy_coloring
 from .msf import minimum_spanning_forest
 from .bipartite import bipartite_check
@@ -43,6 +44,7 @@ __all__ = [
     "rich_club_profile",
     "maximal_independent_set",
     "maximal_matching",
+    "dependency_levels",
     "greedy_coloring",
     "minimum_spanning_forest",
     "bipartite_check",

@@ -48,7 +48,7 @@ def _build_parser() -> argparse.ArgumentParser:
             "reachability", "sample", "cliques", "derive",
             "derive-repo", "wpr", "linkpred",
             "dedup", "vocab", "pii", "repetition",
-            "ppr", "hits", "kcore", "walks", "node2vec", "mis", "matching",
+            "ppr", "hits", "kcore", "walks", "node2vec", "mis", "matching", "toposort",
             "coloring", "msf", "bipartite", "cocitation", "coupling", "cooccur",
             "salsa", "rectangles", "landmarks", "structsim",
             "summary", "coreness", "betweenness", "harmonic",
@@ -466,6 +466,14 @@ def main(argv: list[str] | None = None) -> None:
             seed=args.seed,
             max_supersteps=args.max_supersteps,
             portable=args.portable_hash,
+            **common,
+        )
+    elif args.algorithm == "toposort":
+        from linkgraph.algorithms.toposort import dependency_levels
+
+        out, res = dependency_levels(
+            edges,
+            max_supersteps=args.max_supersteps,
             **common,
         )
     elif args.algorithm == "bipartite":
