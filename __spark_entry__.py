@@ -61,6 +61,8 @@ LINKPRED_MIN_COMMON = 3  # link prediction: >=3 shared neighbors
 # degree are excluded from the wedge join in BOTH engines, so the gate
 # stays a full hash match with the cap active
 LINKPRED_MAX_CENTER_DEG = 10_000
+KATZ_UPDATES = 6  # truncated Katz series depth (oracle-unrolled)
+KATZ_ALPHA = 0.05  # attenuation; conservative vs 1/lambda_max here
 PPR_UPDATES = 6
 PPR_SOURCES = [0, 7]  # teleport seed set for personalized PageRank
 BETW_SOURCES = [0, 7, 13]  # Brandes sample for source-sampled betweenness
@@ -104,6 +106,7 @@ NMH_BANDS = 8
 NMH_T = 0.2
 NMH_SEED = 42
 JACCARD_T = 0.12
+MINHASH_VERIFY_T = 0.4  # exact-Jaccard cut for the verified dedup tier
 # count-min sketch params: narrow width so collisions actually occur at
 # sf0.01 (the gate then checks the sketch's collision arithmetic, not
 # just a pass-through); probes = 3 present tokens + 1 absent
@@ -559,6 +562,24 @@ def _q_coreness(spark, sf):
     return out
 
 
+def _q_katz(spark, sf):
+    """Truncated Katz centrality (KATZ_UPDATES terms of the attenuation
+    series, alpha=KATZ_ALPHA, beta=1) on the directed doc graph —
+    PageRank's superstep plan with the per-edge normalization removed;
+    the oracle unrolls the same recurrence in SQL."""
+    from linkgraph import katz_centrality
+
+    edges = document_edges(spark, sf)
+    out, _ = katz_centrality(
+        edges,
+        alpha=KATZ_ALPHA,
+        beta=1.0,
+        fixed_updates=KATZ_UPDATES,
+        vertices=document_vertices(spark, sf),
+    )
+    return out.select("id", F.round("katz", 6).alias("katz"))
+
+
 def _q_betweenness(spark, sf):
     """Source-sampled Brandes betweenness from BETW_SOURCES: forward
     shortest-path-DAG supersteps + integer micro-unit dependency
@@ -810,6 +831,16 @@ def _q_sessionize(spark, sf):
 
 def _q_minhash_lsh(spark, sf):
     return minhash_lsh_pairs(load_documents(spark, sf), threshold=0.3, portable=True)
+
+
+def _q_minhash_verified(spark, sf):
+    """Estimate-to-find, exact-to-decide: LSH candidates verified with
+    the exact shingle-set Jaccard (the removal-decision tier)."""
+    from linkgraph.pipeline import minhash_verified_pairs
+
+    return minhash_verified_pairs(
+        load_documents(spark, sf), threshold=MINHASH_VERIFY_T, portable=True
+    )
 
 
 def _q_dedup_clusters(spark, sf):
@@ -2176,6 +2207,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "harmonic_centrality": _q_harmonic,
         "closeness_centrality": _q_closeness,
         "betweenness_centrality": _q_betweenness,
+        "katz_centrality": _q_katz,
         "core_decomposition": _q_coreness,
         "reachability": _q_reachability,
         "exact_dedup": _q_exact_dedup,
@@ -2205,6 +2237,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": _q_events_hourly,
         "event_sessions": _q_sessionize,
         "minhash_lsh_pairs": _q_minhash_lsh,
+        "minhash_verified_pairs": _q_minhash_verified,
         "dedup_clusters": _q_dedup_clusters,
         "canonical_docs": _q_canonical_docs,
         "training_batch_pipeline": _q_training_pipeline,
@@ -2286,6 +2319,30 @@ def _pagerank_sql(updates: int) -> str:
         )
     return (
         "WITH " + ",\n".join(ctes) + f"\nSELECT id, ROUND(rank, 6) AS pr FROM r{updates}"
+    )
+
+
+def _katz_sql(updates: int) -> str:
+    """Unrolled truncated-Katz recurrence: x0 = 1, x_{i}(v) = 1 +
+    alpha * sum over in-edges of x_{i-1}(src). Exact mirror of the
+    engine's fixed-update mode."""
+    ctes = [
+        EDGES_CTES.strip().rstrip(),
+        "k0 AS (SELECT doc_id AS id, CAST(1.0 AS DOUBLE) AS katz FROM documents)",
+    ]
+    for i in range(1, updates + 1):
+        ctes.append(
+            f"k{i} AS MATERIALIZED ("
+            f" SELECT v.id, CAST(1.0 AS DOUBLE) + CAST({KATZ_ALPHA!r} AS DOUBLE)"
+            f"  * COALESCE(s.msum, CAST(0.0 AS DOUBLE)) AS katz"
+            f" FROM k{i-1} v LEFT JOIN ("
+            f"   SELECT e.dst AS id, SUM(p.katz) AS msum"
+            f"   FROM edges e JOIN k{i-1} p ON e.src = p.id"
+            f"   GROUP BY e.dst) s ON v.id = s.id)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT id, ROUND(katz, 6) AS katz FROM k{updates}"
     )
 
 
@@ -3065,6 +3122,31 @@ def _minhash_sql(num_hashes: int, bands: int, shingle_n: int, threshold: float, 
     )
 
 
+def _minhash_verified_sql(
+    num_hashes: int, bands: int, shingle_n: int, threshold: float, seed: int
+) -> str:
+    """Exact shingle-set Jaccard over the SAME LSH candidate set the
+    engine generates (_minhash_ctes ends in ``cands``); the unused
+    ``est`` CTE is non-materialized so DuckDB never evaluates it."""
+    ctes = _minhash_ctes(num_hashes, bands, shingle_n, seed)
+    ctes += [
+        "sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id)",
+        "inter AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter"
+        " FROM cands c JOIN sh a ON a.doc_id = c.doc_a"
+        " JOIN sh b ON b.doc_id = c.doc_b AND b.s = a.s"
+        " GROUP BY c.doc_a, c.doc_b)",
+    ]
+    return (
+        "WITH " + ",\n".join(ctes)
+        + "\nSELECT doc_a, doc_b,"
+        "  ROUND(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard"
+        " FROM inter"
+        " JOIN sizes sa ON sa.doc_id = doc_a"
+        " JOIN sizes sb ON sb.doc_id = doc_b"
+        f" WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= {threshold}"
+    )
+
+
 def _dedup_clusters_sql(
     num_hashes: int, bands: int, shingle_n: int, threshold: float, seed: int
 ) -> str:
@@ -3532,6 +3614,7 @@ def oracle_sql() -> dict[str, str]:
             " GROUP BY outdeg"
         ),
         "pagerank": _pagerank_sql(PR_UPDATES),
+        "katz_centrality": _katz_sql(KATZ_UPDATES),
         "connected_components": (
             "WITH RECURSIVE "
             + EDGES_CTES.strip()
@@ -3922,6 +4005,9 @@ def oracle_sql() -> dict[str, str]:
     # pipeline integer-exact in both engines; params mirror
     # _q_minhash_lsh / _q_simhash / _q_simhash_pairs
     sql["minhash_lsh_pairs"] = _minhash_sql(64, 16, 3, 0.3, 42)
+    sql["minhash_verified_pairs"] = _minhash_verified_sql(
+        64, 16, 3, MINHASH_VERIFY_T, 42
+    )
     # near-dup clusters: same pair CTEs + recursive-CTE transitive
     # closure (min reachable doc_id == the engine's min-label CC)
     sql["dedup_clusters"] = _dedup_clusters_sql(64, 16, 3, 0.3, 42)

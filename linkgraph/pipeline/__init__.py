@@ -6,6 +6,7 @@ from .dedup import (
     dedup_clusters,
     exact_duplicates,
     minhash_lsh_pairs,
+    minhash_verified_pairs,
     ngram_jaccard_pairs,
     simhash64,
     simhash_pairs,
@@ -41,6 +42,7 @@ __all__ = [
     "exact_duplicates",
     "ngram_jaccard_pairs",
     "minhash_lsh_pairs",
+    "minhash_verified_pairs",
     "dedup_clusters",
     "simhash64",
     "simhash_pairs",

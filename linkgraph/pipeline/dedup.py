@@ -315,27 +315,18 @@ def bucket_candidate_pairs(
     )
 
 
-def minhash_lsh_pairs(
+def _lsh_candidates(
     docs: DataFrame,
-    num_hashes: int = 64,
-    bands: int = 16,
-    shingle_n: int = 3,
-    threshold: float = 0.4,
-    seed: int = 42,
-    max_bucket_size: int | None = 100_000,
-    portable: bool = False,
-) -> DataFrame:
-    """Candidate near-dup pairs via LSH banding, verified with the
-    signature-estimated Jaccard.
-
-    (doc_a, doc_b, est_jaccard) — pairs sharing at least one LSH band
-    bucket with estimated Jaccard >= threshold. Bucket join is a
-    groupBy on (band, bucket_hash): linear in corpus size, never
-    quadratic — this is the 100 TB dedup path. Buckets larger than
-    ``max_bucket_size`` are skipped (see :func:`bucket_candidate_pairs`).
-    Portable mode keys buckets by md5 of the band's signature slice
-    (DuckDB-reproducible); fast mode by xxhash64 of the same string.
-    """
+    num_hashes: int,
+    bands: int,
+    shingle_n: int,
+    seed: int,
+    max_bucket_size: int | None,
+    portable: bool,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared LSH candidate generation: returns (sigs PERSISTED,
+    cands(doc_a, doc_b)). Caller owns ``sigs.unpersist()`` (or leaves
+    it to eviction — both driver queries run bounded corpora)."""
     rows_per_band = num_hashes // bands
     band_key = (
         "md5(concat_ws(',', slice(sig, bd*{r}+1, {r})))"
@@ -373,6 +364,33 @@ def minhash_lsh_pairs(
     cands = bucket_candidate_pairs(
         banded, ["band", "bucket"], "doc_id", max_bucket_size
     )
+    return sigs, cands
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    threshold: float = 0.4,
+    seed: int = 42,
+    max_bucket_size: int | None = 100_000,
+    portable: bool = False,
+) -> DataFrame:
+    """Candidate near-dup pairs via LSH banding, verified with the
+    signature-estimated Jaccard.
+
+    (doc_a, doc_b, est_jaccard) — pairs sharing at least one LSH band
+    bucket with estimated Jaccard >= threshold. Bucket join is a
+    groupBy on (band, bucket_hash): linear in corpus size, never
+    quadratic — this is the 100 TB dedup path. Buckets larger than
+    ``max_bucket_size`` are skipped (see :func:`bucket_candidate_pairs`).
+    Portable mode keys buckets by md5 of the band's signature slice
+    (DuckDB-reproducible); fast mode by xxhash64 of the same string.
+    """
+    sigs, cands = _lsh_candidates(
+        docs, num_hashes, bands, shingle_n, seed, max_bucket_size, portable
+    )
     sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
     sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
     est = F.expr(
@@ -386,6 +404,66 @@ def minhash_lsh_pairs(
         .filter(F.col("est_jaccard") >= threshold)
         .select("doc_a", "doc_b", "est_jaccard")
     )
+
+
+def minhash_verified_pairs(
+    docs: DataFrame,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    threshold: float = 0.7,
+    seed: int = 42,
+    max_bucket_size: int | None = 100_000,
+    portable: bool = False,
+) -> DataFrame:
+    """The production dedup decision tier: LSH candidates verified with
+    the EXACT shingle-set Jaccard (not the signature estimate).
+
+    (doc_a, doc_b, jaccard) — pairs sharing an LSH band bucket whose
+    exact Jaccard over distinct word ``shingle_n``-gram STRING sets is
+    >= threshold. The estimate in :func:`minhash_lsh_pairs` has
+    stddev ~ 1/sqrt(num_hashes) (~0.125 at 64 hashes) — too noisy to
+    drive deletions near the cut; standard practice (and the reference
+    pipeline's contract for removal decisions) is estimate-to-find,
+    exact-to-decide.
+
+    Scale shape: candidate generation is the linear one-shuffle LSH
+    path; the exact verification joins the shingle-set frame ONLY for
+    candidate ids (two hash joins on doc id), so string sets are
+    shipped for O(near-dups) docs, never the corpus. ``array_intersect``
+    / ``array_union`` on the two sorted-distinct arrays is JVM-side,
+    per-pair O(|A| + |B|). No hash approximation in the verdict, so
+    ``portable`` affects candidate RECALL only — the reported jaccard
+    values are hash-free in both modes (what lets the DuckDB oracle
+    gate this with full hash match).
+    """
+    sigs, cands = _lsh_candidates(
+        docs, num_hashes, bands, shingle_n, seed, max_bucket_size, portable
+    )
+    shsets = _tokenized(docs).select(
+        "doc_id",
+        F.expr(
+            _SHINGLES_FROM_TOKS.format(n=shingle_n, m=shingle_n - 1)
+        ).alias("shset"),
+    )
+    sa = shsets.select(F.col("doc_id").alias("doc_a"), F.col("shset").alias("sh_a"))
+    sb = shsets.select(F.col("doc_id").alias("doc_b"), F.col("shset").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    out = (
+        cands.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        # candidates never include shingle-less docs (the sentinel
+        # filter in _lsh_candidates keeps them out of banding), so
+        # union >= 1 and the divide is safe
+        .withColumn(
+            "jaccard",
+            F.round(inter.cast("double") / union.cast("double"), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+    return out
 
 
 def simhash64(

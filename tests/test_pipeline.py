@@ -71,6 +71,31 @@ class TestDedup:
         assert (0, 2) in pairs and pairs[(0, 2)] > 0.3
         assert (0, 3) not in pairs and (3, 4) not in pairs
 
+    def test_minhash_verified_pairs_exact_values(self, docs):
+        """The verification tier reports the EXACT shingle-set Jaccard
+        for LSH candidates — equal to the pure-Python set computation,
+        with no signature-estimate noise."""
+        from linkgraph.pipeline import minhash_verified_pairs
+
+        rows = {r["doc_id"]: r["text"] for r in docs.collect()}
+
+        def shingles(t):
+            w = t.split(" ")
+            return {" ".join(w[i:i + 3]) for i in range(len(w) - 2)}
+
+        got = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in
+               minhash_verified_pairs(docs, threshold=0.4).collect()}
+        assert got[(0, 1)] == 1.0
+        exp_02 = (lambda a, b: len(a & b) / len(a | b))(
+            shingles(rows[0]), shingles(rows[2])
+        )
+        assert got[(0, 2)] == pytest.approx(exp_02, abs=1e-6)
+        assert (0, 3) not in got and (3, 4) not in got
+        # both hash modes decide identically (the verdict is hash-free)
+        portable = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in
+                    minhash_verified_pairs(docs, threshold=0.4, portable=True).collect()}
+        assert portable == got
+
     def test_minhash_estimates_jaccard(self, spark):
         # two docs with known 50%-ish overlap; 128 hashes -> est within 0.15
         a = " ".join(f"tok{i}" for i in range(40))
