@@ -118,6 +118,18 @@ KMV_K = 24  # bottom-k size; the synthetic vocab is tiny (~31 terms) so
 TOPK = 10
 N_QUERY_VECS = 5
 TFIDF_TOPK = 3
+# BM25 retrieval: query bag from the synthetic vocabulary; k1/b are the
+# Robertson defaults, shared verbatim with the oracle expression
+BM25_QUERY = ["spark", "hash", "join", "window"]
+BM25_K1 = 1.2
+BM25_B = 0.75
+# seeded LPA: seeds doc_id % 17 == 0, classes doc_id % 3; the sf0.01
+# cascade reaches its fixpoint in 4 supersteps (measured) — 10 unrolled
+# oracle rounds are >2x slack (no-ops past the fixpoint) and the engine
+# asserts convergence within them, failing loudly otherwise
+SLPA_SEED_MOD = 17
+SLPA_LBL_MOD = 3
+SLPA_STEPS = 10
 # decontamination probes: two phrases drawn from the synthetic vocab
 # (real hits) + one that can never occur (exercises the zero path)
 CONTAM_PROBES = ["key agg row", "spark order", "quux zilch never"]
@@ -1105,6 +1117,49 @@ def _q_tfidf(spark, sf):
     from linkgraph.pipeline import tfidf_top_terms
 
     return tfidf_top_terms(load_documents(spark, sf), top_k=TFIDF_TOPK)
+
+
+def _q_bm25(spark, sf):
+    """Okapi BM25 relevance of every document against the fixed query
+    bag — per-(doc, term) contributions become exact micro-unit BIGINTs
+    before the per-document sum, so no float reduction order exists for
+    the engines to disagree on."""
+    from linkgraph.pipeline import bm25_scores
+
+    return bm25_scores(load_documents(spark, sf), BM25_QUERY, k1=BM25_K1, b=BM25_B)
+
+
+def _q_unigram_lm(spark, sf):
+    """CCNet-style unigram-LM quality score: mean token log-prob under
+    the corpus's own unigram model (integer counts; per-term log made
+    BIGINT micro-units before the exact per-document integer sum)."""
+    from linkgraph.pipeline import unigram_lm_score
+
+    return unigram_lm_score(load_documents(spark, sf))
+
+
+def _q_seeded_lpa(spark, sf):
+    """Semi-supervised seeded label propagation: seeds are
+    doc_id % SLPA_SEED_MOD == 0 with class doc_id % SLPA_LBL_MOD;
+    unlabeled vertices adopt the most frequent label among labeled
+    neighbors (count DESC, label ASC) and freeze; -1 = unreachable.
+    The oracle unrolls SLPA_STEPS rounds; extra rounds past the
+    fixpoint are no-ops, and the engine fails loudly if a future
+    fixture ever cascades deeper (same rule as KCORE_PASSES)."""
+    from linkgraph.algorithms import seeded_label_propagation
+
+    edges = document_edges(spark, sf)
+    verts = document_vertices(spark, sf)
+    seeds = verts.filter(F.col("id") % SLPA_SEED_MOD == 0).select(
+        "id", (F.col("id") % SLPA_LBL_MOD).alias("label")
+    )
+    out, res = seeded_label_propagation(edges, seeds, vertices=verts)
+    if not res.converged or res.supersteps > SLPA_STEPS:
+        raise RuntimeError(
+            f"seeded LPA needed {res.supersteps} supersteps (oracle unrolls "
+            f"{SLPA_STEPS}); raise SLPA_STEPS so the gate stays exact"
+        )
+    return out
 
 
 PII_PLANT = (
@@ -2219,6 +2274,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": _q_jaccard,
         "vocabulary": _q_vocabulary,
         "tfidf_top_terms": _q_tfidf,
+        "bm25_scores": _q_bm25,
+        "unigram_lm_score": _q_unigram_lm,
+        "seeded_label_propagation": _q_seeded_lpa,
         "normalize_text": _q_normalize,
         "pii_redaction": _q_pii,
         "repetition_stats": _q_repetition,
@@ -3582,6 +3640,40 @@ def _graph_sample_sql(
     )
 
 
+def _seeded_lpa_sql(steps: int) -> str:
+    """Unrolled seeded label propagation: seeds clamp, the unlabeled
+    adopt the neighbor-label mode (count DESC, label ASC) and freeze.
+    The engine's frontier-only scatter is provably identical to this
+    all-labeled-neighbors spelling (see algorithms/seeded_lpa.py);
+    MATERIALIZED keeps DuckDB from inlining the doubly-referenced
+    previous round exponentially."""
+    ctes = [
+        EDGES_CTES.strip(),
+        SYM_CTE.strip(),
+        f"l0 AS (SELECT doc_id AS id, CASE WHEN doc_id % {SLPA_SEED_MOD} = 0"
+        f" THEN doc_id % {SLPA_LBL_MOD} END AS label FROM documents)",
+    ]
+    for i in range(1, steps + 1):
+        ctes.append(
+            f"l{i} AS MATERIALIZED ("
+            f" SELECT v.id, COALESCE(v.label, m.mode_lbl) AS label FROM l{i-1} v"
+            f" LEFT JOIN ("
+            f"   SELECT id, lbl AS mode_lbl FROM ("
+            f"     SELECT s.dst AS id, p.label AS lbl, COUNT(*) AS cnt,"
+            f"            ROW_NUMBER() OVER (PARTITION BY s.dst"
+            f"             ORDER BY COUNT(*) DESC, p.label ASC) AS rn"
+            f"     FROM sym s JOIN l{i-1} p ON s.src = p.id"
+            f"     WHERE p.label IS NOT NULL"
+            f"     GROUP BY s.dst, p.label)"
+            f"   WHERE rn = 1) m ON v.id = m.id)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT id, COALESCE(label, -1) AS label FROM l{steps}"
+    )
+
+
 def _lpa_sql(steps: int) -> str:
     ctes = [
         EDGES_CTES.strip(),
@@ -3647,6 +3739,7 @@ def oracle_sql() -> dict[str, str]:
             " GROUP BY d.doc_id"
         ),
         "label_propagation": _lpa_sql(LPA_STEPS),
+        "seeded_label_propagation": _seeded_lpa_sql(SLPA_STEPS),
         "lpa_modularity": (
             # modularity of the unrolled-LPA labels: exact BIGINT
             # moments + the same fixed float expression as
@@ -4047,6 +4140,56 @@ def oracle_sql() -> dict[str, str]:
         "  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id"
         "   ORDER BY score DESC, term ASC) AS rn FROM scored)"
         f" WHERE rn <= {TFIDF_TOPK}"
+    )
+    # Okapi BM25: per-(doc, term) contribution rounded to micro-units
+    # and cast BIGINT before the per-document sum, so the only
+    # cross-row reduction is exact integer arithmetic (expression
+    # mirrored token for token with pipeline.textstats.bm25_scores)
+    bm25_q = ", ".join(f"('{t}')" for t in sorted(set(BM25_QUERY)))
+    sql["bm25_scores"] = (
+        "WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term"
+        " FROM documents),"
+        " tok AS (SELECT doc_id, term FROM toks WHERE term <> ''),"
+        " dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),"
+        " corpus AS (SELECT COUNT(*) AS n_docs,"
+        "  CAST(SUM(dl) AS DOUBLE)/COUNT(*) AS avgdl FROM dl),"
+        f" q AS (SELECT * FROM (VALUES {bm25_q}) t(term)),"
+        " tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok"
+        "  JOIN q USING (term) GROUP BY doc_id, term),"
+        " df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),"
+        " contrib AS (SELECT tf.doc_id,"
+        "  CAST(ROUND("
+        "   ln(1.0 + (CAST((SELECT n_docs FROM corpus) AS DOUBLE)"
+        "             - CAST(df.df AS DOUBLE) + 0.5)"
+        "            / (CAST(df.df AS DOUBLE) + 0.5))"
+        f"  * (CAST(tf.tf AS DOUBLE) * ({BM25_K1!r} + 1.0))"
+        f"  / (CAST(tf.tf AS DOUBLE) + {BM25_K1!r} * (1.0 - {BM25_B!r}"
+        f"     + {BM25_B!r} * CAST(dl.dl AS DOUBLE)"
+        "      / (SELECT avgdl FROM corpus)))"
+        "   * 1000000.0) AS BIGINT) AS c_micro"
+        "  FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id)"
+        " SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_matched,"
+        "  ROUND(CAST(SUM(c_micro) AS DOUBLE)/1000000.0, 6) AS score"
+        " FROM contrib GROUP BY doc_id"
+    )
+    # unigram-LM quality: per-term log-prob made BIGINT micro-units
+    # (one scalar double op per distinct term), per-document sum exact
+    # integer (mirrors pipeline.textstats.unigram_lm_score)
+    sql["unigram_lm_score"] = (
+        "WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term"
+        " FROM documents),"
+        " tok AS (SELECT doc_id, term FROM toks WHERE term <> ''),"
+        " tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok"
+        "  GROUP BY doc_id, term),"
+        " model AS (SELECT term, SUM(tf) AS cnt FROM tf GROUP BY term),"
+        " total AS (SELECT SUM(cnt) AS total FROM model),"
+        " ll AS (SELECT term, CAST(ROUND(ln(CAST(cnt AS DOUBLE)"
+        "  / CAST((SELECT total FROM total) AS DOUBLE)) * 1000000.0)"
+        "  AS BIGINT) AS ll_micro FROM model)"
+        " SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,"
+        "  ROUND(CAST(SUM(tf * ll_micro) AS DOUBLE)/1000000.0"
+        "   /CAST(SUM(tf) AS DOUBLE), 6) AS avg_logprob"
+        " FROM tf JOIN ll USING (term) GROUP BY doc_id"
     )
     # canonical normalization: pattern shared verbatim with
     # linkgraph.pipeline.textstats.NORM_PATTERN (ASCII classes only, so

@@ -2,6 +2,7 @@ from .katz import katz_centrality
 from .pagerank import pagerank
 from .cc import connected_components, connected_components_hashmin
 from .lpa import label_propagation
+from .seeded_lpa import seeded_label_propagation
 from .linkpred import common_neighbor_scores
 from .betweenness import betweenness_centrality
 from .coreness import core_decomposition
@@ -65,6 +66,7 @@ __all__ = [
     "connected_components",
     "connected_components_hashmin",
     "label_propagation",
+    "seeded_label_propagation",
     "common_neighbor_scores",
     "clustering_coefficients",
     "ktruss",

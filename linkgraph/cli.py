@@ -47,7 +47,8 @@ def _build_parser() -> argparse.ArgumentParser:
             "clustering", "transitivity", "ktruss", "anf", "sssp",
             "reachability", "sample", "cliques", "derive",
             "derive-repo", "wpr", "linkpred",
-            "dedup", "vocab", "pii", "repetition",
+            "dedup", "vocab", "pii", "repetition", "bm25", "lm-score",
+            "seeded-lpa",
             "ppr", "hits", "kcore", "walks", "node2vec", "mis", "matching", "toposort",
             "coloring", "msf", "bipartite", "cocitation", "coupling", "cooccur",
             "salsa", "rectangles", "landmarks", "structsim",
@@ -94,6 +95,10 @@ def _build_parser() -> argparse.ArgumentParser:
                    help="dedup: oracle-portable md5-digit shingle hashing instead "
                    "of the default production xxhash64")
     p.add_argument("--top-k", type=int, default=50, help="vocab: number of terms")
+    p.add_argument("--query", nargs="+", default=None,
+                   help="bm25: query terms (bag of words)")
+    p.add_argument("--seeds", default=None,
+                   help="seeded-lpa: path/table of seeds(id BIGINT, label BIGINT)")
     p.add_argument("--sources", type=int, nargs="+", default=[0],
                    help="ppr: teleport seed vertex ids")
     p.add_argument("--k", type=int, default=3, help="kcore/ktruss: order k")
@@ -181,13 +186,24 @@ def main(argv: list[str] | None = None) -> None:
 
         ckpt = CheckpointManager(spark, args.checkpoint, every=args.checkpoint_every)
 
-    if args.algorithm in ("dedup", "canonical", "vocab", "pii", "repetition", "cooccur"):
+    if args.algorithm in ("dedup", "canonical", "vocab", "pii", "repetition",
+                          "cooccur", "bm25", "lm-score"):
         if not args.documents:
             raise SystemExit(f"{args.algorithm} requires --documents")
         docs = spark.read.load(args.documents).select(
             F.col("doc_id").cast("long"), F.col("text")
         )
-        if args.algorithm == "pii":
+        if args.algorithm == "bm25":
+            from linkgraph.pipeline.textstats import bm25_scores
+
+            if not args.query:
+                raise SystemExit("bm25 requires --query term [term ...]")
+            out = bm25_scores(docs, args.query)
+        elif args.algorithm == "lm-score":
+            from linkgraph.pipeline.textstats import unigram_lm_score
+
+            out = unigram_lm_score(docs)
+        elif args.algorithm == "pii":
             from linkgraph.pipeline.textstats import pii_redact
 
             out = pii_redact(docs)
@@ -298,6 +314,21 @@ def main(argv: list[str] | None = None) -> None:
 
         out, res = label_propagation(
             edges,
+            symmetrize_edges=not args.directed,
+            max_supersteps=args.max_supersteps,
+            **common,
+        )
+    elif args.algorithm == "seeded-lpa":
+        from linkgraph.algorithms.seeded_lpa import seeded_label_propagation
+
+        if not args.seeds:
+            raise SystemExit("seeded-lpa requires --seeds")
+        seeds = spark.read.load(args.seeds).select(
+            F.col("id").cast("long"), F.col("label").cast("long")
+        )
+        out, res = seeded_label_propagation(
+            edges,
+            seeds,
             symmetrize_edges=not args.directed,
             max_supersteps=args.max_supersteps,
             **common,

@@ -12,6 +12,8 @@ from .dedup import (
     simhash_pairs,
 )
 from .textstats import (
+    bm25_scores,
+    unigram_lm_score,
     bpe_token_count,
     contamination_check,
     ngram_decontaminate,
@@ -55,6 +57,8 @@ __all__ = [
     "doc_fingerprint",
     "vocabulary",
     "tfidf_top_terms",
+    "bm25_scores",
+    "unigram_lm_score",
     "normalize_text",
     "contamination_check",
     "ngram_decontaminate",

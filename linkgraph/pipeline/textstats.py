@@ -385,3 +385,134 @@ def bpe_token_count(docs: DataFrame) -> DataFrame:
             F.expr(f"regexp_extract_all(text, '{BPE_PATTERN}', 0)")
         ).cast("long").alias("n_subtokens"),
     )
+
+
+def bm25_scores(
+    docs: DataFrame,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """(doc_id, n_matched, score) — Okapi BM25 relevance of every
+    document against a bag of query terms (Robertson/Zaragoza), the
+    standard retrieval scorer a training-data pipeline uses for
+    quality-targeted corpus selection and eval-set retrieval audits.
+
+    ``idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5))`` (Lucene's
+    non-negative form); per-term contribution
+    ``idf * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))``.
+
+    Cross-engine determinism: each per-(doc, term) contribution is a
+    pure scalar expression over exact integers (tf, df, dl) plus one
+    corpus scalar (avgdl = exact-int sum / exact-int count, a single
+    IEEE division), rounded to micro-units and cast to BIGINT *before*
+    the per-document sum — so the only cross-row float reduction in the
+    plan is an exact integer sum, immune to summation order. The DuckDB
+    oracle mirrors the expression token for token.
+
+    100 TB shape: tokenize + filter against a literal array (no probe
+    shuffle), one (doc_id, term) partial/final count restricted to
+    query terms (output ∝ matching docs × |q|), a |q|-row df aggregate
+    and a 1-row corpus aggregate both broadcast back, one final
+    per-document aggregate. Nothing wide ever shuffles — every exchange
+    carries counts keyed by doc_id or term, never text. The pruned
+    (doc_id, text) scan is recomputed for each derived aggregate (tf,
+    df, dl, avgdl — same shape as :func:`tfidf_top_terms`); a
+    production run over 100 TB materializes the tokenized ``tf``/``dl``
+    count frames once (they are corpus-cardinality, not corpus-volume)
+    to make it single-pass. Returns every document matching >= 1 query
+    term; compose with ``orderBy(desc("score")).limit(k)``
+    (TakeOrdered) for top-k.
+    """
+    q_arr = "array({})".format(",".join(f"'{t}'" for t in sorted(set(query_terms))))
+    toks = docs.select("doc_id", F.explode(_tokens()).alias("term")).filter(
+        F.col("term") != ""
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    corpus = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    ).select(
+        "n_docs",
+        (F.col("sum_dl").cast("double") / F.col("n_docs")).alias("avgdl"),
+    )
+    tf = (
+        toks.filter(F.expr(f"array_contains({q_arr}, term)"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    contrib = (
+        tf.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(corpus))
+        .select(
+            "doc_id",
+            F.expr(
+                "CAST(ROUND("
+                " ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)"
+                "           / (CAST(df AS DOUBLE) + 0.5))"
+                f" * (CAST(tf AS DOUBLE) * ({k1!r} + 1.0))"
+                f" / (CAST(tf AS DOUBLE) + {k1!r} * (1.0 - {b!r}"
+                f"    + {b!r} * CAST(dl AS DOUBLE) / avgdl))"
+                " * 1000000.0) AS BIGINT)"
+            ).alias("c_micro"),
+        )
+    )
+    return contrib.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_matched"),
+        F.round(F.sum("c_micro").cast("double") / 1000000.0, 6).alias("score"),
+    )
+
+
+def unigram_lm_score(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, avg_logprob) — per-document mean token
+    log-probability under the corpus's own unigram language model (the
+    CCNet-style LM quality filter: low avg_logprob = rare-token soup /
+    boilerplate; high = head-vocabulary prose). Documents with zero
+    non-empty tokens carry no probability mass and are omitted.
+
+    Cross-engine determinism: the model is exact integer counts;
+    ``ll_micro(t) = BIGINT(ROUND(ln(cnt/total) * 1e6))`` is one scalar
+    double expression per DISTINCT term (vocabulary-sized), after which
+    the per-document reduction ``SUM(tf * ll_micro)`` is exact integer
+    arithmetic — no float summation-order dependence. The final mean is
+    one division pair in fixed order, rounded to 6dp.
+
+    100 TB shape: one (doc_id, term) partial/final count, one
+    vocabulary-sized term-count aggregate re-broadcast onto it, one
+    per-document aggregate. Every exchange carries (id, count) rows,
+    never text; the pruned (doc_id, text) scan recomputes under the
+    model branch and the scoring branch (materialize the ``tf`` count
+    frame once at production scale to make it single-pass).
+    """
+    toks = docs.select("doc_id", F.explode(_tokens()).alias("term")).filter(
+        F.col("term") != ""
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    model = tf.groupBy("term").agg(F.sum("tf").alias("cnt"))
+    total = model.agg(F.sum("cnt").alias("total"))
+    ll = model.crossJoin(F.broadcast(total)).select(
+        "term",
+        F.expr(
+            "CAST(ROUND(ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE))"
+            " * 1000000.0) AS BIGINT)"
+        ).alias("ll_micro"),
+    )
+    return (
+        tf.join(F.broadcast(ll), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.sum(F.col("tf") * F.col("ll_micro")).alias("sll"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(
+                F.col("sll").cast("double")
+                / 1000000.0
+                / F.col("n_tokens").cast("double"),
+                6,
+            ).alias("avg_logprob"),
+        )
+    )
