@@ -1931,19 +1931,19 @@ def _louvain_sql(rounds: int) -> str:
         cmp_dir = "<" if k % 2 == 0 else ">"
         tie = "ASC" if k % 2 == 0 else "DESC"
         parts.append(
-            f", vol{k} AS (SELECT l.community, SUM(d.deg) AS vol"
+            f", vol{k} AS MATERIALIZED (SELECT l.community, SUM(d.deg) AS vol"
             f"   FROM lab{k} l JOIN vdeg d USING (id) GROUP BY 1)"
-            f", evc{k} AS (SELECT s.src AS id, l.community AS c2,"
+            f", evc{k} AS MATERIALIZED (SELECT s.src AS id, l.community AS c2,"
             f"   COUNT(*) AS e FROM sym s JOIN lab{k} l ON l.id = s.dst"
             f"   GROUP BY 1, 2)"
-            f", cur{k} AS (SELECT l.id, l.community AS a,"
+            f", cur{k} AS MATERIALIZED (SELECT l.id, l.community AS a,"
             f"   COALESCE(d.deg, 0) AS deg_v,"
             f"   COALESCE(v.vol, 0) - COALESCE(d.deg, 0) AS vol_rest,"
             f"   COALESCE(ea.e, 0) AS e_a"
             f"   FROM lab{k} l LEFT JOIN vdeg d USING (id)"
             f"   LEFT JOIN vol{k} v ON v.community = l.community"
             f"   LEFT JOIN evc{k} ea ON ea.id = l.id AND ea.c2 = l.community)"
-            f", cand{k} AS (SELECT e.id, c.a, e.c2,"
+            f", cand{k} AS MATERIALIZED (SELECT e.id, c.a, e.c2,"
             f"   (SELECT m2 FROM twom) * (e.e - c.e_a)"
             f"   - CAST(c.deg_v AS HUGEINT) * (v.vol - c.vol_rest) AS score"
             f"   FROM evc{k} e JOIN cur{k} c ON c.id = e.id"
@@ -1953,7 +1953,7 @@ def _louvain_sql(rounds: int) -> str:
             f"   SELECT cand{k}.*, ROW_NUMBER() OVER (PARTITION BY id"
             f"    ORDER BY score DESC, c2 {tie}) AS rn FROM cand{k})"
             f"   WHERE rn = 1)"
-            f", lab{k + 1} AS (SELECT l.id,"
+            f", lab{k + 1} AS MATERIALIZED (SELECT l.id,"
             f"   CASE WHEN b.score > 0 THEN b.c_new ELSE l.community END"
             f"   AS community FROM lab{k} l"
             f"   LEFT JOIN best{k} b ON b.id = l.id)"
@@ -3682,7 +3682,7 @@ def _lpa_sql(steps: int) -> str:
     ]
     for i in range(1, steps + 1):
         ctes.append(
-            f"l{i} AS ("
+            f"l{i} AS MATERIALIZED ("
             f" SELECT v.id, COALESCE(m.mode_lbl, v.label) AS label FROM l{i-1} v"
             f" LEFT JOIN ("
             f"   SELECT id, lbl AS mode_lbl FROM ("
