@@ -1588,9 +1588,11 @@ def _q_matching(spark, sf):
         vertices=document_vertices(spark, sf),
         portable=True,
     )
-    # the unrolled oracle replays MM_ROUNDS rounds; more live rounds
-    # would make it silently under-match — fail LOUDLY instead
-    if not res.converged or res.supersteps > MM_ROUNDS:
+    # the unrolled oracle replays MM_ROUNDS matching rounds; more LIVE
+    # rounds would make it silently under-match — fail LOUDLY instead.
+    # The engine's stop signal is the round-START live-edge count, so a
+    # converged run ends with one trailing empty round (hence + 1).
+    if not res.converged or res.supersteps > MM_ROUNDS + 1:
         raise RuntimeError(
             f"maximal matching ran {res.supersteps} rounds "
             f"(converged={res.converged}); the unrolled oracle covers "
@@ -1601,10 +1603,13 @@ def _q_matching(spark, sf):
 
 def _matching_sql(rounds: int, seed: int) -> str:
     """Unrolled matching rounds: per round, live canonical edges draw
-    the engine-neutral md5 coin (matching.matching_coin_sql), an edge
-    wins when it is the UNIQUE per-vertex minimum at BOTH endpoints,
-    and winners' endpoints record each other as mates — the exact
-    per-superstep rule algorithms/matching.py applies."""
+    the engine-neutral md5 coin (matching.matching_coin_sql), each
+    live vertex points at its lexicographically smallest incident live
+    edge by (coin, u, v), an edge wins when BOTH endpoints point at
+    it, and winners' endpoints record each other as mates — the exact
+    per-superstep rule algorithms/matching.py applies (the argmin is
+    ROW_NUMBER here, MIN(STRUCT(ck, u, v)) engine-side: same total
+    order, same unique edge)."""
     from linkgraph.algorithms.matching import matching_coin_sql
 
     parts = [
@@ -1624,12 +1629,10 @@ def _matching_sql(rounds: int, seed: int) -> str:
             f"   JOIN mate{k - 1} mv ON mv.id = c.v AND mv.mate = -1)"
             f", inc{k} AS (SELECT u AS vid, u, v, ck FROM le{k}"
             f"   UNION ALL SELECT v AS vid, u, v, ck FROM le{k})"
-            f", vm{k} AS (SELECT vid, MIN(ck) AS m1 FROM inc{k} GROUP BY vid)"
-            f", am{k} AS (SELECT i.vid, i.u, i.v FROM inc{k} i"
-            f"   JOIN vm{k} m ON m.vid = i.vid AND i.ck = m.m1)"
-            f", uq{k} AS (SELECT vid, MIN(u) AS u, MIN(v) AS v FROM am{k}"
-            f"   GROUP BY vid HAVING COUNT(*) = 1)"
-            f", win{k} AS MATERIALIZED (SELECT u, v FROM uq{k}"
+            f", vm{k} AS (SELECT vid, u, v FROM (SELECT vid, u, v,"
+            f"   ROW_NUMBER() OVER (PARTITION BY vid ORDER BY ck, u, v) AS rn"
+            f"   FROM inc{k}) t WHERE rn = 1)"
+            f", win{k} AS MATERIALIZED (SELECT u, v FROM vm{k}"
             f"   GROUP BY u, v HAVING COUNT(*) = 2)"
             f", mate{k} AS MATERIALIZED (SELECT m.id,"
             f"   COALESCE(w.mt, m.mate) AS mate FROM mate{k - 1} m"

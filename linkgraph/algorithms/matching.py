@@ -11,17 +11,20 @@ compute()/voteToHalt superstep (SURVEY.md §3.10): the live frontier
 shrinks geometrically and each round is a constant number of keyed
 exchanges.
 
-Rule (Israeli–Itai style, the line-graph mirror of Luby): each round,
+Rule (handshake argmin, the line-graph mirror of Luby): each round,
 every LIVE edge (both endpoints unmatched) draws a deterministic coin
-from ``(u, v, round, seed)``; an edge joins the matching when its coin
-is the UNIQUE minimum among the live edges at BOTH endpoints. Two
-adjacent edges can never both win (they share a vertex, where only one
-can be the unique minimum); a coin collision at a vertex merely defers
-that vertex's edges to the next round, where the coins differ — so
-matched-ness is guaranteed by construction, and the expected round
-count is O(log n) by the standard Luby argument (the globally minimum
-live edge always wins, and in expectation a constant fraction of live
-edges loses an endpoint per round).
+from ``(u, v, round, seed)``; each live vertex points at its
+lexicographically smallest incident live edge by ``(coin, u, v)`` —
+always unique, since ``(u, v)`` identifies the edge — and an edge
+joins the matching when BOTH its endpoints point at it. Two adjacent
+edges can never both win (they share a vertex, which points at only
+one of them), so the result is a matching by construction; the
+globally smallest live edge always wins, and in expectation a
+constant fraction of live edges loses an endpoint per round, so the
+round count is O(log n) by the standard Luby argument. (The ``(u,v)``
+tiebreak replaces the earlier tie-defer rule: a coin collision no
+longer stalls a vertex for a round, and the per-round plan drops the
+argmin-uniqueness re-join — one aggregation per side instead of two.)
 
 Determinism: the coin is the counter-based hash of phash.py —
 ``portable=True`` draws md5 digit terms reproducible in DuckDB (the
@@ -30,13 +33,21 @@ per live edge per round. Both modes yield a valid maximal matching, a
 pure function of (graph, seed), independent of partitioning and
 cluster size.
 
-Distributed shape (the 100 TB design): the symmetrized edge relation
-is persisted hash-partitioned once; each round touches only live
-edges — one coin projection, one per-vertex min aggregate, one
-argmin-uniqueness check, one per-edge pair count — all keyed
-partial/final aggregates, nothing collected. Work per round is
-proportional to the LIVE edge set, which Luby shrinks geometrically;
-the mate relation stays id-partitioned for the final join.
+Distributed shape (the 100 TB design): the live-edge frame is CARRIED
+across rounds as a lazily local-checkpointed delta relation — round 1
+derives it from the canonical edge set, every later round shrinks the
+previous round's frame with two anti-joins against the (cached,
+id-partitioned) matched-vertex set, so per-round work is proportional
+to the LIVE edge set (which Luby shrinks geometrically), not to |E|:
+total work O(E), not O(E log n). Each round is then one coin
+projection, one per-vertex min aggregate, one argmin-uniqueness
+check, one per-edge pair count — all keyed partial/final aggregates,
+nothing collected. The round-start live-incidence count rides the
+state observation as the stop signal (no extra survival pass); the
+loop ends on the first round that opens with zero live edges. The
+carried frame is freed two rounds later (after its successor has
+materialized from it), so storage holds at most two live-edge
+snapshots; the mate relation stays id-partitioned for the final join.
 """
 
 from __future__ import annotations
@@ -94,58 +105,73 @@ def maximal_matching(
     Deterministic in (graph, seed); both coin modes yield a valid
     maximal matching but generally DIFFERENT matchings.
     """
-    from ..superstep import LoopResult, StepResult, iterate, iteration_conf
+    from ..superstep import (
+        LoopResult,
+        StepResult,
+        iterate,
+        local_checkpoint_fresh_stats,
+        release_local_checkpoint,
+    )
 
     p = choose_partitions(edges, lambda: edges.count(), num_partitions)
     if vertices is None:
         vertices = vertices_from_edges(edges)
 
-    with iteration_conf(edges.sparkSession, p):
-        # canonical u < v live-edge universe (one row per undirected edge)
-        canon = (
-            symmetrize(edges)
-            .filter(F.col("src") < F.col("dst"))
-            .select(F.col("src").alias("u"), F.col("dst").alias("v"))
-            .repartition(p, "u")
-            .persist()
-        )
-        canon.count()
+    # canonical u < v live-edge universe (one row per undirected edge);
+    # read exactly once (the round-1 derivation, or once more on a
+    # checkpoint resume) — later rounds shrink the CARRIED frame instead
+    canon = symmetrize(edges).filter(F.col("src") < F.col("dst")).select(
+        F.col("src").alias("u"), F.col("dst").alias("v")
+    )
 
     init = vertices.select("id").withColumn(
         "mate", F.lit(UNMATCHED).cast("long")
     ).repartition(p, "id")
 
+    # carried live-edge frames: "cur" is this round's frame (a lazy
+    # localCheckpoint — it materializes inside the round's single state
+    # job and every downstream subtree reads the cached rows instead of
+    # replaying the derivation); "prev" is kept one extra round because
+    # "cur" was built from it, then freed.
+    carried: dict[str, DataFrame | None] = {"cur": None, "prev": None}
+
     def superstep(state: DataFrame, k: int) -> StepResult:
-        live = state.filter(F.col("mate") == UNMATCHED).select("id")
-        le = (
-            canon.join(live.select(F.col("id").alias("u")), "u")
-            .join(live.select(F.col("id").alias("v")), "v")
-            .select(
-                "u",
-                "v",
-                F.expr(_spark_coin("u", "v", k, seed, portable)).alias("ck"),
+        if carried["prev"] is not None:
+            release_local_checkpoint(carried["prev"])
+        carried["prev"] = carried["cur"]
+        if carried["cur"] is None:
+            # first round (or resume): derive live edges from scratch
+            live = state.filter(F.col("mate") == UNMATCHED).select("id")
+            base = canon.join(live.select(F.col("id").alias("u")), "u").join(
+                live.select(F.col("id").alias("v")), "v"
             )
+        else:
+            # delta: drop edges that lost an endpoint last round. The
+            # matched set only grows, so anti-joining the FULL matched
+            # relation (cached, id-partitioned state) is exact.
+            matched = state.filter(F.col("mate") != UNMATCHED).select("id")
+            base = carried["cur"].join(
+                matched.select(F.col("id").alias("u")), "u", "left_anti"
+            ).join(matched.select(F.col("id").alias("v")), "v", "left_anti")
+        le = local_checkpoint_fresh_stats(base.select("u", "v"), eager=False)
+        carried["cur"] = le
+
+        lek = le.select(
+            "u", "v", F.expr(_spark_coin("u", "v", k, seed, portable)).alias("ck")
         )
         # incidence: one row per (endpoint, live edge)
-        inc = le.select(F.col("u").alias("vid"), "u", "v", "ck").unionByName(
-            le.select(F.col("v").alias("vid"), "u", "v", "ck")
+        inc = lek.select(F.col("u").alias("vid"), "u", "v", "ck").unionByName(
+            lek.select(F.col("v").alias("vid"), "u", "v", "ck")
         )
+        # per-vertex argmin edge by (coin, u, v) — unique by
+        # construction, one partial/final aggregate
         vm = inc.groupBy("vid").agg(
-            F.min("ck").alias("m1"), F.count(F.lit(1)).alias("nle")
+            F.min(F.struct("ck", "u", "v")).alias("w"),
+            F.count(F.lit(1)).alias("nle"),
         )
-        # edges achieving the per-vertex minimum; keep only vertices
-        # where that minimum is UNIQUE (ties defer the whole vertex)
-        am = inc.join(vm.select("vid", "m1"), "vid").filter(
-            F.col("ck") == F.col("m1")
-        )
-        uniq = am.groupBy("vid").agg(
-            F.count(F.lit(1)).alias("_n"),
-            F.first("u").alias("u"),
-            F.first("v").alias("v"),
-        ).filter(F.col("_n") == 1)
-        # an edge wins when it is the unique argmin at BOTH endpoints
+        # an edge wins when it is the argmin at BOTH endpoints
         wins = (
-            uniq.groupBy("u", "v")
+            vm.groupBy(F.col("w.u").alias("u"), F.col("w.v").alias("v"))
             .agg(F.count(F.lit(1)).alias("_c"))
             .filter(F.col("_c") == 2)
             .select("u", "v")
@@ -153,31 +179,20 @@ def maximal_matching(
         mates = wins.select(
             F.col("u").alias("id"), F.col("v").alias("m")
         ).unionByName(wins.select(F.col("v").alias("id"), F.col("u").alias("m")))
-        # live edges SURVIVING this round's matches — their endpoints
-        # are still blocked, so the loop must continue; the count rides
-        # the state observation as _delta (no extra job)
-        mid = mates.select("id")
-        le_next = le.join(
-            mid.select(F.col("id").alias("u")), "u", "left_anti"
-        ).join(mid.select(F.col("id").alias("v")), "v", "left_anti")
-        blocked = (
-            le_next.select(F.col("u").alias("id"))
-            .unionByName(le_next.select(F.col("v").alias("id")))
-            .distinct()
-            .withColumn("_blk", F.lit(True))
-        )
+        # stop signal: the round-START live-incidence count (Σ nle)
+        # rides the observation as _delta — zero means the round opened
+        # with no live edges, i.e. the matching was already maximal.
+        # Costs one (empty) trailing round instead of a per-round
+        # survivors pass (two anti-joins + distinct in the old shape).
         new = (
             state.join(mates, "id", "left_outer")
             .join(vm.select(F.col("vid").alias("id"), "nle"), "id", "left_outer")
-            .join(blocked, "id", "left_outer")
             .select(
                 "id",
                 F.coalesce(F.col("m"), F.col("mate")).alias("mate"),
                 F.col("m").isNotNull().alias("_changed"),
                 F.coalesce(F.col("nle"), F.lit(0)).cast("long").alias("_msgs"),
-                F.when(F.col("_blk").isNotNull(), F.lit(1.0))
-                .otherwise(F.lit(0.0))
-                .alias("_delta"),
+                F.coalesce(F.col("nle"), F.lit(0)).cast("double").alias("_delta"),
             )
         )
         return StepResult(state=new)
@@ -191,5 +206,7 @@ def maximal_matching(
         resume=resume,
         num_partitions=p,
     )
-    canon.unpersist()
+    for key in ("prev", "cur"):
+        if carried[key] is not None:
+            release_local_checkpoint(carried[key])
     return result.state.select("id", "mate"), result

@@ -22,8 +22,9 @@ def _canon(edges):
 
 def _simulate(edges, seed, max_rounds=60):
     """The exact engine rule: per round, live edges draw the portable
-    md5 coin; an edge matches when it is the UNIQUE argmin at both
-    endpoints; ties defer the vertex."""
+    md5 coin; each live vertex points at its lexicographically
+    smallest incident live edge by (coin, u, v); an edge matches when
+    BOTH endpoints point at it."""
     canon = _canon(edges)
     verts = sorted({v for e in canon for v in e} | {v for e in edges for v in e})
     mate = {v: -1 for v in verts}
@@ -32,21 +33,16 @@ def _simulate(edges, seed, max_rounds=60):
         if not le:
             break
         coin = {e: md5_int(f"mm:{e[0]}:{e[1]}:{k}:{seed}") for e in le}
-        inc = {}
-        for e in le:
-            for vid in e:
-                inc.setdefault(vid, []).append(coin[e])
-        wins = []
+        argmin = {}
         for u, v in le:
-            ok = True
+            key = (coin[(u, v)], u, v)
             for vid in (u, v):
-                m1 = min(inc[vid])
-                if coin[(u, v)] != m1 or inc[vid].count(m1) != 1:
-                    ok = False
-            if ok:
-                wins.append((u, v))
-        for u, v in wins:
-            mate[u], mate[v] = v, u
+                if vid not in argmin or key < argmin[vid]:
+                    argmin[vid] = key
+        for u, v in le:
+            key = (coin[(u, v)], u, v)
+            if argmin[u] == key and argmin[v] == key:
+                mate[u], mate[v] = v, u
     return mate
 
 
