@@ -84,6 +84,7 @@ KTRUSS_K = 3
 KTRUSS_PASSES = 12
 ANF_MAPS = 16   # FM bitmaps per vertex for the neighborhood function
 ANF_MAX_H = 6   # fixed sketch depth: both engines run exactly 6 passes
+EFFDIAM_Q = 0.9  # Boldi-Vigna effective-diameter quantile
 BGD_UPDATES = 5
 LPA_STEPS = 4
 # one-level Louvain: fixed synchronous move rounds (even count so both
@@ -145,6 +146,9 @@ NGRAM_PROBES = [
     "quux zilch never occurs anywhere at all in this corpus",
 ]
 NGRAM_N = 3
+# duplicated-span audit shingle width: 5 keeps real duplication signal
+# on the ~54-token synthetic docs (real corpora run 20-50 tokens)
+DUPGRAM_N = 5
 # The driver's embeddings table is near-orthogonal noise (max pairwise
 # cosine 0.51 at sf0.01) — 0.4 exercises the near-dup path with a
 # non-trivial answer set; real corpora run the 0.95 default.
@@ -533,6 +537,28 @@ def _q_anf(spark, sf):
     return out
 
 
+def _q_effective_diameter(spark, sf):
+    """Boldi-Vigna 90% effective diameter computed ENGINE-SIDE from
+    the neighborhood function (smallest h with N(h) >= 0.9 N(max_h),
+    linearly interpolated) — the selection is a window over the max_h
+    summary rows, not data-sized state, and the oracle replays the
+    identical expression over the same unrolled FM passes."""
+    from linkgraph.algorithms.anf import (
+        effective_diameter_df,
+        neighborhood_function,
+    )
+
+    edges = document_edges(spark, sf)
+    nh, _ = neighborhood_function(
+        edges,
+        num_maps=ANF_MAPS,
+        max_h=ANF_MAX_H,
+        vertices=document_vertices(spark, sf),
+        portable=True,
+    )
+    return effective_diameter_df(nh, quantile=EFFDIAM_Q)
+
+
 def _q_harmonic(spark, sf):
     """HyperBall-style harmonic centrality: per-vertex 1/h-weighted
     ball-size deltas riding the same FM sketch loop as the
@@ -706,6 +732,18 @@ def _q_fingerprint(spark, sf):
 
 def _q_jaccard(spark, sf):
     return ngram_jaccard_pairs(load_documents(spark, sf), n=3, threshold=JACCARD_T)
+
+
+def _q_dup_ngrams(spark, sf):
+    """Per-doc duplicated-n-gram coverage (Lee et al. 2022 repeated-
+    substring audit): span-level duplication the doc-granular near-dup
+    tiers under-report. Portable mode keys shingles by their exact
+    string, so the oracle shares identity with zero hash porting."""
+    from linkgraph.pipeline.dedup import duplicated_ngram_stats
+
+    return duplicated_ngram_stats(
+        load_documents(spark, sf), n=DUPGRAM_N, portable=True
+    )
 
 
 def _q_pack_sequences(spark, sf):
@@ -2262,6 +2300,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcore_membership": _q_kcore,
         "ktruss_edges": _q_ktruss,
         "neighborhood_function": _q_anf,
+        "effective_diameter": _q_effective_diameter,
         "harmonic_centrality": _q_harmonic,
         "closeness_centrality": _q_closeness,
         "betweenness_centrality": _q_betweenness,
@@ -2275,6 +2314,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _q_lang_id,
         "doc_fingerprint": _q_fingerprint,
         "ngram_jaccard_pairs": _q_jaccard,
+        "duplicated_ngram_stats": _q_dup_ngrams,
         "vocabulary": _q_vocabulary,
         "tfidf_top_terms": _q_tfidf,
         "bm25_scores": _q_bm25,
@@ -3840,6 +3880,20 @@ def oracle_sql() -> dict[str, str]:
         "kcore_membership": _kcore_sql(KCORE_K, KCORE_PASSES),
         "ktruss_edges": _ktruss_sql(KTRUSS_K, KTRUSS_PASSES),
         "neighborhood_function": _anf_sql(ANF_MAPS, ANF_MAX_H),
+        "effective_diameter": (
+            f"WITH nh AS ({_anf_sql(ANF_MAPS, ANF_MAX_H)}),"
+            " lagd AS (SELECT h, n_reachable_est AS n,"
+            "   LAG(h, 1, 0) OVER (ORDER BY h) AS ph,"
+            "   LAG(n_reachable_est, 1, 0.0) OVER (ORDER BY h) AS pn FROM nh),"
+            f" t AS (SELECT {EFFDIAM_Q} * max_by(n_reachable_est, h) AS tgt FROM nh),"
+            " sel AS (SELECT l.h, l.n, l.ph, l.pn, t.tgt FROM lagd l, t"
+            "   WHERE l.n >= t.tgt ORDER BY l.h LIMIT 1)"
+            f" SELECT CAST({EFFDIAM_Q} AS DOUBLE) AS quantile,"
+            " ROUND(tgt, 6) AS target_est,"
+            " ROUND(CASE WHEN n = pn THEN CAST(ph AS DOUBLE)"
+            "   ELSE CAST(ph AS DOUBLE) + (tgt - pn) / (n - pn) * CAST(h - ph AS DOUBLE)"
+            " END, 6) AS effective_diameter FROM sel"
+        ),
         "harmonic_centrality": _harmonic_sql(ANF_MAPS, ANF_MAX_H),
         "closeness_centrality": _closeness_sql(ANF_MAPS, ANF_MAX_H),
         "betweenness_centrality": _betweenness_sql(BETW_SOURCES, BETW_DEPTH),
@@ -3899,6 +3953,24 @@ def oracle_sql() -> dict[str, str]:
         ),
         "doc_fingerprint": (
             "SELECT doc_id, substr(md5(text), 1, 16) AS fingerprint FROM documents"
+        ),
+        "duplicated_ngram_stats": (
+            "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),"
+            " sh AS (SELECT DISTINCT doc_id, unnest(["
+            f"   array_to_string(toks[i:i+{DUPGRAM_N - 1}], ' ')"
+            f"   FOR i IN generate_series(1, greatest(len(toks) - {DUPGRAM_N - 1}, 0))"
+            "  ]) AS s FROM toks),"
+            " hc AS (SELECT s, COUNT(*) AS nd FROM sh GROUP BY s),"
+            " per AS (SELECT sh.doc_id, CAST(COUNT(*) AS BIGINT) AS n_ngrams,"
+            "   CAST(SUM(CASE WHEN hc.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_duplicated"
+            "   FROM sh JOIN hc ON hc.s = sh.s GROUP BY sh.doc_id)"
+            " SELECT d.doc_id,"
+            "  CAST(COALESCE(p.n_ngrams, 0) AS BIGINT) AS n_ngrams,"
+            "  CAST(COALESCE(p.n_duplicated, 0) AS BIGINT) AS n_duplicated,"
+            "  CASE WHEN COALESCE(p.n_ngrams, 0) = 0 THEN NULL"
+            "   ELSE ROUND(CAST(p.n_duplicated AS DOUBLE) / CAST(p.n_ngrams AS DOUBLE), 6)"
+            "  END AS dup_fraction"
+            " FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id"
         ),
         "ngram_jaccard_pairs": (
             "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),"

@@ -9,6 +9,7 @@ from .coreness import core_decomposition
 from .anf import (
     closeness_centrality,
     effective_diameter,
+    effective_diameter_df,
     harmonic_centrality,
     neighborhood_function,
 )
@@ -74,6 +75,7 @@ __all__ = [
     "core_decomposition",
     "closeness_centrality",
     "effective_diameter",
+    "effective_diameter_df",
     "harmonic_centrality",
     "neighborhood_function",
     "transitivity",

@@ -245,6 +245,53 @@ def effective_diameter(
     return float(rows[-1][0])
 
 
+def effective_diameter_df(nh: DataFrame, quantile: float = 0.9) -> DataFrame:
+    """Engine-side one-row variant of :func:`effective_diameter`, so
+    the selection itself is oracle-checkable (no driver arithmetic):
+    the smallest depth h with N(h) >= quantile * N(max_h), linearly
+    interpolated between the straddling depths, anchored at N(0) = 0
+    exactly like the float helper. Input is the max_h-row
+    :func:`neighborhood_function` output — the window runs over one
+    tiny partition, not data-sized state.
+
+    Returns DF(quantile, target_est, effective_diameter), all DOUBLE
+    rounded to 6dp. The expression tree (one multiply for the target,
+    one interpolation division) is spelled identically in the DuckDB
+    oracle, so portable-mode inputs give bit-identical output.
+    """
+    from pyspark.sql import Window
+
+    w = Window.orderBy("h")
+    lagd = nh.select(
+        "h",
+        F.col("n_reachable_est").alias("n"),
+        F.lag("h", 1, 0).over(w).alias("ph"),
+        F.lag("n_reachable_est", 1, 0.0).over(w).alias("pn"),
+    )
+    tgt = nh.agg(
+        (F.lit(float(quantile)) * F.max_by("n_reachable_est", "h")).alias("tgt")
+    )
+    sel = (
+        lagd.crossJoin(tgt)
+        .filter(F.col("n") >= F.col("tgt"))
+        .orderBy("h")
+        .limit(1)
+    )
+    return sel.select(
+        F.lit(float(quantile)).alias("quantile"),
+        F.round("tgt", 6).alias("target_est"),
+        F.round(
+            F.when(F.col("n") == F.col("pn"), F.col("ph").cast("double")).otherwise(
+                F.col("ph").cast("double")
+                + (F.col("tgt") - F.col("pn"))
+                / (F.col("n") - F.col("pn"))
+                * (F.col("h") - F.col("ph")).cast("double")
+            ),
+            6,
+        ).alias("effective_diameter"),
+    )
+
+
 def _ball_delta_loop(
     edges: DataFrame,
     num_maps: int,

@@ -4,6 +4,7 @@ search, multimodal plumbing."""
 
 from .dedup import (
     dedup_clusters,
+    duplicated_ngram_stats,
     exact_duplicates,
     minhash_lsh_pairs,
     minhash_verified_pairs,
@@ -41,6 +42,7 @@ from .similarity import (
 )
 
 __all__ = [
+    "duplicated_ngram_stats",
     "exact_duplicates",
     "ngram_jaccard_pairs",
     "minhash_lsh_pairs",

@@ -189,6 +189,74 @@ def ngram_jaccard_pairs(
     )
 
 
+def duplicated_ngram_stats(
+    docs: DataFrame, n: int = 5, portable: bool = False
+) -> DataFrame:
+    """Per-document exact duplicated-n-gram coverage — the corpus-level
+    repeated-substring audit of Lee et al. 2022 ("Deduplicating
+    Training Data Makes Language Models Better"): for every document,
+    how many of its DISTINCT token n-grams also occur in at least one
+    other document, plus the covered fraction. High ``dup_fraction``
+    docs are boilerplate/templated/mirrored content that near-dup
+    tiers (MinHash/SimHash, doc-granular) under-report because only a
+    SPAN is shared, not the whole document.
+
+    Shape (the 100 TB design): inverted-index counting — one explode
+    of the distinct-shingle arrays, one partial/final count keyed by
+    shingle identity (map-side combine absorbs boilerplate
+    heavy-hitter shingles), one equi-join of the exploded relation
+    back to the >=2 shingle set, one per-doc aggregate. Two shuffles
+    total, both keyed, text never shuffles (only shingle identities),
+    nothing collected.
+
+    Shingle identity: production (``portable=False``) is the
+    xxhash64-of-token-hashes fold (``_token_hash_shingles_sql`` — one
+    hash per token, no shingle strings materialized; 64-bit collisions
+    negligible); portable mode uses the exact shingle STRING so a
+    DuckDB oracle reproduces counts with zero collision/hash-porting
+    concerns.
+
+    Returns DF(doc_id, n_ngrams, n_duplicated, dup_fraction) — one row
+    per document; docs shorter than n tokens report (0, 0, NULL).
+    """
+    toks = _tokenized(docs)
+    if portable:
+        ex = toks.select("doc_id", F.explode(_shingles_col(n)).alias("h"))
+    else:
+        ex = toks.selectExpr("doc_id", f"{_TOKEN_HASHES} AS th").selectExpr(
+            "doc_id", f"explode({_token_hash_shingles_sql(n)}) AS h"
+        )
+    hc = ex.groupBy("h").agg(F.count(F.lit(1)).alias("nd"))
+    per = (
+        ex.join(hc, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.sum((F.col("nd") >= 2).cast("long")).alias("n_duplicated"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per, "doc_id", "left_outer")
+        .select(
+            "doc_id",
+            F.coalesce("n_ngrams", F.lit(0)).alias("n_ngrams"),
+            F.coalesce("n_duplicated", F.lit(0)).alias("n_duplicated"),
+            F.when(
+                F.coalesce("n_ngrams", F.lit(0)) == 0, F.lit(None).cast("double")
+            )
+            .otherwise(
+                F.round(
+                    F.col("n_duplicated").cast("double")
+                    / F.col("n_ngrams").cast("double"),
+                    6,
+                )
+            )
+            .alias("dup_fraction"),
+        )
+    )
+
+
 def minhash_signatures(
     docs: DataFrame,
     num_hashes: int = 64,

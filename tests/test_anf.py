@@ -95,3 +95,41 @@ class TestEffectiveDiameter:
         e = spark.createDataFrame(edges, "src long, dst long")
         nh, _ = neighborhood_function(e, num_maps=32, max_h=4, portable=True)
         assert effective_diameter(nh) <= 1.0
+
+
+class TestEffectiveDiameterDF:
+    def test_matches_float_helper(self, spark):
+        """The engine-side one-row variant must reproduce the driver
+        helper's selection (same target, same interpolation) on a
+        non-trivial graph."""
+        from linkgraph.algorithms.anf import (
+            effective_diameter,
+            effective_diameter_df,
+        )
+
+        e = spark.createDataFrame(
+            [(i, i + 1) for i in range(9)] + [(0, 5)], "src long, dst long"
+        )
+        nh, _ = neighborhood_function(e, num_maps=32, max_h=8, portable=True)
+        nh = nh.cache()
+        want = effective_diameter(nh, quantile=0.9)
+        row = effective_diameter_df(nh, quantile=0.9).collect()[0]
+        assert row["quantile"] == 0.9
+        assert abs(row["effective_diameter"] - want) < 1e-6
+
+    def test_flat_segment_returns_prev_depth(self, spark):
+        """When N(h) plateaus at the target before the straddle (clique:
+        N(1) = N(2) = everything), the interpolation degenerates and the
+        DF variant must return the earlier depth, like the helper."""
+        from linkgraph.algorithms.anf import (
+            effective_diameter,
+            effective_diameter_df,
+        )
+
+        edges = [(i, j) for i in range(6) for j in range(i + 1, 6)]
+        e = spark.createDataFrame(edges, "src long, dst long")
+        nh, _ = neighborhood_function(e, num_maps=32, max_h=4, portable=True)
+        nh = nh.cache()
+        got = effective_diameter_df(nh).collect()[0]["effective_diameter"]
+        assert abs(got - effective_diameter(nh)) < 1e-6
+        assert got <= 1.0

@@ -990,3 +990,42 @@ class TestSkipgramPairs:
         corpus = spark.createDataFrame([(0, 0, 1)], "walk_id LONG, step INT, vertex LONG")
         with _pytest.raises(ValueError):
             skipgram_pairs(corpus, window=0)
+
+
+class TestDuplicatedNgramStats:
+    def _docs(self, spark):
+        shared = "alpha beta gamma delta epsilon zeta"
+        rows = [
+            (0, shared + " one two three"),
+            (1, shared + " four five six"),      # shares the 6-token run with 0
+            (2, "seven eight nine ten eleven twelve thirteen"),  # unique
+            (3, "tiny doc"),                      # shorter than n -> (0, 0, NULL)
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_planted_span_duplication(self, spark):
+        from linkgraph.pipeline.dedup import duplicated_ngram_stats
+
+        out = {
+            r["doc_id"]: r
+            for r in duplicated_ngram_stats(self._docs(spark), n=5).collect()
+        }
+        # docs 0/1 share the 6-token run -> exactly two duplicated
+        # 5-grams each (positions 1 and 2 of the shared span)
+        assert out[0]["n_duplicated"] == 2 and out[1]["n_duplicated"] == 2
+        assert out[0]["n_ngrams"] == 5  # 9 tokens -> 5 distinct 5-grams
+        assert out[2]["n_duplicated"] == 0
+        assert out[3]["n_ngrams"] == 0 and out[3]["dup_fraction"] is None
+
+    def test_production_vs_portable_equivalence(self, spark):
+        """xxhash64 token-hash shingles and exact string shingles must
+        report identical counts (collisions are negligible and the
+        identity sets are the same)."""
+        from linkgraph.pipeline.dedup import duplicated_ngram_stats
+
+        docs = self._docs(spark)
+        fast = sorted(duplicated_ngram_stats(docs, n=5).collect())
+        portable = sorted(
+            duplicated_ngram_stats(docs, n=5, portable=True).collect()
+        )
+        assert fast == portable
