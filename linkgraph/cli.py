@@ -55,6 +55,7 @@ def _build_parser() -> argparse.ArgumentParser:
             "summary", "coreness", "betweenness", "harmonic",
             "closeness", "knn-degree", "rich-club",
             "canonical", "skipgram", "sgns",
+            "louvain", "katz", "effdiam", "dupgrams",
         ],
     )
     src = p.add_argument_group("input (exactly one)")
@@ -106,6 +107,14 @@ def _build_parser() -> argparse.ArgumentParser:
                    help="anf: FM bitmaps per vertex")
     p.add_argument("--max-h", type=int, default=8,
                    help="anf: maximum neighborhood depth")
+    p.add_argument("--ngram-n", type=int, default=5,
+                   help="dupgrams: token shingle width for the "
+                   "duplicated-span audit")
+    p.add_argument("--alpha", type=float, default=0.05,
+                   help="katz: attenuation factor (must be < 1/lambda_max "
+                   "for the infinite series; any value in fixed-updates mode)")
+    p.add_argument("--rounds", type=int, default=3,
+                   help="louvain: synchronous greedy-move rounds")
     p.add_argument("--min-common", type=int, default=2,
                    help="linkpred/cocitation/coupling: minimum shared "
                    "neighbors (centers) per pair")
@@ -187,7 +196,7 @@ def main(argv: list[str] | None = None) -> None:
         ckpt = CheckpointManager(spark, args.checkpoint, every=args.checkpoint_every)
 
     if args.algorithm in ("dedup", "canonical", "vocab", "pii", "repetition",
-                          "cooccur", "bm25", "lm-score"):
+                          "cooccur", "bm25", "lm-score", "dupgrams"):
         if not args.documents:
             raise SystemExit(f"{args.algorithm} requires --documents")
         docs = spark.read.load(args.documents).select(
@@ -211,6 +220,12 @@ def main(argv: list[str] | None = None) -> None:
             from linkgraph.pipeline.textstats import repetition_stats
 
             out = repetition_stats(docs)
+        elif args.algorithm == "dupgrams":
+            from linkgraph.pipeline.dedup import duplicated_ngram_stats
+
+            out = duplicated_ngram_stats(
+                docs, n=args.ngram_n, portable=args.portable_hash
+            )
         elif args.algorithm == "dedup":
             from linkgraph.pipeline.dedup import dedup_clusters
 
@@ -523,6 +538,39 @@ def main(argv: list[str] | None = None) -> None:
             max_supersteps=args.max_supersteps,
             **common,
         )
+    elif args.algorithm == "katz":
+        from linkgraph.algorithms.katz import katz_centrality
+
+        out, res = katz_centrality(
+            edges,
+            alpha=args.alpha,
+            tol=args.tol,
+            max_supersteps=args.max_supersteps,
+            fixed_updates=args.fixed_updates,
+            **common,
+        )
+    elif args.algorithm == "louvain":
+        from linkgraph.algorithms.louvain import greedy_modularity_communities
+
+        out = greedy_modularity_communities(
+            edges,
+            rounds=args.rounds,
+            num_partitions=args.num_partitions,
+        )
+    elif args.algorithm == "effdiam":
+        from linkgraph.algorithms.anf import (
+            effective_diameter_df,
+            neighborhood_function,
+        )
+
+        nh, res = neighborhood_function(
+            edges,
+            num_maps=args.num_maps,
+            max_h=args.max_h,
+            num_partitions=args.num_partitions,
+            portable=args.portable_hash,
+        )
+        out = effective_diameter_df(nh)
     elif args.algorithm == "rectangles":
         from linkgraph.algorithms.rectangles import rectangle_counts
 
