@@ -65,6 +65,7 @@ KATZ_UPDATES = 6  # truncated Katz series depth (oracle-unrolled)
 KATZ_ALPHA = 0.05  # attenuation; conservative vs 1/lambda_max here
 PPR_UPDATES = 6
 PPR_SOURCES = [0, 7]  # teleport seed set for personalized PageRank
+SWEEP_T = 32  # sweep-cut prefix budget (ACL local community)
 BETW_SOURCES = [0, 7, 13]  # Brandes sample for source-sampled betweenness
 # unrolled forward/backward BFS passes in the betweenness oracle; the
 # sf0.01 doc graph's BFS depth is ~6, +slack (loud failure if exceeded)
@@ -472,6 +473,21 @@ def _q_ppr(spark, sf):
         vertices=document_vertices(spark, sf),
     )
     return ranks.select("id", F.round("rank", 6).alias("ppr"))
+
+
+def _q_sweep_cut(spark, sf):
+    """ACL-style local community sweep: PPR ranking (the gated vertex
+    program) -> degree-normalized ordering -> per-prefix conductance,
+    all exact integer cut/volume arithmetic over the top-T prefix."""
+    from linkgraph.algorithms.localcluster import ppr_sweep_cut
+
+    return ppr_sweep_cut(
+        document_edges(spark, sf),
+        PPR_SOURCES,
+        fixed_updates=PPR_UPDATES,
+        top_t=SWEEP_T,
+        vertices=document_vertices(spark, sf),
+    )
 
 
 def _q_hits(spark, sf):
@@ -2296,6 +2312,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_repo_pagerank": _q_weighted_repo_pagerank,
         "link_prediction": _q_link_prediction,
         "personalized_pagerank": _q_ppr,
+        "ppr_sweep_cut": _q_sweep_cut,
         "hits_scores": _q_hits,
         "kcore_membership": _q_kcore,
         "ktruss_edges": _q_ktruss,
@@ -2550,16 +2567,22 @@ def _weighted_repo_pagerank_sql(updates: int) -> str:
     )
 
 
-def _ppr_sql(updates: int, sources: list[int]) -> str:
+def _ppr_sql(updates: int, sources: list[int], rel: str = "edges") -> str:
     """Unrolled personalized PageRank: prior = 1/|S| on the seed set,
     0 elsewhere; r = 0.15*prior + 0.85*sum(in-msgs). The 1/|S| literal
     is the same Python double the engine passes to F.lit (repr
-    round-trips it exactly)."""
+    round-trips it exactly). ``rel`` picks the walk's edge relation:
+    "edges" (directed, the PPR gate) or "sym" (undirected, the
+    sweep-cut gate)."""
     src_list = ", ".join(str(int(s)) for s in sources)
     share = repr(1.0 / len(sources))
     ctes = [
         EDGES_CTES.strip(),
-        "odeg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src)",
+    ]
+    if rel == "sym":
+        ctes.append(SYM_CTE.strip())
+    ctes += [
+        f"odeg AS (SELECT src, COUNT(*) AS outdeg FROM {rel} GROUP BY src)",
         f"pri AS (SELECT doc_id AS id,"
         f" CASE WHEN doc_id IN ({src_list}) THEN {share} ELSE 0.0 END AS prior"
         f" FROM documents)",
@@ -2571,7 +2594,7 @@ def _ppr_sql(updates: int, sources: list[int]) -> str:
             f" SELECT v.id, 0.15*p.prior + 0.85*COALESCE(s.msum, 0.0) AS rank"
             f" FROM r{i-1} v JOIN pri p ON p.id = v.id LEFT JOIN ("
             f"   SELECT e.dst AS id, SUM(x.rank / o.outdeg) AS msum"
-            f"   FROM edges e JOIN r{i-1} x ON e.src = x.id JOIN odeg o ON o.src = e.src"
+            f"   FROM {rel} e JOIN r{i-1} x ON e.src = x.id JOIN odeg o ON o.src = e.src"
             f"   GROUP BY e.dst) s ON v.id = s.id)"
         )
     return (
@@ -3876,6 +3899,33 @@ def oracle_sql() -> dict[str, str]:
             " FROM nonadj n JOIN sdeg du ON du.src = n.u JOIN sdeg dv ON dv.src = n.v"
         ),
         "personalized_pagerank": _ppr_sql(PPR_UPDATES, PPR_SOURCES),
+        "ppr_sweep_cut": (
+            f"WITH {EDGES_CTES.strip()}, {SYM_CTE.strip()},"
+            f" pr AS ({_ppr_sql(PPR_UPDATES, PPR_SOURCES, rel='sym')}),"
+            " dg AS (SELECT src AS id, COUNT(*) AS deg FROM sym GROUP BY src),"
+            " cand AS (SELECT p.id, p.ppr, d.deg,"
+            "   p.ppr / CAST(d.deg AS DOUBLE) AS skey"
+            "   FROM pr p JOIN dg d ON d.id = p.id WHERE p.ppr > 0.0),"
+            " ranked AS (SELECT * FROM (SELECT CAST(ROW_NUMBER() OVER"
+            "   (ORDER BY skey DESC, id ASC) AS BIGINT) AS k, id, ppr, deg"
+            f"   FROM cand) t WHERE k <= {SWEEP_T}),"
+            " eh AS (SELECT GREATEST(ru.k, rv.k) AS rmax, COUNT(*) AS ne"
+            "   FROM sym e JOIN ranked ru ON ru.id = e.src"
+            "   JOIN ranked rv ON rv.id = e.dst"
+            "   WHERE e.src < e.dst GROUP BY 1),"
+            " tm AS (SELECT COUNT(*) AS two_m FROM sym),"
+            " sw AS (SELECT r.k, r.id, r.ppr, r.deg,"
+            "   CAST(SUM(r.deg) OVER (ORDER BY r.k) AS BIGINT) AS volume,"
+            "   CAST(SUM(COALESCE(eh.ne, 0)) OVER (ORDER BY r.k) AS BIGINT) AS e_in"
+            "   FROM ranked r LEFT JOIN eh ON eh.rmax = r.k)"
+            " SELECT k, id, ppr, deg, volume,"
+            "  CAST(volume - 2 * e_in AS BIGINT) AS cut,"
+            "  CASE WHEN LEAST(volume, tm.two_m - volume) = 0 THEN NULL"
+            "   ELSE ROUND(CAST(volume - 2 * e_in AS DOUBLE)"
+            "    / CAST(LEAST(volume, tm.two_m - volume) AS DOUBLE), 6)"
+            "  END AS conductance"
+            " FROM sw, tm ORDER BY k"
+        ),
         "hits_scores": _hits_sql(HITS_ITERS),
         "kcore_membership": _kcore_sql(KCORE_K, KCORE_PASSES),
         "ktruss_edges": _ktruss_sql(KTRUSS_K, KTRUSS_PASSES),

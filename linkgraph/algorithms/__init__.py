@@ -3,6 +3,7 @@ from .pagerank import pagerank
 from .cc import connected_components, connected_components_hashmin
 from .lpa import label_propagation
 from .seeded_lpa import seeded_label_propagation
+from .localcluster import ppr_sweep_cut
 from .linkpred import common_neighbor_scores
 from .betweenness import betweenness_centrality
 from .coreness import core_decomposition
@@ -69,6 +70,7 @@ __all__ = [
     "label_propagation",
     "seeded_label_propagation",
     "common_neighbor_scores",
+    "ppr_sweep_cut",
     "clustering_coefficients",
     "ktruss",
     "betweenness_centrality",

@@ -55,7 +55,7 @@ def _build_parser() -> argparse.ArgumentParser:
             "summary", "coreness", "betweenness", "harmonic",
             "closeness", "knn-degree", "rich-club",
             "canonical", "skipgram", "sgns",
-            "louvain", "katz", "effdiam", "dupgrams",
+            "louvain", "katz", "effdiam", "dupgrams", "sweep",
         ],
     )
     src = p.add_argument_group("input (exactly one)")
@@ -555,6 +555,15 @@ def main(argv: list[str] | None = None) -> None:
         out = greedy_modularity_communities(
             edges,
             rounds=args.rounds,
+            num_partitions=args.num_partitions,
+        )
+    elif args.algorithm == "sweep":
+        from linkgraph.algorithms.localcluster import ppr_sweep_cut
+
+        out = ppr_sweep_cut(
+            edges,
+            args.sources,
+            top_t=args.top_k,
             num_partitions=args.num_partitions,
         )
     elif args.algorithm == "effdiam":
