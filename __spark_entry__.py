@@ -309,6 +309,19 @@ def _q_lpa_modularity(spark, sf):
     return modularity(edges, labels)
 
 
+def _q_community_conductance(spark, sf):
+    """Per-community conductance of the LPA labels — exact BIGINT
+    cut/volume ends over the symmetrized relation, one float division
+    per community row."""
+    from linkgraph.algorithms.stats import community_conductance
+
+    edges = document_edges(spark, sf)
+    labels, _ = label_propagation(
+        edges, max_supersteps=LPA_STEPS, vertices=document_vertices(spark, sf)
+    )
+    return community_conductance(edges, labels)
+
+
 def _q_triangles(spark, sf):
     edges = document_edges(spark, sf)
     return triangle_counts(edges, vertices=document_vertices(spark, sf))
@@ -2300,6 +2313,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "strongly_connected_components": _q_scc,
         "label_propagation": _q_lpa,
         "lpa_modularity": _q_lpa_modularity,
+        "community_conductance": _q_community_conductance,
         "triangles_per_vertex": _q_triangles,
         "triangle_total": _q_triangle_total,
         "clustering_coefficient": _q_clustering,
@@ -3806,6 +3820,33 @@ def oracle_sql() -> dict[str, str]:
         ),
         "label_propagation": _lpa_sql(LPA_STEPS),
         "seeded_label_propagation": _seeded_lpa_sql(SLPA_STEPS),
+        "community_conductance": (
+            "WITH "
+            + EDGES_CTES.strip()
+            + ", "
+            + SYM_CTE.strip()
+            + ","
+            " lab AS (SELECT id, label AS _lbl FROM ("
+            + _lpa_sql(LPA_STEPS)
+            + ") lpa_out),"
+            " tm AS (SELECT COUNT(*)::BIGINT AS two_m FROM sym),"
+            " ends AS (SELECT lu._lbl AS community,"
+            "  COUNT(*)::BIGINT AS volume,"
+            "  CAST(SUM(CASE WHEN lu._lbl <> lv._lbl THEN 1 ELSE 0 END)"
+            "   AS BIGINT) AS cut"
+            "  FROM sym e JOIN lab lu ON lu.id = e.src"
+            "  JOIN lab lv ON lv.id = e.dst GROUP BY lu._lbl),"
+            " mem AS (SELECT _lbl AS community, COUNT(*)::BIGINT AS n_members"
+            "  FROM lab GROUP BY _lbl)"
+            " SELECT m.community, m.n_members,"
+            "  CAST(COALESCE(e.volume, 0) AS BIGINT) AS volume,"
+            "  CAST(COALESCE(e.cut, 0) AS BIGINT) AS cut,"
+            "  CASE WHEN LEAST(COALESCE(e.volume, 0),"
+            "    tm.two_m - COALESCE(e.volume, 0)) = 0 THEN NULL"
+            "   ELSE ROUND(CAST(e.cut AS DOUBLE) / CAST(LEAST(e.volume,"
+            "    tm.two_m - e.volume) AS DOUBLE), 6) END AS conductance"
+            " FROM mem m LEFT JOIN ends e ON e.community = m.community, tm"
+        ),
         "lpa_modularity": (
             # modularity of the unrolled-LPA labels: exact BIGINT
             # moments + the same fixed float expression as

@@ -33,6 +33,7 @@ from .salsa import salsa_scores
 from .sampling import graph_sample
 from .stats import (
     avg_neighbor_degree,
+    community_conductance,
     graph_summary,
     modularity,
     rich_club_profile,
@@ -43,6 +44,7 @@ from .cliques import local_maximal_cliques, maximum_cliques
 __all__ = [
     "graph_sample",
     "avg_neighbor_degree",
+    "community_conductance",
     "graph_summary",
     "modularity",
     "rich_club_profile",

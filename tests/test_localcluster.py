@@ -37,3 +37,34 @@ class TestSweepCut:
         for r in rows:
             assert r["cut"] >= 0
             assert r["volume"] >= r["cut"]
+
+
+class TestCommunityConductance:
+    def test_two_cliques_bridge(self, spark):
+        from pyspark.sql import functions as F
+
+        from linkgraph.algorithms.stats import community_conductance
+
+        a = [(i, j) for i in range(5) for j in range(i + 1, 5)]
+        b = [(i, j) for i in range(5, 10) for j in range(i + 1, 10)]
+        e = spark.createDataFrame(a + b + [(0, 5)], "src long, dst long")
+        labels = spark.createDataFrame(
+            [(i, i // 5) for i in range(10)], "id long, label long"
+        )
+        out = {r["community"]: r for r in community_conductance(e, labels).collect()}
+        # each clique: volume 21 (20 internal ends + 1 bridge end), cut 1
+        for c in (0, 1):
+            assert out[c]["n_members"] == 5
+            assert out[c]["volume"] == 21
+            assert out[c]["cut"] == 1
+            assert abs(out[c]["conductance"] - 1 / 21) < 1e-6
+
+    def test_whole_graph_community_is_null(self, spark):
+        from linkgraph.algorithms.stats import community_conductance
+
+        e = spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long")
+        labels = spark.createDataFrame(
+            [(0, 9), (1, 9), (2, 9)], "id long, label long"
+        )
+        rows = community_conductance(e, labels).collect()
+        assert len(rows) == 1 and rows[0]["conductance"] is None
