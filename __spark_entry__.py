@@ -62,6 +62,7 @@ LINKPRED_MIN_COMMON = 3  # link prediction: >=3 shared neighbors
 # stays a full hash match with the cap active
 LINKPRED_MAX_CENTER_DEG = 10_000
 KATZ_UPDATES = 6  # truncated Katz series depth (oracle-unrolled)
+EIG_UPDATES = 6  # eigenvector power-iteration depth (exact BIGINT walk counts)
 KATZ_ALPHA = 0.05  # attenuation; conservative vs 1/lambda_max here
 PPR_UPDATES = 6
 PPR_SOURCES = [0, 7]  # teleport seed set for personalized PageRank
@@ -645,6 +646,21 @@ def _q_katz(spark, sf):
         vertices=document_vertices(spark, sf),
     )
     return out.select("id", F.round("katz", 6).alias("katz"))
+
+
+def _q_eigenvector(spark, sf):
+    """Eigenvector centrality as EIG_UPDATES exact-integer power steps
+    (walks(v) = # length-k walks ending at v, BIGINT end to end), then
+    one max-normalizing division rounded to 6dp. The oracle unrolls the
+    identical BIGINT recurrence, so the gate is bit-exact up to the one
+    shared final ROUND."""
+    from linkgraph import eigenvector_centrality
+
+    edges = document_edges(spark, sf)
+    out, _ = eigenvector_centrality(
+        edges, updates=EIG_UPDATES, vertices=document_vertices(spark, sf)
+    )
+    return out.select("id", "walks", "eig")
 
 
 def _q_betweenness(spark, sf):
@@ -2336,6 +2352,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "closeness_centrality": _q_closeness,
         "betweenness_centrality": _q_betweenness,
         "katz_centrality": _q_katz,
+        "eigenvector_centrality": _q_eigenvector,
         "core_decomposition": _q_coreness,
         "reachability": _q_reachability,
         "exact_dedup": _q_exact_dedup,
@@ -2475,6 +2492,33 @@ def _katz_sql(updates: int) -> str:
     return (
         "WITH " + ",\n".join(ctes)
         + f"\nSELECT id, ROUND(katz, 6) AS katz FROM k{updates}"
+    )
+
+
+def _eig_sql(updates: int) -> str:
+    """Unrolled exact-integer walk recurrence mirroring
+    eigenvector_centrality: w0 = 1, w_i(v) = SUM over in-edges of
+    w_{i-1}(src), all BIGINT; final eig = walks / max(walks) (NULL when
+    max = 0), rounded 6dp — the only float op on either side."""
+    ctes = [
+        EDGES_CTES.strip(),
+        "e0 AS (SELECT doc_id AS id, CAST(1 AS BIGINT) AS walks FROM documents)",
+    ]
+    for i in range(1, updates + 1):
+        ctes.append(
+            f"e{i} AS MATERIALIZED ("
+            f" SELECT v.id, COALESCE(s.msum, CAST(0 AS BIGINT)) AS walks"
+            f" FROM e{i-1} v LEFT JOIN ("
+            f"   SELECT e.dst AS id, CAST(SUM(p.walks) AS BIGINT) AS msum"
+            f"   FROM edges e JOIN e{i-1} p ON e.src = p.id"
+            f"   GROUP BY e.dst) s ON v.id = s.id)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f", mx AS (SELECT MAX(walks) AS mx FROM e{updates})"
+        + f"\nSELECT id, walks, CASE WHEN mx = 0 THEN NULL"
+        + " ELSE ROUND(CAST(walks AS DOUBLE) / CAST(mx AS DOUBLE), 6) END AS eig"
+        + f" FROM e{updates} CROSS JOIN mx"
     )
 
 
@@ -3787,6 +3831,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "pagerank": _pagerank_sql(PR_UPDATES),
         "katz_centrality": _katz_sql(KATZ_UPDATES),
+        "eigenvector_centrality": _eig_sql(EIG_UPDATES),
         "connected_components": (
             "WITH RECURSIVE "
             + EDGES_CTES.strip()

@@ -1,4 +1,4 @@
-from .katz import katz_centrality
+from .katz import eigenvector_centrality, katz_centrality
 from .pagerank import pagerank
 from .cc import connected_components, connected_components_hashmin
 from .lpa import label_propagation
@@ -65,6 +65,7 @@ __all__ = [
     "random_walks",
     "local_maximal_cliques",
     "maximum_cliques",
+    "eigenvector_centrality",
     "katz_centrality",
     "pagerank",
     "connected_components",

@@ -33,6 +33,88 @@ from ..partitioning import build_adjacency
 from ..superstep import LoopResult, StepResult, iterate, iteration_conf
 
 
+def eigenvector_centrality(
+    edges: DataFrame,
+    updates: int = 6,
+    vertices: DataFrame | None = None,
+    num_partitions: int | None = None,
+    chunk_size: int = 4096,
+    ckpt: CheckpointManager | None = None,
+    resume: bool = True,
+) -> tuple[DataFrame, LoopResult]:
+    """Truncated power-iteration eigenvector centrality — the last
+    member of the centrality family (PageRank normalizes by out-degree,
+    Katz attenuates and adds a base; eigenvector is the bare
+    ``x <- A^T x`` power step, max-normalized at the end).
+
+    EXACT INTEGER formulation: with x_0 = 1, every update keeps
+    x_k(v) = number of length-k walks ENDING at v — a BIGINT the whole
+    way (normalization commutes with the linear map, so one final
+    ``x / max(x)`` equals per-step normalization exactly). That makes
+    the loop bit-exact across engines and partitionings with no float
+    summation order anywhere; the only float op is the single final
+    division, rounded to 6dp. Overflow bound: walk counts grow as
+    lambda_max^k, so BIGINT caps updates at ~63/log2(lambda_max)
+    (~18 updates at lambda ~ 10) — raise to DOUBLE beyond that, where
+    the estimate no longer needs exactness.
+
+    Execution shape: identical to :func:`katz_centrality` (and audited
+    with pagerank.py) — cached salted CSR adjacency, one SQL execution
+    per superstep: scatter join + explode, partial/final SUM combine
+    on dst, left-outer update join.
+
+    Returns (DF(id, walks BIGINT, eig DOUBLE), LoopResult); ``eig`` is
+    NULL when the graph has no walks of the final length (max = 0).
+    """
+    p = choose_partitions(edges, lambda: edges.count(), num_partitions)
+    if vertices is None:
+        vertices = vertices_from_edges(edges)
+    verts = vertices.select("id").repartition(p, "id")
+
+    with iteration_conf(edges.sparkSession, p):
+        adj = build_adjacency(edges, num_partitions=p, chunk_size=chunk_size).persist()
+        adj.count()
+
+    init = verts.withColumn("walks", F.lit(1).cast("long"))
+
+    def superstep(state: DataFrame, k: int) -> StepResult:
+        msgs = (
+            adj.join(state, F.expr("src = id"))
+            .selectExpr("explode(dsts) AS id", "walks AS w")
+            .groupBy("id")
+            .agg(F.expr("CAST(SUM(w) AS BIGINT) AS msum"))
+        )
+        new = state.join(msgs, "id", "left_outer").selectExpr(
+            "id",
+            "COALESCE(msum, CAST(0 AS BIGINT)) AS walks",
+            "CAST(msum IS NOT NULL AS BIGINT) AS _msgs",
+        )
+        return StepResult(state=new, messages=msgs)
+
+    result = iterate(
+        init,
+        superstep,
+        converged=lambda stats: False,
+        max_supersteps=updates,
+        ckpt=ckpt,
+        resume=resume,
+        track_messages=False,
+        num_partitions=p,
+    )
+    mx = result.state.agg(F.max("walks").alias("_mx"))
+    out = result.state.select("id", "walks").crossJoin(F.broadcast(mx)).select(
+        "id",
+        "walks",
+        F.when(F.col("_mx") == 0, F.lit(None).cast("double"))
+        .otherwise(
+            F.round(F.col("walks").cast("double") / F.col("_mx").cast("double"), 6)
+        )
+        .alias("eig"),
+    )
+    adj.unpersist()
+    return out, result
+
+
 def katz_centrality(
     edges: DataFrame,
     alpha: float = 0.05,

@@ -55,7 +55,7 @@ def _build_parser() -> argparse.ArgumentParser:
             "summary", "coreness", "betweenness", "harmonic",
             "closeness", "knn-degree", "rich-club",
             "canonical", "skipgram", "sgns",
-            "louvain", "katz", "effdiam", "dupgrams", "sweep",
+            "louvain", "katz", "eigenvector", "effdiam", "dupgrams", "sweep",
         ],
     )
     src = p.add_argument_group("input (exactly one)")
@@ -547,6 +547,14 @@ def main(argv: list[str] | None = None) -> None:
             tol=args.tol,
             max_supersteps=args.max_supersteps,
             fixed_updates=args.fixed_updates,
+            **common,
+        )
+    elif args.algorithm == "eigenvector":
+        from linkgraph.algorithms.katz import eigenvector_centrality
+
+        out, res = eigenvector_centrality(
+            edges,
+            updates=args.fixed_updates or 6,
             **common,
         )
     elif args.algorithm == "louvain":
