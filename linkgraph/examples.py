@@ -136,7 +136,9 @@ def pagerank_struct_demo(
 def early_termination_demo(
     spark, num_vertices: int = 20, num_partitions: int = 4
 ) -> DataFrame:
-    """``terminatePartition()`` fixture parity — DF(id, value).
+    """``terminatePartition()`` fixture parity — DF(id, value) — written
+    against the PUBLIC ``VertexProgram`` API only (the general
+    ``terminate_partition_expr`` channel, vertex_program.py).
 
     Reference (EarlyTerminationVertex.java:42-60, golden
     expected/EarlyTermination over the 20-vertex webmap): superstep 1,
@@ -144,41 +146,37 @@ def early_termination_demo(
     partition freezes BEFORE the value update, so they keep value 0 —
     while everyone else sets value 1; superstep 2, id%4==3 freezes (at
     value 1) and the rest set value 2 and halt. The fixture's hash
-    partitioner is id % numPartitions (VLongWritable hash), so the
-    frozen "partition" is exactly the id%4 residue class; the Spark
-    rendition models partition termination as a frozen flag carried in
-    the vertex state and applied before the update expression.
+    partitioner is id % numPartitions (VLongWritable hash), expressed
+    here through the pluggable ``partition_expr``; messages play no
+    role in the fixture, so the program sends a constant the update
+    ignores.
     """
-    init = (
-        spark.range(num_vertices)
-        .select(
-            F.col("id"),
-            F.lit(0).alias("value"),
-            F.lit(False).alias("frozen"),
-        )
-        .repartition(num_partitions, "id")
+    from .vertex_program import VertexProgram, run_vertex_program
+
+    verts = spark.range(num_vertices).select("id")
+    ring = verts.select(
+        F.col("id").alias("src"),
+        ((F.col("id") + 1) % num_vertices).alias("dst"),
     )
-
-    def superstep(state: DataFrame, k: int) -> StepResult:
-        residue = 2 if k == 1 else 3
-        term = F.pmod(F.col("id"), F.lit(num_partitions)) == residue
-        frozen = F.col("frozen") | term
-        new = state.select(
-            "id",
-            F.when(frozen, F.col("value")).otherwise(F.lit(k)).alias("value"),
-            frozen.alias("frozen"),
-        )
-        return StepResult(state=new)
-
-    res = iterate(
-        init,
-        superstep,
-        converged=lambda s: False,
-        max_supersteps=2,
+    prog = VertexProgram(
+        init_expr=F.lit(0),
+        message_expr=F.lit(0),
+        combine_agg=F.sum(F.col("msg")),
+        update_expr=F.col("superstep"),
+        terminate_partition_expr=(
+            ((F.col("superstep") == 1) & (F.pmod(F.col("id"), F.lit(num_partitions)) == 2))
+            | ((F.col("superstep") == 2) & (F.pmod(F.col("id"), F.lit(num_partitions)) == 3))
+        ),
+        partition_expr=F.pmod(F.col("id"), F.lit(num_partitions)),
+    )
+    out, _ = run_vertex_program(
+        ring,
+        prog,
+        vertices=verts,
         num_partitions=num_partitions,
-        track_messages=False,
+        max_supersteps=2,
     )
-    return res.state.select("id", "value")
+    return out.select("id", "value")
 
 
 def message_overflow_demo(

@@ -136,6 +136,30 @@ class VertexProgram:
     # reserve these for programs that actually mutate.
     mutate_add_expr: Column | None = None
     mutate_delete_expr: Column | None = None
+    # Declarative ``terminatePartition()`` — the reference lets a vertex
+    # kernel terminate its WHOLE partition mid-run (Vertex.java
+    # terminatePartition / VertexPartitioner; exercised by
+    # EarlyTerminationVertex.java:42-60): every vertex in the partition
+    # freezes at its current value and is skipped for the rest of the
+    # run. The imperative original stops partition processing at the
+    # point of the call (order-dependent inside the partition); the
+    # deterministic Spark rendition evaluates the predicate over every
+    # pre-update row of the superstep — columns id, value (old), msg
+    # (combined, NULL if none), superstep, attrs — and freezes each
+    # fired partition BEFORE this superstep's update applies, exactly
+    # the fixture's observable semantics (the firing partition keeps
+    # its pre-superstep values). Frozen vertices never scatter, never
+    # update, never count as changed; messages addressed to them drop.
+    #
+    # ``partition_expr`` names the partition a vertex belongs to; None
+    # means the engine's own vertex partition, pmod(hash(id), p) — the
+    # same murmur3 HashPartitioning ``repartition(p, "id")`` uses. Pass
+    # an expression (e.g. ``pmod(id, 4)``) to model the reference's
+    # pluggable VertexPartitioner, as its goldens' VLongWritable
+    # id%partitions layout does. The fired-partition set is a <=p-row
+    # broadcast — no extra shuffle.
+    terminate_partition_expr: Column | None = None
+    partition_expr: Column | None = None
     # plan="auto": the runtime OUTER->INNER switch (the reference's
     # JobGen.switchPlan, JobGen.java:1012-1020, driven by IDriver's plan
     # choice): supersteps scatter from EVERY vertex (outer) until the
@@ -198,7 +222,15 @@ def run_vertex_program(
         verts = verts.join(vertex_attrs, "id", "left_outer")
 
     tracks_active = program.plan in ("delta", "auto")
+    tracks_frozen = program.terminate_partition_expr is not None
+    part_expr = (
+        program.partition_expr
+        if program.partition_expr is not None
+        else F.pmod(F.hash(F.col("id")), F.lit(p))
+    )
     init = verts.select("id", *attr_cols, program.init_expr.alias("value"))
+    if tracks_frozen:
+        init = init.withColumn("_frozen", F.lit(False))
     if tracks_active:
         active0 = (
             program.initial_active_expr
@@ -248,16 +280,45 @@ def run_vertex_program(
             )
         else:
             senders = state
+        if tracks_frozen:
+            senders = senders.filter(~F.col("_frozen"))
         msgs = scatter(senders).groupBy("id").agg(program.combine_agg.alias("msg"))
 
         base = state.drop("active") if tracks_active else state
         joined = base.join(msgs, "id", "left_outer").withColumn(
             "superstep", F.lit(k)
         )
+        if tracks_frozen:
+            # partitions fired THIS superstep freeze before the update
+            # applies (EarlyTermination fixture semantics); the fired
+            # set is <= p rows, broadcast back onto the state
+            fired = (
+                joined.filter(
+                    (~F.col("_frozen")) & program.terminate_partition_expr
+                )
+                .select(part_expr.alias("_vp_term_part"))
+                .distinct()
+            )
+            joined = (
+                joined.join(
+                    F.broadcast(fired),
+                    part_expr == F.col("_vp_term_part"),
+                    "left_outer",
+                )
+                .withColumn(
+                    "_frozen",
+                    F.col("_frozen") | F.col("_vp_term_part").isNotNull(),
+                )
+                .drop("_vp_term_part")
+            )
         if program.update_kernel is not None:
             new_val = _kernel_column(joined, program.update_kernel, attr_cols)
         else:
             new_val = program.update_expr
+        if tracks_frozen:
+            # frozen vertices skip the update and can never report a
+            # change (voteToHalt is permanent for a terminated partition)
+            new_val = F.when(F.col("_frozen"), F.col("value")).otherwise(new_val)
         upd = joined.select(
             "id",
             *attr_cols,
@@ -265,12 +326,19 @@ def run_vertex_program(
             new_val.alias("_new"),
             F.col("superstep"),
             F.col("msg").isNotNull().cast("long").alias("_vp_got_msg"),
+            *([F.col("_frozen")] if tracks_frozen else []),
+        )
+        step_changed = (
+            F.when(F.col("_frozen"), F.lit(False)).otherwise(changed_expr)
+            if tracks_frozen
+            else changed_expr
         )
         out_cols = [
             F.col("id"),
             *[F.col(c) for c in attr_cols],
             F.col("_new").alias("value"),
-            changed_expr.alias("_vp_changed"),
+            step_changed.alias("_vp_changed"),
+            *([F.col("_frozen")] if tracks_frozen else []),
             # combined-message count rides the state observation (one
             # job per superstep; see superstep.py on why the message
             # frame itself must not carry a CollectMetrics node)
@@ -287,6 +355,9 @@ def run_vertex_program(
                 # live-set = changed ∪ messaged (the reference's set-union
                 # wake-up of halted-but-messaged vertices)
                 active_next = active_next | (F.col("_msgs") == 1)
+            if tracks_frozen:
+                # a message cannot wake a terminated partition
+                active_next = active_next & ~F.col("_frozen")
             new = new.withColumn("active", active_next)
         new = new.drop("_vp_changed")
         # mutation channels (insert/delete between supersteps — see the
@@ -311,6 +382,8 @@ def run_vertex_program(
                     proj.append(F.lit(True).alias("_changed"))
                 elif f.name == "_msgs":
                     proj.append(F.lit(0).cast(f.dataType).alias("_msgs"))
+                elif f.name == "_frozen":
+                    proj.append(F.lit(False).alias("_frozen"))
                 elif f.name == "_delta":
                     proj.append(F.lit(0.0).cast(f.dataType).alias("_delta"))
                 else:  # static vertex attrs: NULL for spawned vertices

@@ -10,6 +10,8 @@ import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
+from linkgraph.vertex_program import VertexProgram, run_vertex_program
+
 
 def _rows(df, *cols):
     return sorted(tuple(r[c] for c in cols) for r in df.collect())
@@ -311,3 +313,92 @@ class TestWakeOnMessage:
             token_circulation(
                 self._ring(spark), max_supersteps=2, track_messages=False
             )
+
+
+class TestTerminatePartition:
+    """The general terminate_partition_expr channel (the reference's
+    Vertex.terminatePartition + pluggable VertexPartitioner)."""
+
+
+    def test_frozen_partition_ignores_messages(self, spark):
+        # chain 0->1->2->3 propagating a max; partition_expr splits
+        # {0,1} / {2,3}. Partition of 2,3 terminates at superstep 1,
+        # so the flood never advances past vertex 1.
+        edges = spark.createDataFrame(
+            [(0, 1), (1, 2), (2, 3)], "src long, dst long"
+        )
+        prog = VertexProgram(
+            init_expr=F.when(F.col("id") == 0, F.lit(1)).otherwise(F.lit(0)),
+            message_expr=F.col("value"),
+            combine_agg=F.max(F.col("msg")),
+            update_expr=F.greatest(
+                F.col("value"), F.coalesce(F.col("msg"), F.lit(0))
+            ),
+            terminate_partition_expr=(
+                (F.col("superstep") == 1) & (F.col("id") == 3)
+            ),
+            partition_expr=(F.col("id") >= 2).cast("int"),
+        )
+        out, res = run_vertex_program(edges, prog, max_supersteps=10)
+        vals = {r["id"]: r["value"] for r in out.collect()}
+        # vertex 1 gets the flood (superstep 1 happens before freezing
+        # applies only to the fired partition's update of that step:
+        # partition {2,3} freezes BEFORE its superstep-1 update)
+        assert vals == {0: 1, 1: 1, 2: 0, 3: 0}
+        assert res.converged
+
+    def test_delta_plan_wake_cannot_revive_frozen(self, spark):
+        edges = spark.createDataFrame(
+            [(0, 1), (1, 2), (2, 3)], "src long, dst long"
+        )
+        prog = VertexProgram(
+            init_expr=F.when(F.col("id") == 0, F.lit(1)).otherwise(F.lit(0)),
+            message_expr=F.col("value"),
+            combine_agg=F.max(F.col("msg")),
+            update_expr=F.greatest(
+                F.col("value"), F.coalesce(F.col("msg"), F.lit(0))
+            ),
+            plan="delta",
+            initial_active_expr=F.col("value") > 0,
+            wake_on_message=True,
+            terminate_partition_expr=(
+                (F.col("superstep") == 1) & (F.col("id") == 2)
+            ),
+            partition_expr=(F.col("id") >= 2).cast("int"),
+        )
+        out, _ = run_vertex_program(edges, prog, max_supersteps=10)
+        vals = {r["id"]: r["value"] for r in out.collect()}
+        assert vals == {0: 1, 1: 1, 2: 0, 3: 0}
+
+    def test_default_partition_is_engine_hash(self, spark):
+        # default partition_expr = pmod(hash(id), p): firing one vertex
+        # freezes exactly the ids sharing its engine partition
+        from pyspark.sql import functions as SF
+
+        n, p = 12, 3
+        edges = spark.createDataFrame(
+            [(i, (i + 1) % n) for i in range(n)], "src long, dst long"
+        )
+        prog = VertexProgram(
+            init_expr=F.lit(0),
+            message_expr=F.lit(0),
+            combine_agg=F.sum(F.col("msg")),
+            update_expr=F.col("superstep"),
+            terminate_partition_expr=(
+                (F.col("superstep") == 1) & (F.col("id") == 0)
+            ),
+        )
+        out, _ = run_vertex_program(
+            edges, prog, num_partitions=p, max_supersteps=2
+        )
+        part0 = {
+            r["id"]
+            for r in spark.range(n)
+            .select("id", SF.pmod(SF.hash("id"), SF.lit(p)).alias("pt"))
+            .collect()
+            if r["pt"]
+            == spark.range(1).select(SF.pmod(SF.hash(SF.lit(0).cast("long")), SF.lit(p))).first()[0]
+        }
+        vals = {r["id"]: r["value"] for r in out.collect()}
+        for i in range(n):
+            assert vals[i] == (0 if i in part0 else 2)
