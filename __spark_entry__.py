@@ -663,6 +663,25 @@ def _q_eigenvector(spark, sf):
     return out.select("id", "walks", "eig")
 
 
+def _q_knn_accuracy(spark, sf):
+    """Brute-force cosine kNN majority-vote label eval on the
+    embeddings table (the intrinsic embedding-quality check); vote and
+    tie-breaks are total orders so the oracle matches exactly."""
+    from linkgraph.pipeline import knn_label_accuracy
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    return knn_label_accuracy(emb, k=TOPK, n_queries=N_QUERY_VECS)
+
+
+def _q_triad_census(spark, sf):
+    """Closed-triad census over the directed doc graph: the triangle
+    join of §4.4 carrying per-pair direction codes, classified by the
+    TRIAD_CASE_SQL expression the oracle evaluates verbatim."""
+    from linkgraph.algorithms.motifs import closed_triad_census
+
+    return closed_triad_census(document_edges(spark, sf))
+
+
 def _q_betweenness(spark, sf):
     """Source-sampled Brandes betweenness from BETW_SOURCES: forward
     shortest-path-DAG supersteps + integer micro-unit dependency
@@ -2353,6 +2372,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "betweenness_centrality": _q_betweenness,
         "katz_centrality": _q_katz,
         "eigenvector_centrality": _q_eigenvector,
+        "closed_triad_census": _q_triad_census,
+        "knn_label_accuracy": _q_knn_accuracy,
         "core_decomposition": _q_coreness,
         "reachability": _q_reachability,
         "exact_dedup": _q_exact_dedup,
@@ -2519,6 +2540,30 @@ def _eig_sql(updates: int) -> str:
         + f"\nSELECT id, walks, CASE WHEN mx = 0 THEN NULL"
         + " ELSE ROUND(CAST(walks AS DOUBLE) / CAST(mx AS DOUBLE), 6) END AS eig"
         + f" FROM e{updates} CROSS JOIN mx"
+    )
+
+
+def _triad_census_sql() -> str:
+    """Pair-code + triangle-join census; the classification CASE is the
+    SAME string the engine evaluates (motifs.TRIAD_CASE_SQL)."""
+    from linkgraph.algorithms.motifs import CLOSED_TRIAD_TYPES, TRIAD_CASE_SQL
+
+    values = ",".join(f"('{t}')" for t in CLOSED_TRIAD_TYPES)
+    return (
+        "WITH " + EDGES_CTES.strip() + ",\n"
+        "d AS (SELECT DISTINCT src, dst FROM edges WHERE src <> dst),\n"
+        "pairs AS (SELECT LEAST(src, dst) AS x, GREATEST(src, dst) AS y,"
+        " SUM(DISTINCT CASE WHEN src < dst THEN 1 ELSE 2 END) AS code"
+        " FROM d GROUP BY 1, 2),\n"
+        "tri AS (SELECT ab.c_ab, bc.c_bc, ac.c_ac"
+        " FROM (SELECT x AS a, y AS b, code AS c_ab FROM pairs) ab"
+        " JOIN (SELECT x AS b, y AS c, code AS c_bc FROM pairs) bc USING (b)"
+        " JOIN (SELECT x AS a, y AS c, code AS c_ac FROM pairs) ac USING (a, c)),\n"
+        f"cnt AS (SELECT ({TRIAD_CASE_SQL}) AS triad_type,"
+        " CAST(COUNT(*) AS BIGINT) AS n FROM tri GROUP BY 1)\n"
+        f"SELECT t.triad_type, CAST(COALESCE(cnt.n, 0) AS BIGINT) AS n"
+        f" FROM (VALUES {values}) AS t(triad_type)"
+        " LEFT JOIN cnt ON t.triad_type = cnt.triad_type"
     )
 
 
@@ -3832,6 +3877,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank": _pagerank_sql(PR_UPDATES),
         "katz_centrality": _katz_sql(KATZ_UPDATES),
         "eigenvector_centrality": _eig_sql(EIG_UPDATES),
+        "closed_triad_census": _triad_census_sql(),
         "connected_components": (
             "WITH RECURSIVE "
             + EDGES_CTES.strip()
@@ -4137,6 +4183,27 @@ def oracle_sql() -> dict[str, str]:
             " SELECT qid, vec_id, sim FROM ("
             "   SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rn"
             f"   FROM scored) WHERE rn <= {TOPK}"
+        ),
+        "knn_label_accuracy": (
+            f"WITH q AS (SELECT vec_id AS qid, embedding AS q_emb FROM embeddings WHERE vec_id < {N_QUERY_VECS}),"
+            " pairs AS (SELECT q.qid, c.vec_id,"
+            "   list_sum(list_transform(generate_series(1, len(q.q_emb)),"
+            "     i -> q.q_emb[i]::DOUBLE * c.embedding[i]::DOUBLE)) AS dp,"
+            "   sqrt(list_sum(list_transform(q.q_emb, x -> x::DOUBLE * x::DOUBLE))) AS nq,"
+            "   sqrt(list_sum(list_transform(c.embedding, x -> x::DOUBLE * x::DOUBLE))) AS nc"
+            "  FROM q, embeddings c WHERE c.vec_id != q.qid),"
+            " scored AS (SELECT qid, vec_id, ROUND(dp / (nq * nc), 4) AS sim FROM pairs),"
+            " topk AS (SELECT qid, vec_id FROM ("
+            "   SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rn"
+            f"   FROM scored) WHERE rn <= {TOPK}),"
+            " votes AS (SELECT t.qid, e.label AS lab, COUNT(*) AS c"
+            "   FROM topk t JOIN embeddings e ON t.vec_id = e.vec_id GROUP BY 1, 2),"
+            " pred AS (SELECT qid, lab AS pred_label FROM ("
+            "   SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY c DESC, lab ASC) AS rn"
+            "   FROM votes) WHERE rn = 1)"
+            " SELECT p.qid, p.pred_label, e.label AS true_label,"
+            "   CAST(p.pred_label = e.label AS INT) AS correct"
+            " FROM pred p JOIN embeddings e ON p.qid = e.vec_id"
         ),
         "customer_orders_by_nation": (
             "SELECT n.n_name AS nation, COUNT(*) AS n_orders,"

@@ -36,6 +36,7 @@ from .sessions import sessionize_events
 from .sketches import cms_probe_counts, cms_sketch, kmv_distinct_tokens
 from .similarity import (
     cosine_topk,
+    knn_label_accuracy,
     embedding_neardup_pairs,
     ivf_cosine_topk,
     lsh_cosine_topk,
@@ -76,6 +77,7 @@ __all__ = [
     "pack_sequences",
     "token_cooccurrence",
     "cosine_topk",
+    "knn_label_accuracy",
     "lsh_cosine_topk",
     "ivf_cosine_topk",
     "embedding_neardup_pairs",

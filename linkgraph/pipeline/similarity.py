@@ -71,6 +71,53 @@ def cosine_topk(
     return sims.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k).drop("rn")
 
 
+def knn_label_accuracy(
+    embeddings: DataFrame,
+    k: int = 10,
+    n_queries: int = 64,
+    round_to: int = 4,
+) -> DataFrame:
+    """(qid, pred_label, true_label, correct) — k-nearest-neighbor
+    majority-vote label evaluation over the embeddings table, the
+    standard intrinsic check that an embedding space separates its
+    labels (and that an ANN index preserves enough neighborhood
+    structure to classify with).
+
+    Neighbors come from :func:`cosine_topk` (exact brute force, self
+    excluded, deterministic (sim DESC, vec_id ASC) tie-break); the
+    prediction is the most frequent neighbor label, ties broken by the
+    smallest label — both total orders, so the whole evaluation is
+    reproducible across engines and partitionings. Queries are the
+    ``n_queries`` smallest vec_ids (deterministic slice, broadcast
+    side of the brute-force join; swap in an LSH/IVF candidate set for
+    the at-scale variant — the vote is identical).
+    """
+    queries = embeddings.filter(F.col("vec_id") < n_queries)
+    topk = cosine_topk(embeddings, queries=queries, k=k, round_to=round_to)
+    votes = (
+        topk.join(
+            embeddings.select("vec_id", F.col("label").alias("lab")), "vec_id"
+        )
+        .groupBy("qid", "lab")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("c").desc(), F.col("lab").asc())
+    pred = (
+        votes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("qid", F.col("lab").alias("pred_label"))
+    )
+    truth = embeddings.select(
+        F.col("vec_id").alias("qid"), F.col("label").alias("true_label")
+    )
+    return pred.join(truth, "qid").select(
+        "qid",
+        "pred_label",
+        "true_label",
+        (F.col("pred_label") == F.col("true_label")).cast("int").alias("correct"),
+    )
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int) -> np.ndarray:
     """(dim, n_planes) hyperplane components, uniform in [-1, 1) from
     md5 draws (linkgraph.phash) rather than a numpy RNG: any symmetric

@@ -99,6 +99,15 @@ def main() -> None:
     steps = [h.wall_sec for h in res.history]
     steady = sorted(steps[warmup:]) if len(steps) > warmup else sorted(steps)
     steady_median = steady[len(steady) // 2]
+    # noise-robust companions (BENCH/noise_audit_2026-08-20.json): the
+    # sandbox host intermittently stalls individual supersteps 2-6x
+    # (zero guest-visible steal, memory/disk probes clean, reproduced
+    # across GC/storage configs and code versions). The per-step MIN /
+    # P25 isolate the systematic dataflow cost from those one-off
+    # stalls; both ride next to the median so a reader can judge the
+    # spread, and the raw trace stays authoritative.
+    steady_min = steady[0]
+    steady_p25 = steady[max(0, (len(steady) - 1) // 4)]
     print(
         json.dumps(
             {
@@ -116,8 +125,11 @@ def main() -> None:
                 "per_step_sec": [round(s, 2) for s in steps],
                 "median_step_sec": round(sorted(steps)[len(steps) // 2], 2),
                 "steady_median_step_sec": round(steady_median, 3),
+                "steady_min_step_sec": round(steady_min, 3),
+                "steady_p25_step_sec": round(steady_p25, 3),
                 "edges_per_sec_per_superstep": round(n_edges * updates / loop_sec, 1),
                 "steady_edges_per_sec_per_superstep": round(n_edges / steady_median, 1),
+                "p25_edges_per_sec_per_superstep": round(n_edges / steady_p25, 1),
                 "rank_sum": chk,
             }
         )

@@ -68,6 +68,17 @@ def efficiency(lo: dict, hi: dict) -> float:
     return round((steady_step(lo) / steady_step(hi)) / (hi["cores"] / lo["cores"]), 3)
 
 
+def p25_efficiency(lo: dict, hi: dict) -> float | None:
+    """Noise-robust companion (see _scaling_run.py + the 2026-08-20
+    noise audit): efficiency over per-step P25 instead of the median,
+    insulating the pair against intermittent host stalls that hit a
+    minority of supersteps. None for records predating the metric."""
+    a, b = lo.get("steady_p25_step_sec"), hi.get("steady_p25_step_sec")
+    if not a or not b:
+        return None
+    return round((a / b) / (hi["cores"] / lo["cores"]), 3)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument(
@@ -125,6 +136,7 @@ def main() -> None:
                         hi["edges_per_sec_per_superstep"],
                     ),
                     "efficiency": efficiency(lo, hi),
+                    "p25_efficiency": p25_efficiency(lo, hi),
                     "rank_sum_match": lo["rank_sum"] == hi["rank_sum"],
                 },
             }
