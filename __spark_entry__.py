@@ -663,6 +663,17 @@ def _q_eigenvector(spark, sf):
     return out.select("id", "walks", "eig")
 
 
+def _q_triad_census_full(spark, sf):
+    """Full 16-type triad census (Batagelj-Mrvar complementary
+    counting): closed types from the triangle join, open types from
+    exact integer dyad/wedge moments, 003 by subtraction."""
+    from linkgraph.algorithms.motifs import triad_census
+
+    return triad_census(
+        document_edges(spark, sf), vertices=document_vertices(spark, sf)
+    )
+
+
 def _q_knn_accuracy(spark, sf):
     """Brute-force cosine kNN majority-vote label eval on the
     embeddings table (the intrinsic embedding-quality check); vote and
@@ -2373,6 +2384,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "katz_centrality": _q_katz,
         "eigenvector_centrality": _q_eigenvector,
         "closed_triad_census": _q_triad_census,
+        "triad_census_full": _q_triad_census_full,
         "knn_label_accuracy": _q_knn_accuracy,
         "core_decomposition": _q_coreness,
         "reachability": _q_reachability,
@@ -2564,6 +2576,74 @@ def _triad_census_sql() -> str:
         f"SELECT t.triad_type, CAST(COALESCE(cnt.n, 0) AS BIGINT) AS n"
         f" FROM (VALUES {values}) AS t(triad_type)"
         " LEFT JOIN cnt ON t.triad_type = cnt.triad_type"
+    )
+
+
+def _triad_full_sql() -> str:
+    """Complementary-counting census mirroring motifs.triad_census;
+    the closed-type CASE is the shared TRIAD_CASE_SQL string and every
+    formula is the same integer arithmetic (DuckDB's // = Spark's div
+    on the exactly-divisible products used here)."""
+    from linkgraph.algorithms.motifs import ALL_TRIAD_TYPES, TRIAD_CASE_SQL
+
+    closed = ["030C", "030T", "120C", "120D", "120U", "210", "300"]
+    cl_cols = ", ".join(
+        f"COALESCE(SUM(CASE WHEN t = '{t}' THEN 1 ELSE 0 END), 0) AS c{t}"
+        for t in closed
+    )
+    union = " UNION ALL ".join(
+        f"SELECT '{t}' AS triad_type, n{t} AS n FROM c3" for t in ALL_TRIAD_TYPES
+    )
+    return (
+        "WITH " + EDGES_CTES.strip() + ",\n"
+        "d AS (SELECT DISTINCT src, dst FROM edges WHERE src <> dst),\n"
+        "pairs AS (SELECT LEAST(src, dst) AS x, GREATEST(src, dst) AS y,"
+        " SUM(DISTINCT CASE WHEN src < dst THEN 1 ELSE 2 END) AS code"
+        " FROM d GROUP BY 1, 2),\n"
+        "nrow AS (SELECT COUNT(*) AS n FROM documents),\n"
+        "dy AS (SELECT COALESCE(SUM(CASE WHEN code = 3 THEN 1 ELSE 0 END), 0) AS M,"
+        " COALESCE(SUM(CASE WHEN code <> 3 THEN 1 ELSE 0 END), 0) AS A FROM pairs),\n"
+        "roles AS (SELECT x AS v, CASE WHEN code = 3 THEN 1 ELSE 0 END AS m,"
+        " CASE WHEN code = 1 THEN 1 ELSE 0 END AS ao,"
+        " CASE WHEN code = 2 THEN 1 ELSE 0 END AS ai FROM pairs"
+        " UNION ALL SELECT y, CASE WHEN code = 3 THEN 1 ELSE 0 END,"
+        " CASE WHEN code = 2 THEN 1 ELSE 0 END,"
+        " CASE WHEN code = 1 THEN 1 ELSE 0 END FROM pairs),\n"
+        "perv AS (SELECT v, SUM(m) AS m, SUM(ao) AS ao, SUM(ai) AS ai"
+        " FROM roles GROUP BY v),\n"
+        "w AS (SELECT COALESCE(SUM(m * (m - 1) // 2), 0) AS W201,"
+        " COALESCE(SUM(ao * (ao - 1) // 2), 0) AS W021D,"
+        " COALESCE(SUM(ai * (ai - 1) // 2), 0) AS W021U,"
+        " COALESCE(SUM(ao * ai), 0) AS W021C,"
+        " COALESCE(SUM(m * ai), 0) AS W111D,"
+        " COALESCE(SUM(m * ao), 0) AS W111U FROM perv),\n"
+        "tri AS (SELECT ab.c_ab, bc.c_bc, ac.c_ac"
+        " FROM (SELECT x AS a, y AS b, code AS c_ab FROM pairs) ab"
+        " JOIN (SELECT x AS b, y AS c, code AS c_bc FROM pairs) bc USING (b)"
+        " JOIN (SELECT x AS a, y AS c, code AS c_ac FROM pairs) ac USING (a, c)),\n"
+        f"cl AS (SELECT {cl_cols} FROM"
+        f" (SELECT ({TRIAD_CASE_SQL}) AS t FROM tri)),\n"
+        "s AS (SELECT * FROM nrow, dy, w, cl),\n"
+        "c1 AS (SELECT n, M, A,"
+        " c030C AS n030C, c030T AS n030T, c120C AS n120C, c120D AS n120D,"
+        " c120U AS n120U, c210 AS n210, c300 AS n300,"
+        " W201 - 3 * c300 - c210 AS n201,"
+        " W111D - c210 - 2 * c120D - c120C AS n111D,"
+        " W111U - c210 - 2 * c120U - c120C AS n111U,"
+        " W021D - c120D - c030T AS n021D,"
+        " W021U - c120U - c030T AS n021U,"
+        " W021C - c030T - 3 * c030C - c120C AS n021C FROM s),\n"
+        "c2 AS (SELECT *,"
+        " M * (n - 2) - 2 * n201 - n111D - n111U - 3 * n300 - 2 * n210"
+        " - (n120D + n120U + n120C) AS n102,"
+        " A * (n - 2) - 2 * (n021D + n021U + n021C) - (n111D + n111U)"
+        " - 3 * (n030T + n030C) - 2 * (n120D + n120U + n120C) - n210 AS n012"
+        " FROM c1),\n"
+        "c3 AS (SELECT *,"
+        " n * (n - 1) * (n - 2) // 6 - (n012 + n102 + n021D + n021U + n021C"
+        " + n030T + n030C + n111D + n111U + n120D + n120U + n120C"
+        " + n201 + n210 + n300) AS n003 FROM c2)\n"
+        f"SELECT triad_type, CAST(n AS BIGINT) AS n FROM ({union})"
     )
 
 
@@ -3878,6 +3958,7 @@ def oracle_sql() -> dict[str, str]:
         "katz_centrality": _katz_sql(KATZ_UPDATES),
         "eigenvector_centrality": _eig_sql(EIG_UPDATES),
         "closed_triad_census": _triad_census_sql(),
+        "triad_census_full": _triad_full_sql(),
         "connected_components": (
             "WITH RECURSIVE "
             + EDGES_CTES.strip()

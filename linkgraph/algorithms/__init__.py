@@ -1,5 +1,5 @@
 from .katz import eigenvector_centrality, katz_centrality
-from .motifs import closed_triad_census
+from .motifs import closed_triad_census, triad_census
 from .pagerank import pagerank
 from .cc import connected_components, connected_components_hashmin
 from .lpa import label_propagation
@@ -67,6 +67,7 @@ __all__ = [
     "local_maximal_cliques",
     "maximum_cliques",
     "closed_triad_census",
+    "triad_census",
     "eigenvector_centrality",
     "katz_centrality",
     "pagerank",

@@ -55,7 +55,7 @@ def _build_parser() -> argparse.ArgumentParser:
             "summary", "coreness", "betweenness", "harmonic",
             "closeness", "knn-degree", "rich-club",
             "canonical", "skipgram", "sgns",
-            "louvain", "katz", "eigenvector", "triads", "effdiam", "dupgrams", "sweep",
+            "louvain", "katz", "eigenvector", "triads", "triads-full", "effdiam", "dupgrams", "sweep",
         ],
     )
     src = p.add_argument_group("input (exactly one)")
@@ -561,6 +561,10 @@ def main(argv: list[str] | None = None) -> None:
         from linkgraph.algorithms.motifs import closed_triad_census
 
         out = closed_triad_census(edges)
+    elif args.algorithm == "triads-full":
+        from linkgraph.algorithms.motifs import triad_census
+
+        out = triad_census(edges)
     elif args.algorithm == "louvain":
         from linkgraph.algorithms.louvain import greedy_modularity_communities
 
