@@ -176,6 +176,10 @@ SGNS_SEED = 11
 SGNS_SCALE_BITS = 14
 # k-hop feature propagation depth
 KHOP_HOPS = 2
+# 1-WL color-refinement rounds for the structural-role query; 3 rounds
+# separate essentially all separable roles on the doc graph (refinement
+# information saturates far before the O(diameter) fixpoint)
+WL_ROUNDS = 3
 # BPE tokenizer training: number of learned merges
 BPE_MERGES = 16
 # Collocation mining: minimum bigram occurrences
@@ -1074,6 +1078,22 @@ def _q_khop_features(spark, sf):
         feats,
         hops=KHOP_HOPS,
         vertices=document_vertices(spark, sf),
+    )
+
+
+def _q_wl_roles(spark, sf):
+    """Structural-role labels: WL_ROUNDS rounds of 1-WL color
+    refinement over the symmetrized document graph — per round one
+    gather join + one sorted-multiset combine (algorithms/wl.py);
+    portable md5 labels so the oracle replays the refinement
+    bit-exactly."""
+    from linkgraph.algorithms.wl import wl_refinement
+
+    return wl_refinement(
+        document_edges(spark, sf),
+        rounds=WL_ROUNDS,
+        vertices=document_vertices(spark, sf),
+        portable=True,
     )
 
 
@@ -2427,6 +2447,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sgns_embeddings": _q_sgns_embeddings,
         "sgns_linkpred_auc": _q_sgns_auc,
         "khop_features": _q_khop_features,
+        "wl_roles": _q_wl_roles,
         "bpe_merges": _q_bpe_merges,
         "bpe_encode_counts": _q_bpe_encode_counts,
         "collocations": _q_collocations,
@@ -3677,6 +3698,42 @@ def _khop_sql(hops: int) -> str:
     return "WITH " + ",\n".join(ctes) + f"\nSELECT id, {cols} FROM s{hops}"
 
 
+def _wl_sql(rounds: int) -> str:
+    """Unrolled 1-WL color refinement (algorithms/wl.py rule): per
+    round the sorted neighbor-label multiset via
+    ``string_agg(.. ORDER BY ..)`` over the symmetrized graph, the md5
+    hoisted ONCE per row into its own CTE (phash.py's multi-extraction
+    rule), label = the 14-hex-digit prefix as BIGINT via the
+    engine-neutral digit-term spelling."""
+    from linkgraph.algorithms.wl import WL_DIGITS
+    from linkgraph.phash import md5_digits_sql
+
+    ctes = [
+        EDGES_CTES.strip(),
+        SYM_CTE.strip(),
+        "wdeg AS (SELECT src AS id, COUNT(*) AS dg FROM sym GROUP BY src)",
+        "s0 AS MATERIALIZED (SELECT d.doc_id AS id,"
+        " CAST(COALESCE(w.dg, 0) AS BIGINT) AS wl0"
+        " FROM documents d LEFT JOIN wdeg w ON w.id = d.doc_id)",
+    ]
+    for k in range(1, rounds + 1):
+        p = k - 1
+        prev = ", ".join(f"s.wl{i}" for i in range(k))
+        keep = ", ".join(f"wl{i}" for i in range(k))
+        ctes += [
+            f"agg{k} AS (SELECT e.dst AS id,"
+            f" string_agg(CAST(s.wl{p} AS VARCHAR), ',' ORDER BY s.wl{p}) AS nb"
+            f" FROM sym e JOIN s{p} s ON s.id = e.src GROUP BY e.dst)",
+            f"h{k} AS MATERIALIZED (SELECT s.id, {prev},"
+            f" md5(concat(CAST(s.wl{p} AS VARCHAR), ':', COALESCE(a.nb, '')))"
+            f" AS hx FROM s{p} s LEFT JOIN agg{k} a ON a.id = s.id)",
+            f"s{k} AS MATERIALIZED (SELECT id, {keep},"
+            f" {md5_digits_sql('hx', WL_DIGITS)} AS wl{k} FROM h{k})",
+        ]
+    cols = ", ".join(f"CAST(wl{k} AS BIGINT) AS wl{k}" for k in range(rounds + 1))
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT id, {cols} FROM s{rounds}"
+
+
 def _fdiv(a: str, b: int) -> str:
     """Exact floor division for possibly-negative ``a`` by positive
     literal ``b`` in DuckDB, whose ``//`` truncates toward zero —
@@ -4467,6 +4524,7 @@ def oracle_sql() -> dict[str, str]:
     sql["training_batch_pipeline"] = _training_pipeline_sql()
     sql["skipgram_pairs"] = _skipgram_sql(RW_W, RW_LEN, RW_SEED, SG_WINDOW)
     sql["khop_features"] = _khop_sql(KHOP_HOPS)
+    sql["wl_roles"] = _wl_sql(WL_ROUNDS)
     sql["bpe_merges"] = _bpe_sql(BPE_MERGES)
     sql["bpe_encode_counts"] = _bpe_counts_sql(BPE_MERGES)
     sql["collocations"] = _colloc_sql(COLLOC_MIN_PAIRS)

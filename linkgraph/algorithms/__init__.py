@@ -40,6 +40,7 @@ from .stats import (
     rich_club_profile,
 )
 from .walks import node2vec_walks, random_walks
+from .wl import wl_class_sizes, wl_refinement
 from .cliques import local_maximal_cliques, maximum_cliques
 
 __all__ = [
@@ -64,6 +65,8 @@ __all__ = [
     "salsa_scores",
     "node2vec_walks",
     "random_walks",
+    "wl_class_sizes",
+    "wl_refinement",
     "local_maximal_cliques",
     "maximum_cliques",
     "closed_triad_census",

@@ -56,6 +56,7 @@ def _build_parser() -> argparse.ArgumentParser:
             "closeness", "knn-degree", "rich-club",
             "canonical", "skipgram", "sgns",
             "louvain", "katz", "eigenvector", "triads", "triads-full", "effdiam", "dupgrams", "sweep",
+            "wl",
         ],
     )
     src = p.add_argument_group("input (exactly one)")
@@ -556,6 +557,15 @@ def main(argv: list[str] | None = None) -> None:
             edges,
             updates=args.fixed_updates or 6,
             **common,
+        )
+    elif args.algorithm == "wl":
+        from linkgraph.algorithms.wl import wl_refinement
+
+        out = wl_refinement(
+            edges,
+            rounds=args.rounds,
+            num_partitions=args.num_partitions,
+            portable=args.portable_hash,
         )
     elif args.algorithm == "triads":
         from linkgraph.algorithms.motifs import closed_triad_census
