@@ -98,6 +98,11 @@ SSSP_HOPS = 12
 # (measured), unrolled with >2x slack (extra passes are no-ops) and the
 # engine ASSERTS convergence so a deeper future fixture fails loudly
 WSSSP_STEPS = 16
+# temporal reachability: oracle-derivable edge timestamp
+# (src*13 + dst*7) % 97 and an unrolled min-relaxation oracle; the
+# engine asserts its superstep count fits (full-pass relaxation reaches
+# fixpoint at least as fast as the engine's frontier plan)
+TEMPORAL_STEPS = 16
 # landmark labels: 4 top-degree pivots, hop-bounded BFS — both engines
 # bound at the same depth, so the gate is exact even on deeper graphs
 LM_COUNT = 4
@@ -408,6 +413,32 @@ def _q_sssp_weighted(spark, sf):
             f"{WSSSP_STEPS} — raise WSSSP_STEPS"
         )
     return dist.select("id", F.round("distance", 6).alias("distance"))
+
+
+def _q_temporal_reachability(spark, sf):
+    """Time-respecting earliest arrival from doc 0 over temporal edges
+    whose timestamp (src*13 + dst*7) % 97 is derivable in SQL — the
+    guarded delta-plan fixpoint (algorithms/temporal.py) gated by an
+    unrolled min-relaxation oracle."""
+    from linkgraph.algorithms.temporal import temporal_earliest_arrival
+
+    tedges = document_edges(spark, sf).withColumn(
+        "t", ((F.col("src") * 13 + F.col("dst") * 7) % 97).cast("long")
+    )
+    arr, res = temporal_earliest_arrival(
+        tedges,
+        source=0,
+        vertices=document_vertices(spark, sf),
+        max_supersteps=4 * TEMPORAL_STEPS,
+        track_messages=False,
+    )
+    if not res.converged or res.supersteps > TEMPORAL_STEPS:
+        raise RuntimeError(
+            f"temporal reachability needed {res.supersteps} supersteps "
+            f"(converged={res.converged}); the unrolled oracle covers "
+            f"{TEMPORAL_STEPS} — raise TEMPORAL_STEPS"
+        )
+    return arr
 
 
 def _q_dw_pagerank(spark, sf):
@@ -2387,6 +2418,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sssp_hops": _q_sssp,
         "sssp_vertex_program": _q_sssp_vp,
         "sssp_weighted": _q_sssp_weighted,
+        "temporal_reachability": _q_temporal_reachability,
         "degree_weighted_pagerank": _q_dw_pagerank,
         "repo_rollup": _q_repo_rollup,
         "weighted_repo_pagerank": _q_weighted_repo_pagerank,
@@ -2697,6 +2729,41 @@ def _weighted_sssp_sql(steps: int) -> str:
         "WITH "
         + ",\n".join(ctes)
         + f"\nSELECT id, ROUND(dist, 6) AS distance FROM d{steps}"
+    )
+
+
+def _temporal_sql(steps: int) -> str:
+    """Unrolled time-respecting min-relaxation over the derivable
+    timestamps ((src*13 + dst*7) % 97): a_i(v) = min(a_{i-1}(v), min
+    over in-edges with t >= a_{i-1}(u) of t). Full passes reach the
+    fixpoint at least as fast as the engine's frontier plan (asserted
+    engine-side in _q_temporal_reachability); NULL = no time-respecting
+    path."""
+    ctes = [
+        EDGES_CTES.strip(),
+        "te AS (SELECT src, dst,"
+        " CAST((src*13 + dst*7) % 97 AS BIGINT) AS t FROM edges)",
+        "a0 AS (SELECT doc_id AS id,"
+        " CASE WHEN doc_id = 0 THEN CAST(0 AS BIGINT) END AS arr"
+        " FROM documents)",
+    ]
+    for i in range(1, steps + 1):
+        ctes.append(
+            f"a{i} AS MATERIALIZED ("
+            f" SELECT v.id, CASE"
+            f"  WHEN m.ma IS NULL THEN v.arr"
+            f"  WHEN v.arr IS NULL THEN m.ma"
+            f"  ELSE LEAST(v.arr, m.ma) END AS arr"
+            f" FROM a{i-1} v LEFT JOIN ("
+            f"   SELECT e.dst AS id, MIN(e.t) AS ma"
+            f"   FROM te e JOIN a{i-1} p ON e.src = p.id"
+            f"    AND p.arr IS NOT NULL AND e.t >= p.arr"
+            f"   GROUP BY e.dst) m ON m.id = v.id)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT id, CAST(arr AS BIGINT) AS arrival FROM a{steps}"
     )
 
 
@@ -4386,6 +4453,7 @@ def oracle_sql() -> dict[str, str]:
     # weighted SSSP via the VertexProgram weight_col path: unrolled
     # Bellman-Ford over the derivable weights (steps mirror WSSSP_STEPS)
     sql["sssp_weighted"] = _weighted_sssp_sql(WSSSP_STEPS)
+    sql["temporal_reachability"] = _temporal_sql(TEMPORAL_STEPS)
     # IMRU kmeans: unrolled Lloyd iterations (deterministic init /
     # ties / update — see _kmeans_sql); K/ITERS must mirror _q_kmeans
     sql["kmeans_centers"] = _kmeans_sql(5, 5)

@@ -41,6 +41,7 @@ from .stats import (
 )
 from .walks import node2vec_walks, random_walks
 from .wl import wl_class_sizes, wl_refinement
+from .temporal import temporal_earliest_arrival
 from .cliques import local_maximal_cliques, maximum_cliques
 
 __all__ = [
@@ -67,6 +68,7 @@ __all__ = [
     "random_walks",
     "wl_class_sizes",
     "wl_refinement",
+    "temporal_earliest_arrival",
     "local_maximal_cliques",
     "maximum_cliques",
     "closed_triad_census",

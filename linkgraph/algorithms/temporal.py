@@ -1,0 +1,130 @@
+"""Time-respecting (temporal) reachability — earliest-arrival search.
+
+A temporal edge (u, v, t) can be traversed only at its timestamp t, and
+a time-respecting path must use non-decreasing timestamps: the edge is
+usable iff t >= the arrival time at u. Earliest-arrival reachability —
+"what could this commit/account/page have influenced, respecting event
+order?" — is the standard temporal-graph primitive that static
+reachability (algorithms/reachability.py) gets WRONG whenever a path
+exists structurally but its edges occur out of order.
+
+The reference engine is batch-static (SURVEY.md §3.8: Pregelix has no
+temporal notion), but its compute() could express this; ours runs the
+same delta-plan fixpoint as SSSP (ShortestPathsVertex.java:125-145's
+min-relaxation shape, re-expressed per SURVEY.md §4.5) with one twist:
+the scatter carries a PER-EDGE GUARD (t >= arrival(src)) instead of an
+additive weight, and the candidate arrival is the edge's own timestamp.
+Arrival times only ever decrease and are drawn from the finite set of
+edge timestamps, so the relaxation is a monotone fixpoint; integer
+timestamps make every superstep exact in both engines (the driver
+oracle unrolls the identical min-relaxation passes).
+
+100 TB shape: identical to SSSP's audited plan — the temporal edge
+relation is persisted src-partitioned once; per superstep ONE scatter
+join from the changed frontier (the guard filters edges map-side,
+before the exchange) and ONE min-combine groupBy; work is proportional
+to the frontier's out-edges, not the graph.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..checkpoint import CheckpointManager
+from ..graph import choose_partitions, vertices_from_edges
+from ..superstep import LoopResult, StepResult, iterate, iteration_conf
+
+_INF = (1 << 62) - 1  # integer +inf sentinel; timestamps must be < this
+
+
+def temporal_earliest_arrival(
+    tedges: DataFrame,
+    source: int,
+    start_time: int = 0,
+    time_col: str = "t",
+    vertices: DataFrame | None = None,
+    num_partitions: int | None = None,
+    max_supersteps: int = 200,
+    ckpt: CheckpointManager | None = None,
+    resume: bool = True,
+    track_messages: bool = True,
+) -> tuple[DataFrame, LoopResult]:
+    """Earliest time-respecting arrival from ``source``.
+
+    ``tedges``: DF(src, dst, <time_col> BIGINT) — one row per temporal
+    edge occurrence (the same (src, dst) pair may recur at different
+    times; keep every occurrence, they are distinct opportunities).
+
+    Rule: arrival(source) = ``start_time``; edge (u, v, t) relaxes
+    arrival(v) to min(arrival(v), t) iff t >= arrival(u). Returns
+    (DF(id, arrival BIGINT), LoopResult); arrival NULL if no
+    time-respecting path exists. The source reports ``start_time``.
+    """
+    p = choose_partitions(tedges, lambda: tedges.count(), num_partitions)
+    if vertices is None:
+        vertices = vertices_from_edges(tedges)
+    verts = vertices.select("id").repartition(p, "id")
+
+    with iteration_conf(tedges.sparkSession, p):
+        te = (
+            tedges.select("src", "dst", F.col(time_col).cast("long").alias("t"))
+            .repartition(p, "src")
+            .persist()
+        )
+        te.count()
+
+    init = verts.select(
+        "id",
+        F.when(F.col("id") == source, F.lit(start_time))
+        .otherwise(F.lit(_INF))
+        .cast("long")
+        .alias("arr"),
+    ).withColumn("changed", F.col("id") == source)
+
+    def superstep(state: DataFrame, k: int) -> StepResult:
+        cur = state.select("id", "arr", "changed")
+        senders = cur.filter(F.col("changed"))
+        msgs = (
+            te.join(senders, te["src"] == senders["id"])
+            # the time-respecting guard, applied before the exchange
+            .filter(F.col("t") >= F.col("arr"))
+            .select(F.col("dst").alias("id"), F.col("t").alias("cand"))
+            .groupBy("id")
+            .agg(F.min("cand").alias("cand"))
+        )
+        new = (
+            cur.drop("changed")
+            .join(msgs, "id", "left_outer")
+            .select(
+                "id",
+                F.least(F.col("arr"), F.coalesce(F.col("cand"), F.col("arr"))).alias("narr"),
+                F.col("arr").alias("_olda"),
+                F.col("cand").isNotNull().cast("long").alias("_msgs"),
+            )
+            .select(
+                "id",
+                F.col("narr").alias("arr"),
+                (F.col("narr") < F.col("_olda")).alias("changed"),
+                "_msgs",
+            )
+            .withColumn("_changed", F.col("changed"))
+        )
+        return StepResult(state=new, messages=msgs)
+
+    result = iterate(
+        init,
+        superstep,
+        converged=lambda s: s.changed == 0,
+        max_supersteps=max_supersteps,
+        ckpt=ckpt,
+        resume=resume,
+        track_messages=track_messages,
+        num_partitions=p,
+    )
+    te.unpersist()
+    out = result.state.select(
+        "id",
+        F.when(F.col("arr") == _INF, F.lit(None)).otherwise(F.col("arr")).alias("arrival"),
+    )
+    return out, result

@@ -56,7 +56,7 @@ def _build_parser() -> argparse.ArgumentParser:
             "closeness", "knn-degree", "rich-club",
             "canonical", "skipgram", "sgns",
             "louvain", "katz", "eigenvector", "triads", "triads-full", "effdiam", "dupgrams", "sweep",
-            "wl",
+            "wl", "temporal",
         ],
     )
     src = p.add_argument_group("input (exactly one)")
@@ -556,6 +556,18 @@ def main(argv: list[str] | None = None) -> None:
         out, res = eigenvector_centrality(
             edges,
             updates=args.fixed_updates or 6,
+            **common,
+        )
+    elif args.algorithm == "temporal":
+        from linkgraph.algorithms.temporal import temporal_earliest_arrival
+
+        # the timestamp column rides the --weight-col loader (any extra
+        # BIGINT column on the edge table)
+        out, res = temporal_earliest_arrival(
+            edges,
+            source=args.source,
+            time_col=args.weight_col or "t",
+            max_supersteps=args.max_supersteps,
             **common,
         )
     elif args.algorithm == "wl":

@@ -1,0 +1,92 @@
+"""Time-respecting earliest-arrival reachability (algorithms/temporal.py)."""
+
+import heapq
+
+
+def _brute(tedges, verts, source, start):
+    """Temporal Dijkstra: label-setting on earliest arrival."""
+    out = {}
+    for s, d, t in tedges:
+        out.setdefault(s, []).append((d, t))
+    arr = {v: None for v in verts}
+    arr[source] = start
+    pq = [(start, source)]
+    while pq:
+        a, u = heapq.heappop(pq)
+        if arr[u] is not None and a > arr[u]:
+            continue
+        for v, t in out.get(u, []):
+            if t >= a and (arr[v] is None or t < arr[v]):
+                arr[v] = t
+                heapq.heappush(pq, (t, v))
+    return arr
+
+
+# a path 0->1->2 whose edges occur IN order, and 0->3->4 whose edges
+# occur OUT of order (static reach says yes, temporal must say no);
+# plus a later second occurrence of (3,4) that becomes usable
+TEDGES = [
+    (0, 1, 5), (1, 2, 7),          # respects time: 5 <= 7
+    (0, 3, 10), (3, 4, 2),         # violates: 2 < 10
+    (3, 4, 12),                    # second occurrence, usable
+    (2, 0, 1),                     # back edge too early to matter
+    (5, 6, 3),                     # disconnected from source
+]
+VERTS = list(range(7))
+
+
+class TestTemporal:
+    def test_matches_bruteforce(self, spark):
+        from linkgraph.algorithms.temporal import temporal_earliest_arrival
+
+        e = spark.createDataFrame(TEDGES, "src long, dst long, t long")
+        v = spark.createDataFrame([(x,) for x in VERTS], "id long")
+        got, res = temporal_earliest_arrival(e, source=0, vertices=v)
+        arr = {r["id"]: r["arrival"] for r in got.collect()}
+        assert arr == _brute(TEDGES, VERTS, 0, 0)
+        assert res.converged
+        # the out-of-order path is rescued only by the t=12 recurrence
+        assert arr[4] == 12
+        assert arr[5] is None and arr[6] is None
+
+    def test_static_reachable_temporally_not(self, spark):
+        from linkgraph.algorithms.temporal import temporal_earliest_arrival
+
+        e = spark.createDataFrame(
+            [(0, 1, 10), (1, 2, 4)], "src long, dst long, t long"
+        )
+        got, _ = temporal_earliest_arrival(e, source=0)
+        arr = {r["id"]: r["arrival"] for r in got.collect()}
+        assert arr[1] == 10 and arr[2] is None
+
+    def test_start_time_gates_first_edge(self, spark):
+        from linkgraph.algorithms.temporal import temporal_earliest_arrival
+
+        e = spark.createDataFrame([(0, 1, 3)], "src long, dst long, t long")
+        got, _ = temporal_earliest_arrival(e, source=0, start_time=5)
+        arr = {r["id"]: r["arrival"] for r in got.collect()}
+        assert arr[0] == 5 and arr[1] is None
+
+    def test_equal_time_chain_allowed(self, spark):
+        """Non-strict monotonicity: equal timestamps chain."""
+        from linkgraph.algorithms.temporal import temporal_earliest_arrival
+
+        e = spark.createDataFrame(
+            [(0, 1, 4), (1, 2, 4), (2, 3, 4)], "src long, dst long, t long"
+        )
+        got, _ = temporal_earliest_arrival(e, source=0)
+        arr = {r["id"]: r["arrival"] for r in got.collect()}
+        assert arr == {0: 0, 1: 4, 2: 4, 3: 4}
+
+    def test_later_decrease_reopens_guarded_edge(self, spark):
+        """A vertex whose arrival improves must re-scatter edges whose
+        guard previously failed: 0->1 at 9 first, then the cheaper
+        0->2->1 path (arr 1 drops to 6) unlocks (1, 3, 7)."""
+        from linkgraph.algorithms.temporal import temporal_earliest_arrival
+
+        tedges = [(0, 1, 9), (0, 2, 1), (2, 1, 6), (1, 3, 7)]
+        e = spark.createDataFrame(tedges, "src long, dst long, t long")
+        got, _ = temporal_earliest_arrival(e, source=0)
+        arr = {r["id"]: r["arrival"] for r in got.collect()}
+        assert arr == _brute(tedges, [0, 1, 2, 3], 0, 0)
+        assert arr[1] == 6 and arr[3] == 7
