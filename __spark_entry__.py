@@ -125,6 +125,10 @@ KMV_K = 24  # bottom-k size; the synthetic vocab is tiny (~31 terms) so
 # a small k keeps the estimator in its non-degenerate regime at sf0.01
 TOPK = 10
 N_QUERY_VECS = 5
+# product quantization: M subspaces x KS sub-centroids, Lloyd iters
+PQ_M = 4
+PQ_KS = 8
+PQ_ITERS = 4
 TFIDF_TOPK = 3
 # BM25 retrieval: query bag from the synthetic vocabulary; k1/b are the
 # Robertson defaults, shared verbatim with the oracle expression
@@ -2377,6 +2381,20 @@ def _q_ivf_topk(spark, sf):
     return ivf_cosine_topk(emb, queries, k=TOPK, n_clusters=8, n_probe=4)
 
 
+def _q_pq_topk(spark, sf):
+    """Product-quantization ADC top-k: per-subspace IMRU codebooks,
+    m-byte codes, distance-table scan as a pure JVM expression
+    (pipeline/similarity.pq_topk); the whole train->encode->scan chain
+    unrolls into the oracle."""
+    from linkgraph.pipeline.similarity import pq_topk
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < N_QUERY_VECS)
+    return pq_topk(
+        emb, queries, k=TOPK, m=PQ_M, ks=PQ_KS, kmeans_iterations=PQ_ITERS
+    )
+
+
 def _q_multimodal(spark, sf):
     from linkgraph.pipeline.multimodal import extract_features, synth_media
 
@@ -2490,6 +2508,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_lsh_topk": _q_lsh_topk,
         "embedding_neardup_pairs": _q_embedding_neardup,
         "embedding_ivf_topk": _q_ivf_topk,
+        "embedding_pq_topk": _q_pq_topk,
         "multimodal_features": _q_multimodal,
         "multimodal_raw_decode": _q_multimodal_raw,
         "graph_sample": _q_graph_sample,
@@ -3325,6 +3344,78 @@ def _ivf_sql(n_clusters: int, kmeans_iters: int, n_probe: int, n_queries: int, k
         + " SELECT qid, vec_id, sim FROM ("
         "  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid"
         "   ORDER BY sim DESC, vec_id ASC) AS rn FROM scored"
+        f" ) WHERE rn <= {k}"
+    )
+
+
+def _pq_sql(dim: int, m: int, ks: int, iters: int, n_queries: int, k: int) -> str:
+    """Unrolled product quantization (pipeline/similarity.pq_topk):
+    per-subspace Lloyd k-means (the _kmeans_ctes recurrence over the
+    1-based inclusive list slice v[lo:hi]), corpus codes via the same
+    argmin-ties-lowest rule, per-query distance tables, ADC = sum of m
+    table lookups joined on the codes, ROUND(.., 6) before ranking."""
+    sub = dim // m
+    ctes = [
+        "pts AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v"
+        " FROM embeddings)",
+    ]
+    for s in range(m):
+        lo, hi = s * sub + 1, (s + 1) * sub
+        ctes += [
+            f"p{s} AS MATERIALIZED (SELECT vec_id, v[{lo}:{hi}] AS v FROM pts)",
+            f"c{s}_0 AS (SELECT (ROW_NUMBER() OVER (ORDER BY vec_id)) - 1"
+            f" AS cluster, v AS center FROM p{s} ORDER BY vec_id LIMIT {ks})",
+        ]
+        for i in range(1, iters + 1):
+            pv = i - 1
+            ctes += [
+                f"a{s}_{i} AS (SELECT p.vec_id, p.v,"
+                f" (SELECT c.cluster FROM c{s}_{pv} c"
+                f"  ORDER BY list_sum(list_transform(generate_series(1, len(p.v)),"
+                f"   j -> (p.v[j]-c.center[j])*(p.v[j]-c.center[j]))), c.cluster"
+                f"  LIMIT 1) AS cluster FROM p{s} p)",
+                f"m{s}_{i} AS (SELECT cluster, j, AVG(val) AS val FROM ("
+                f"  SELECT a.cluster, unnest(a.v) AS val,"
+                f"  unnest(generate_series(1, len(a.v))) AS j FROM a{s}_{i} a"
+                f" ) GROUP BY cluster, j)",
+                f"n{s}_{i} AS (SELECT cluster, list(val ORDER BY j) AS center"
+                f" FROM m{s}_{i} GROUP BY cluster)",
+                f"c{s}_{i} AS (SELECT pv.cluster, COALESCE(n.center, pv.center)"
+                f" AS center FROM c{s}_{pv} pv LEFT JOIN n{s}_{i} n USING (cluster))",
+            ]
+        ctes += [
+            f"code{s} AS MATERIALIZED (SELECT p.vec_id,"
+            f" (SELECT c.cluster FROM c{s}_{iters} c"
+            f"  ORDER BY list_sum(list_transform(generate_series(1, len(p.v)),"
+            f"   j -> (p.v[j]-c.center[j])*(p.v[j]-c.center[j]))), c.cluster"
+            f"  LIMIT 1) AS code FROM p{s} p)",
+            f"dt{s} AS MATERIALIZED (SELECT q.vec_id AS qid, c.cluster,"
+            f" list_sum(list_transform(generate_series(1, len(q.v)),"
+            f"  j -> (q.v[j]-c.center[j])*(q.v[j]-c.center[j]))) AS d"
+            f" FROM p{s} q, c{s}_{iters} c WHERE q.vec_id < {n_queries})",
+        ]
+    code_joins = " ".join(
+        f"JOIN code{s} c{s} USING (vec_id)" for s in range(1, m)
+    )
+    dt_joins = " ".join(
+        f"JOIN dt{s} d{s} ON d{s}.cluster = a.k{s} AND d{s}.qid = d0.qid"
+        for s in range(1, m)
+    )
+    ksum = " + ".join(f"d{s}.d" for s in range(m))
+    ctes += [
+        "allc AS (SELECT c0.vec_id, "
+        + ", ".join(f"c{s}.code AS k{s}" for s in range(m))
+        + f" FROM code0 c0 {code_joins})",
+        f"scored AS (SELECT d0.qid, a.vec_id, ROUND({ksum}, 6) AS dist"
+        f" FROM allc a JOIN dt0 d0 ON d0.cluster = a.k0 {dt_joins}"
+        f" WHERE a.vec_id != d0.qid)",
+    ]
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + " SELECT qid, vec_id, dist FROM ("
+        "  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid"
+        "   ORDER BY dist ASC, vec_id ASC) AS rn FROM scored"
         f" ) WHERE rn <= {k}"
     )
 
@@ -4578,6 +4669,8 @@ def oracle_sql() -> dict[str, str]:
     # train->assign->probe->score pipeline is SQL; params mirror
     # _q_ivf_topk (n_clusters=8, n_probe=4, kmeans_iterations=5)
     sql["embedding_ivf_topk"] = _ivf_sql(8, 5, 4, N_QUERY_VECS, TOPK)
+    # product quantization: per-subspace unrolled k-means + ADC scan
+    sql["embedding_pq_topk"] = _pq_sql(64, PQ_M, PQ_KS, PQ_ITERS, N_QUERY_VECS, TOPK)
     # MinHash-LSH / SimHash: portable md5-digit hashing makes the whole
     # pipeline integer-exact in both engines; params mirror
     # _q_minhash_lsh / _q_simhash / _q_simhash_pairs

@@ -40,6 +40,7 @@ from .similarity import (
     embedding_neardup_pairs,
     ivf_cosine_topk,
     lsh_cosine_topk,
+    pq_topk,
 )
 
 __all__ = [
@@ -80,5 +81,6 @@ __all__ = [
     "knn_label_accuracy",
     "lsh_cosine_topk",
     "ivf_cosine_topk",
+    "pq_topk",
     "embedding_neardup_pairs",
 ]

@@ -239,6 +239,106 @@ def ivf_cosine_topk(
     return sims.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k).drop("rn")
 
 
+def pq_topk(
+    embeddings: DataFrame,
+    queries: DataFrame | None = None,
+    k: int = 10,
+    m: int = 4,
+    ks: int = 8,
+    kmeans_iterations: int = 4,
+    round_to: int = 6,
+) -> DataFrame:
+    """Product-quantization ADC top-k — the COMPRESSION tier of the ANN
+    family (brute/LSH/IVF/PQ): squared-L2 nearest neighbors computed
+    from ``m``-byte codes instead of full vectors.
+
+    Train: the embedding is split into ``m`` equal subspaces and each
+    subspace gets its own ``ks``-centroid codebook from the IMRU
+    k-means (deterministic: init = the ks lowest-id subvectors, ties to
+    the lowest cluster index — exactly the IVF trainer's rule, so the
+    whole train->encode->scan chain is oracle-unrollable). Encode: each
+    corpus vector becomes ``m`` small codes (argmin squared distance
+    per subspace). Search (ADC): each query precomputes an
+    ``m x ks`` distance table to every sub-centroid; a vector's
+    approximate distance is the sum of ``m`` table lookups at its
+    codes.
+
+    100 TB shape: the scan side never touches floats — the per-vector
+    work is ``m`` array lookups over a broadcast (query, table) row,
+    a pure JVM codegen expression over a 4-entry code array (the
+    vectors themselves stay on disk; a 256-byte embedding reads as m
+    bytes, the 64x IO compression that makes exhaustive re-ranking
+    feasible). numpy touches only the m*ks-entry codebooks (driver
+    side) and the tiny query batch; compose with the IVF probe join
+    for sub-linear candidate sets.
+
+    Returns (qid, vec_id, dist) — dist ascending squared-L2, rounded
+    to ``round_to`` BEFORE ranking, ties to the lowest vec_id.
+    """
+    from ..imru import kmeans
+
+    if queries is None:
+        queries = embeddings
+    dim = len(embeddings.select("embedding").first()["embedding"])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m} subspaces")
+    sub = dim // m
+
+    corpus = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    books = []  # m codebooks, each (ks, sub)
+    for s in range(m):
+        sdf = corpus.select(
+            "vec_id", F.expr(f"slice(v, {s * sub + 1}, {sub})").alias("features")
+        )
+        res = kmeans(sdf, k=ks, max_iterations=kmeans_iterations)
+        books.append(np.asarray(res.model, dtype=np.float64))
+    codebooks = np.stack(books)  # (m, ks, sub)
+
+    @pandas_udf(T.ArrayType(T.IntegerType()))
+    def encode_udf(embs: pd.Series) -> pd.Series:
+        x = np.stack([np.asarray(e, dtype=np.float64) for e in embs])
+        n = x.shape[0]
+        codes = np.empty((n, m), dtype=np.int32)
+        for s in range(m):
+            xs = x[:, s * sub : (s + 1) * sub]
+            # (n, ks) squared distances; argmin ties -> lowest index
+            d = ((xs[:, None, :] - codebooks[s][None, :, :]) ** 2).sum(axis=2)
+            codes[:, s] = d.argmin(axis=1)
+        return pd.Series([row.tolist() for row in codes])
+
+    @pandas_udf(T.ArrayType(T.DoubleType()))
+    def dtable_udf(embs: pd.Series) -> pd.Series:
+        x = np.stack([np.asarray(e, dtype=np.float64) for e in embs])
+        out = []
+        for row in x:
+            t = np.empty(m * ks, dtype=np.float64)
+            for s in range(m):
+                qs = row[s * sub : (s + 1) * sub]
+                t[s * ks : (s + 1) * ks] = ((codebooks[s] - qs[None, :]) ** 2).sum(axis=1)
+            out.append(t.tolist())
+        return pd.Series(out)
+
+    coded = embeddings.select("vec_id", encode_udf("embedding").alias("codes"))
+    q = queries.select(
+        F.col("vec_id").alias("qid"), dtable_udf("embedding").alias("dt")
+    )
+    # ADC: m element_at lookups, whole-stage codegen, no Python
+    adc = (
+        f"round(aggregate(sequence(0, {m - 1}), CAST(0.0 AS DOUBLE),"
+        f" (acc, s) -> acc + element_at(dt, s * {ks} + element_at(codes, s + 1) + 1)),"
+        f" {round_to})"
+    )
+    sims = (
+        coded.join(F.broadcast(q), F.col("qid") != F.col("vec_id"))
+        .withColumn("dist", F.expr(adc))
+        .select("qid", "vec_id", "dist")
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("dist").asc(), F.col("vec_id").asc())
+    return sims.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k).drop("rn")
+
+
 def lsh_cosine_topk(
     embeddings: DataFrame,
     dim: int,
