@@ -2381,6 +2381,20 @@ def _q_ivf_topk(spark, sf):
     return ivf_cosine_topk(emb, queries, k=TOPK, n_clusters=8, n_probe=4)
 
 
+def _q_motif_open_triads(spark, sf):
+    """The general motif query surface: feed-forward OPEN triads
+    (a->b->c with no closing a->c edge, a != c) via the declarative
+    pattern compiler (algorithms/motif_match.py) — joins + anti-join
+    generated from the pattern string."""
+    from linkgraph.algorithms.motif_match import motif_find
+
+    return motif_find(
+        document_edges(spark, sf),
+        "(a)-[]->(b); (b)-[]->(c); !(a)-[]->(c)",
+        where="a != c",
+    )
+
+
 def _q_pq_topk(spark, sf):
     """Product-quantization ADC top-k: per-subspace IMRU codebooks,
     m-byte codes, distance-table scan as a pure JVM expression
@@ -2509,6 +2523,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup_pairs": _q_embedding_neardup,
         "embedding_ivf_topk": _q_ivf_topk,
         "embedding_pq_topk": _q_pq_topk,
+        "motif_open_triads": _q_motif_open_triads,
         "multimodal_features": _q_multimodal,
         "multimodal_raw_decode": _q_multimodal_raw,
         "graph_sample": _q_graph_sample,
@@ -4671,6 +4686,17 @@ def oracle_sql() -> dict[str, str]:
     sql["embedding_ivf_topk"] = _ivf_sql(8, 5, 4, N_QUERY_VECS, TOPK)
     # product quantization: per-subspace unrolled k-means + ADC scan
     sql["embedding_pq_topk"] = _pq_sql(64, PQ_M, PQ_KS, PQ_ITERS, N_QUERY_VECS, TOPK)
+    # motif surface: open feed-forward triads — the same joins the
+    # pattern compiler emits, spelled as NOT EXISTS for the negation
+    sql["motif_open_triads"] = (
+        "WITH "
+        + EDGES_CTES.strip()
+        + " SELECT e1.src AS a, e1.dst AS b, e2.dst AS c"
+        " FROM edges e1 JOIN edges e2 ON e2.src = e1.dst"
+        " WHERE e1.src != e2.dst AND NOT EXISTS ("
+        "  SELECT 1 FROM edges e3"
+        "  WHERE e3.src = e1.src AND e3.dst = e2.dst)"
+    )
     # MinHash-LSH / SimHash: portable md5-digit hashing makes the whole
     # pipeline integer-exact in both engines; params mirror
     # _q_minhash_lsh / _q_simhash / _q_simhash_pairs

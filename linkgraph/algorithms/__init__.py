@@ -42,6 +42,7 @@ from .stats import (
 from .walks import node2vec_walks, random_walks
 from .wl import wl_class_sizes, wl_refinement
 from .temporal import temporal_earliest_arrival
+from .motif_match import motif_find
 from .cliques import local_maximal_cliques, maximum_cliques
 
 __all__ = [
@@ -69,6 +70,7 @@ __all__ = [
     "wl_class_sizes",
     "wl_refinement",
     "temporal_earliest_arrival",
+    "motif_find",
     "local_maximal_cliques",
     "maximum_cliques",
     "closed_triad_census",

@@ -56,7 +56,7 @@ def _build_parser() -> argparse.ArgumentParser:
             "closeness", "knn-degree", "rich-club",
             "canonical", "skipgram", "sgns",
             "louvain", "katz", "eigenvector", "triads", "triads-full", "effdiam", "dupgrams", "sweep",
-            "wl", "temporal",
+            "wl", "temporal", "motif",
         ],
     )
     src = p.add_argument_group("input (exactly one)")
@@ -114,6 +114,12 @@ def _build_parser() -> argparse.ArgumentParser:
     p.add_argument("--alpha", type=float, default=0.05,
                    help="katz: attenuation factor (must be < 1/lambda_max "
                    "for the infinite series; any value in fixed-updates mode)")
+    p.add_argument("--pattern", default=None,
+                   help='motif: pattern string, e.g. "(a)-[]->(b); !(b)-[]->(a)"')
+    p.add_argument("--where", default=None,
+                   help="motif: SQL predicate over pattern variables")
+    p.add_argument("--max-degree", type=int, default=None,
+                   help="motif: exclude vertices above this total degree")
     p.add_argument("--rounds", type=int, default=3,
                    help="louvain: synchronous greedy-move rounds")
     p.add_argument("--min-common", type=int, default=2,
@@ -557,6 +563,17 @@ def main(argv: list[str] | None = None) -> None:
             edges,
             updates=args.fixed_updates or 6,
             **common,
+        )
+    elif args.algorithm == "motif":
+        from linkgraph.algorithms.motif_match import motif_find
+
+        if not args.pattern:
+            raise SystemExit("motif requires --pattern")
+        out = motif_find(
+            edges,
+            args.pattern,
+            where=args.where,
+            max_degree=args.max_degree,
         )
     elif args.algorithm == "temporal":
         from linkgraph.algorithms.temporal import temporal_earliest_arrival
