@@ -129,6 +129,9 @@ N_QUERY_VECS = 5
 PQ_M = 4
 PQ_KS = 8
 PQ_ITERS = 4
+# RAG chunking: window / overlap in whitespace tokens
+CHUNK_SIZE = 32
+CHUNK_OVERLAP = 8
 TFIDF_TOPK = 3
 # BM25 retrieval: query bag from the synthetic vocabulary; k1/b are the
 # Robertson defaults, shared verbatim with the oracle expression
@@ -2381,6 +2384,18 @@ def _q_ivf_topk(spark, sf):
     return ivf_cosine_topk(emb, queries, k=TOPK, n_clusters=8, n_probe=4)
 
 
+def _q_chunk_documents(spark, sf):
+    """RAG-corpus chunking: sliding CHUNK_SIZE-token windows with
+    CHUNK_OVERLAP shared tokens (pipeline/packing.chunk_documents) —
+    one scan, exact integer window arithmetic, chunk text string-equal
+    across engines."""
+    from linkgraph.pipeline.packing import chunk_documents
+
+    return chunk_documents(
+        load_documents(spark, sf), chunk_size=CHUNK_SIZE, overlap=CHUNK_OVERLAP
+    )
+
+
 def _q_motif_open_triads(spark, sf):
     """The general motif query surface: feed-forward OPEN triads
     (a->b->c with no closing a->c edge, a != c) via the declarative
@@ -2524,6 +2539,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_ivf_topk": _q_ivf_topk,
         "embedding_pq_topk": _q_pq_topk,
         "motif_open_triads": _q_motif_open_triads,
+        "chunk_documents": _q_chunk_documents,
         "multimodal_features": _q_multimodal,
         "multimodal_raw_decode": _q_multimodal_raw,
         "graph_sample": _q_graph_sample,
@@ -4686,6 +4702,26 @@ def oracle_sql() -> dict[str, str]:
     sql["embedding_ivf_topk"] = _ivf_sql(8, 5, 4, N_QUERY_VECS, TOPK)
     # product quantization: per-subspace unrolled k-means + ADC scan
     sql["embedding_pq_topk"] = _pq_sql(64, PQ_M, PQ_KS, PQ_ITERS, N_QUERY_VECS, TOPK)
+    # RAG chunking: generate_series windows over the token list; slice
+    # arithmetic mirrors packing.chunk_documents exactly
+    _stride = CHUNK_SIZE - CHUNK_OVERLAP
+    sql["chunk_documents"] = (
+        "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks"
+        " FROM documents),"
+        " b AS (SELECT doc_id, toks, len(toks) AS n FROM t),"
+        " c AS (SELECT doc_id, toks, n, unnest(generate_series(0,"
+        f"  CASE WHEN n <= {CHUNK_SIZE} THEN 0"
+        f"  ELSE ((n - {CHUNK_SIZE}) + {_stride} - 1) // {_stride} END))"
+        "  AS chunk_id FROM b)"
+        f" SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,"
+        f" CAST(chunk_id * {_stride} AS BIGINT) AS start,"
+        f" CAST(LEAST({CHUNK_SIZE}, n - chunk_id * {_stride}) AS BIGINT)"
+        f" AS n_tokens,"
+        f" array_to_string(toks[chunk_id * {_stride} + 1 :"
+        f"  chunk_id * {_stride} + LEAST({CHUNK_SIZE}, n - chunk_id * {_stride})],"
+        f"  ' ') AS chunk_text"
+        " FROM c"
+    )
     # motif surface: open feed-forward triads — the same joins the
     # pattern compiler emits, spelled as NOT EXISTS for the negation
     sql["motif_open_triads"] = (

@@ -30,7 +30,7 @@ from .textstats import (
 )
 from .cooccur import token_cooccurrence
 from .embed_eval import linkpred_auc, negative_pairs
-from .packing import pack_sequences
+from .packing import chunk_documents, pack_sequences
 from .sample import proportional_sample, stratified_sample, weighted_sample
 from .sessions import sessionize_events
 from .sketches import cms_probe_counts, cms_sketch, kmv_distinct_tokens
@@ -75,6 +75,7 @@ __all__ = [
     "proportional_sample",
     "linkpred_auc",
     "negative_pairs",
+    "chunk_documents",
     "pack_sequences",
     "token_cooccurrence",
     "cosine_topk",

@@ -114,3 +114,65 @@ def pack_sequences(
         .cast("long")
         .alias("n_spans"),
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_size: int = 64,
+    overlap: int = 16,
+    id_col: str = "doc_id",
+    include_text: bool = True,
+) -> DataFrame:
+    """Sliding-window document chunking — the retrieval/embedding-index
+    sibling of :func:`pack_sequences`: each document is cut into
+    windows of ``chunk_size`` whitespace tokens with ``overlap`` tokens
+    shared between consecutive windows (stride = chunk_size - overlap),
+    the standard RAG-corpus preparation.
+
+    Returns (id_col, chunk_id, start, n_tokens[, chunk_text]) — chunk
+    ``i`` covers tokens [i*stride, i*stride + n_tokens); the last
+    chunk is short rather than padded, and a document shorter than one
+    window yields exactly one chunk. n_chunks =
+    1 + ceil(max(0, n - chunk_size) / stride), so every token is
+    covered and no fully-redundant trailing window is emitted.
+
+    Shape: one projection + explode over the token array — a single
+    scan, no shuffle, no Python; all arithmetic integer so the driver
+    gate hash-matches, and the chunk text itself is an exact
+    ``array_join`` over the token slice (string-equal across engines).
+    """
+    if chunk_size < 1:
+        raise ValueError("chunk_size must be >= 1")
+    if not 0 <= overlap < chunk_size:
+        raise ValueError("overlap must be in [0, chunk_size)")
+    stride = chunk_size - overlap
+    base = docs.select(
+        F.col(id_col), F.split(F.col("text"), " ").alias("_toks")
+    ).select(
+        id_col, "_toks", F.size("_toks").cast("long").alias("_n")
+    )
+    chunks = base.select(
+        id_col,
+        "_toks",
+        "_n",
+        F.explode(
+            F.expr(
+                f"sequence(0, CASE WHEN _n <= {chunk_size} THEN 0"
+                f" ELSE ((_n - {chunk_size}) + {stride} - 1) DIV {stride} END)"
+            )
+        ).alias("chunk_id"),
+    ).select(
+        id_col,
+        "chunk_id",
+        (F.col("chunk_id") * stride).alias("start"),
+        F.least(F.lit(chunk_size), F.col("_n") - F.col("chunk_id") * stride)
+        .cast("long")
+        .alias("n_tokens"),
+        "_toks",
+    )
+    if include_text:
+        chunks = chunks.withColumn(
+            "chunk_text",
+            F.expr(f"array_join(slice(_toks, start + 1, n_tokens), ' ')"),
+        )
+    return chunks.drop("_toks")

@@ -275,7 +275,7 @@ def pq_topk(
     Returns (qid, vec_id, dist) — dist ascending squared-L2, rounded
     to ``round_to`` BEFORE ranking, ties to the lowest vec_id.
     """
-    from ..imru import kmeans
+    from ..imru import imru_run
 
     if queries is None:
         queries = embeddings
@@ -287,14 +287,48 @@ def pq_topk(
     corpus = embeddings.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    books = []  # m codebooks, each (ks, sub)
-    for s in range(m):
-        sdf = corpus.select(
-            "vec_id", F.expr(f"slice(v, {s * sub + 1}, {sub})").alias("features")
-        )
-        res = kmeans(sdf, k=ks, max_iterations=kmeans_iterations)
-        books.append(np.asarray(res.model, dtype=np.float64))
-    codebooks = np.stack(books)  # (m, ks, sub)
+    # all m sub-codebooks train in ONE fused IMRU loop — the subspaces'
+    # Lloyd updates are independent, so one corpus pass per iteration
+    # carries all m (ks x sub) partial sums instead of m separate loops
+    # re-scanning the corpus (identical centers: same init rule, same
+    # argmin ties, per-subspace fixpoints are no-ops once reached)
+    first = corpus.orderBy("vec_id").limit(ks).select("v").collect()
+    init = np.stack(
+        [
+            np.array([list(r["v"])[s * sub : (s + 1) * sub] for r in first])
+            for s in range(m)
+        ]
+    )  # (m, ks, sub)
+
+    def _map(pdf: pd.DataFrame, model: np.ndarray):
+        x = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+        sums = np.zeros_like(model)
+        counts = np.zeros((m, ks), dtype=np.int64)
+        for s in range(m):
+            xs = x[:, s * sub : (s + 1) * sub]
+            d = ((xs[:, None, :] - model[s][None, :, :]) ** 2).sum(axis=2)
+            a = d.argmin(axis=1)
+            np.add.at(sums[s], a, xs)
+            np.add.at(counts[s], a, 1)
+        return sums, counts
+
+    def _update(model: np.ndarray, red):
+        sums, counts = red
+        new = model.copy()
+        nz = counts > 0
+        new[nz] = sums[nz] / counts[nz][:, None]
+        return new
+
+    res = imru_run(
+        corpus,
+        _map,
+        lambda a, b: (a[0] + b[0], a[1] + b[1]),
+        _update,
+        init,
+        max_iterations=kmeans_iterations,
+        should_terminate=lambda old, new, it: float(np.abs(new - old).sum()) <= 1e-9,
+    )
+    codebooks = np.asarray(res.model, dtype=np.float64)  # (m, ks, sub)
 
     @pandas_udf(T.ArrayType(T.IntegerType()))
     def encode_udf(embs: pd.Series) -> pd.Series:
