@@ -2384,6 +2384,21 @@ def _q_ivf_topk(spark, sf):
     return ivf_cosine_topk(emb, queries, k=TOPK, n_clusters=8, n_probe=4)
 
 
+def _q_graph_delta(spark, sf):
+    """Snapshot diff: per-vertex degree deltas between the document
+    graph and a derivable perturbation of it (drop edges with
+    (src+dst)%17==0, add reversed edges with (src*7+dst)%23==0) — the
+    warm-restart activation frontier (algorithms/diff.py)."""
+    from linkgraph.algorithms.diff import vertex_delta
+
+    old = document_edges(spark, sf)
+    kept = old.filter((F.col("src") + F.col("dst")) % 17 != 0)
+    flipped = old.filter((F.col("src") * 7 + F.col("dst")) % 23 == 0).select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    )
+    return vertex_delta(old, kept.unionByName(flipped))
+
+
 def _q_chunk_documents(spark, sf):
     """RAG-corpus chunking: sliding CHUNK_SIZE-token windows with
     CHUNK_OVERLAP shared tokens (pipeline/packing.chunk_documents) —
@@ -2540,6 +2555,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_pq_topk": _q_pq_topk,
         "motif_open_triads": _q_motif_open_triads,
         "chunk_documents": _q_chunk_documents,
+        "graph_delta": _q_graph_delta,
         "multimodal_features": _q_multimodal,
         "multimodal_raw_decode": _q_multimodal_raw,
         "graph_sample": _q_graph_sample,
@@ -4702,6 +4718,29 @@ def oracle_sql() -> dict[str, str]:
     sql["embedding_ivf_topk"] = _ivf_sql(8, 5, 4, N_QUERY_VECS, TOPK)
     # product quantization: per-subspace unrolled k-means + ADC scan
     sql["embedding_pq_topk"] = _pq_sql(64, PQ_M, PQ_KS, PQ_ITERS, N_QUERY_VECS, TOPK)
+    # snapshot diff: the same perturbation + anti-joins + degree deltas
+    sql["graph_delta"] = (
+        "WITH "
+        + EDGES_CTES.strip()
+        + ", nw AS (SELECT src, dst FROM edges WHERE (src + dst) % 17 != 0"
+        "   UNION SELECT dst AS src, src AS dst FROM edges"
+        "   WHERE (src*7 + dst) % 23 = 0),"
+        " dd AS ("
+        "  SELECT n.src, n.dst, 1 AS sgn FROM nw n"
+        "  WHERE NOT EXISTS (SELECT 1 FROM edges o"
+        "   WHERE o.src = n.src AND o.dst = n.dst)"
+        "  UNION ALL"
+        "  SELECT o.src, o.dst, -1 AS sgn FROM edges o"
+        "  WHERE NOT EXISTS (SELECT 1 FROM nw n"
+        "   WHERE n.src = o.src AND n.dst = o.dst)),"
+        " oo AS (SELECT src AS id, SUM(sgn) AS d_out FROM dd GROUP BY src),"
+        " ii AS (SELECT dst AS id, SUM(sgn) AS d_in FROM dd GROUP BY dst)"
+        " SELECT COALESCE(oo.id, ii.id) AS id,"
+        " CAST(COALESCE(d_out, 0) AS BIGINT) AS d_out,"
+        " CAST(COALESCE(d_in, 0) AS BIGINT) AS d_in"
+        " FROM oo FULL OUTER JOIN ii ON oo.id = ii.id"
+        " WHERE COALESCE(d_out, 0) != 0 OR COALESCE(d_in, 0) != 0"
+    )
     # RAG chunking: generate_series windows over the token list; slice
     # arithmetic mirrors packing.chunk_documents exactly
     _stride = CHUNK_SIZE - CHUNK_OVERLAP

@@ -43,6 +43,7 @@ from .walks import node2vec_walks, random_walks
 from .wl import wl_class_sizes, wl_refinement
 from .temporal import temporal_earliest_arrival
 from .motif_match import motif_find
+from .diff import edge_diff, vertex_delta
 from .cliques import local_maximal_cliques, maximum_cliques
 
 __all__ = [
@@ -71,6 +72,8 @@ __all__ = [
     "wl_refinement",
     "temporal_earliest_arrival",
     "motif_find",
+    "edge_diff",
+    "vertex_delta",
     "local_maximal_cliques",
     "maximum_cliques",
     "closed_triad_census",
