@@ -35,3 +35,31 @@ class TestGraphDiff:
         n = spark.createDataFrame([(0, 1), (0, 2), (0, 2)], "src long, dst long")
         got = {(r["src"], r["dst"], r["op"]) for r in edge_diff(o, n).collect()}
         assert got == {(0, 2, "add")}
+
+
+class TestDiffDrivenWarmRestart:
+    def test_delta_frontier_resumes_cc(self, spark):
+        """Composition: edge_diff/vertex_delta feed a CC warm restart —
+        the frontier is exactly the changed vertices, and the resumed
+        run matches a cold run on the new snapshot in fewer supersteps."""
+        from linkgraph import connected_components
+        from linkgraph.algorithms.diff import vertex_delta
+
+        # two long paths, then a bridge edge arrives between them
+        old_edges = [(i, i + 1) for i in range(0, 9)] + [
+            (i, i + 1) for i in range(10, 19)
+        ]
+        new_edges = old_edges + [(4, 14)]
+        o = spark.createDataFrame(old_edges, "src long, dst long")
+        n = spark.createDataFrame(new_edges, "src long, dst long")
+
+        cold_labels, cold = connected_components(n)
+        prev, _ = connected_components(o)
+        frontier = vertex_delta(o, n).select("id")
+        warm_labels, warm = connected_components(
+            n, init_labels=prev, initial_active=frontier
+        )
+        assert {(r["id"], r["component"]) for r in warm_labels.collect()} == {
+            (r["id"], r["component"]) for r in cold_labels.collect()
+        }
+        assert warm.supersteps < cold.supersteps
