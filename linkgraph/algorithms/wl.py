@@ -50,6 +50,7 @@ from pyspark.sql import functions as F
 from ..graph import choose_partitions
 from ..partitioning import symmetrize
 from ..phash import md5_digits_spark_sql as _md5_digits_spark_sql
+from ..superstep import iteration_conf, local_checkpoint_fresh_stats
 
 WL_DIGITS = 14  # md5 hex digits per portable label (56 bits, BIGINT-exact)
 
@@ -76,7 +77,9 @@ def wl_refinement(
     if rounds < 1:
         raise ValueError("rounds must be >= 1")
     p = choose_partitions(edges, lambda: edges.count(), num_partitions)
-    sym = symmetrize(edges).repartition(p, "src").persist()
+    with iteration_conf(edges.sparkSession, p):
+        sym = symmetrize(edges).repartition(p, "src").persist()
+        sym.count()
     verts = (
         vertices.select("id")
         if vertices is not None
@@ -105,7 +108,10 @@ def wl_refinement(
         )
         nxt = f"wl{k}"
         sig = f"concat(CAST({cur} AS STRING), ':', coalesce(_nb, ''))"
-        state = (
+        # state feeds both the gather and the label join, so without a
+        # cut the plan tree doubles per round — checkpoint each round
+        # (fresh stats, the house loop rule)
+        state = local_checkpoint_fresh_stats(
             state.join(nbr, "id", "left")
             .withColumn(nxt, F.expr(_wl_hash_spark(sig, portable)))
             .drop("_nb")
