@@ -2384,6 +2384,23 @@ def _q_ivf_topk(spark, sf):
     return ivf_cosine_topk(emb, queries, k=TOPK, n_clusters=8, n_probe=4)
 
 
+def _q_motif_time_chains(spark, sf):
+    """Temporal motifs via NAMED pattern edges: time-respecting 2-chains
+    a-e1->b-e2->c with e2.t >= e1.t over the derivable timestamps —
+    edge attributes ride the match as e1_t/e2_t columns, temporal order
+    is one where-clause (algorithms/motif_match.py named-edge tier)."""
+    from linkgraph.algorithms.motif_match import motif_find
+
+    tedges = document_edges(spark, sf).withColumn(
+        "t", ((F.col("src") * 13 + F.col("dst") * 7) % 97).cast("long")
+    )
+    return motif_find(
+        tedges,
+        "(a)-[e1]->(b); (b)-[e2]->(c)",
+        where="e2_t >= e1_t AND a != c",
+    )
+
+
 def _q_graph_delta(spark, sf):
     """Snapshot diff: per-vertex degree deltas between the document
     graph and a derivable perturbation of it (drop edges with
@@ -2556,6 +2573,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "motif_open_triads": _q_motif_open_triads,
         "chunk_documents": _q_chunk_documents,
         "graph_delta": _q_graph_delta,
+        "motif_time_chains": _q_motif_time_chains,
         "multimodal_features": _q_multimodal,
         "multimodal_raw_decode": _q_multimodal_raw,
         "graph_sample": _q_graph_sample,
@@ -4718,6 +4736,17 @@ def oracle_sql() -> dict[str, str]:
     sql["embedding_ivf_topk"] = _ivf_sql(8, 5, 4, N_QUERY_VECS, TOPK)
     # product quantization: per-subspace unrolled k-means + ADC scan
     sql["embedding_pq_topk"] = _pq_sql(64, PQ_M, PQ_KS, PQ_ITERS, N_QUERY_VECS, TOPK)
+    # temporal motifs: timed 2-chains over the derivable timestamps
+    sql["motif_time_chains"] = (
+        "WITH "
+        + EDGES_CTES.strip()
+        + ", te AS (SELECT src, dst,"
+        " CAST((src*13 + dst*7) % 97 AS BIGINT) AS t FROM edges)"
+        " SELECT e1.src AS a, e1.dst AS b, e2.dst AS c,"
+        " e1.t AS e1_t, e2.t AS e2_t"
+        " FROM te e1 JOIN te e2 ON e2.src = e1.dst"
+        " WHERE e2.t >= e1.t AND e1.src != e2.dst"
+    )
     # snapshot diff: the same perturbation + anti-joins + degree deltas
     sql["graph_delta"] = (
         "WITH "

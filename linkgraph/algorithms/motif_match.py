@@ -15,13 +15,25 @@ pattern to a chain of DataFrame equi-joins + left-anti joins, so
 Catalyst owns join order/strategy and every match step is a plain
 shuffled hash join on bound variables.
 
+Edges can be NAMED — ``(a)-[e1]->(b)`` — which exposes every
+non-src/dst column of the edge relation as ``e1_<col>`` output columns
+and, crucially, makes edge MULTIPLICITY matter: a named term matches
+each distinct attributed edge occurrence, so temporal-graph motifs are
+one ``where`` clause away:
+
+    motif_find(tedges, "(a)-[e1]->(b); (b)-[e2]->(c)",
+               where="e2_t >= e1_t")      # time-respecting 2-chain
+
+Unnamed terms keep pure existence semantics (the pair-distinct edge
+relation), and negations always test pair existence.
+
 Semantics (GraphFrames-compatible):
 - named variables unify: the same name in two terms is the same vertex;
 - DISTINCT names are NOT implicitly distinct vertices — add explicit
   inequality via ``where`` (e.g. ``"a != c"``);
-- edges are deduplicated first, and each positive term consumes one
-  edge, so bindings are exact multiplicity-one rows (no DISTINCT pass
-  needed).
+- each positive term consumes one edge (pair-distinct if unnamed,
+  row-distinct if named), so bindings are exact multiplicity-one rows
+  (no DISTINCT pass needed).
 
 Scale notes: every positive term after the first must share >= 1
 variable with the already-bound set — a term that shares none is a
@@ -42,7 +54,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-_TERM_RE = re.compile(r"^(!?)\((\w+)\)-\[\]->\((\w+)\)$")
+_TERM_RE = re.compile(r"^(!?)\((\w+)\)-\[(\w*)\]->\((\w+)\)$")
 
 
 @dataclass(frozen=True)
@@ -50,12 +62,15 @@ class _Term:
     neg: bool
     a: str
     b: str
+    ename: str = ""
 
 
 def parse_pattern(pattern: str) -> list[_Term]:
-    """Parse "; "-separated terms of the form ``(x)-[]->(y)`` or
-    ``!(x)-[]->(y)``. Raises ValueError on malformed input."""
+    """Parse "; "-separated terms of the form ``(x)-[]->(y)``,
+    ``(x)-[e1]->(y)`` (named edge), or ``!(x)-[]->(y)`` (negation).
+    Raises ValueError on malformed input."""
     terms = []
+    names = set()
     for raw in pattern.split(";"):
         raw = raw.strip()
         if not raw:
@@ -63,12 +78,21 @@ def parse_pattern(pattern: str) -> list[_Term]:
         m = _TERM_RE.match(raw)
         if not m:
             raise ValueError(f"malformed motif term: {raw!r}")
-        neg, a, b = m.groups()
+        neg, a, ename, b = m.groups()
         if a == b:
             raise ValueError(f"self-loop term not supported: {raw!r}")
-        terms.append(_Term(neg=bool(neg), a=a, b=b))
+        if neg and ename:
+            raise ValueError(f"negated term cannot name its edge: {raw!r}")
+        if ename:
+            if ename in names:
+                raise ValueError(f"duplicate edge name: {ename!r}")
+            names.add(ename)
+        terms.append(_Term(neg=bool(neg), a=a, b=b, ename=ename))
     if not any(not t.neg for t in terms):
         raise ValueError("pattern needs at least one positive term")
+    vnames = {t.a for t in terms} | {t.b for t in terms}
+    if vnames & names:
+        raise ValueError("edge names must not collide with vertex names")
     return terms
 
 
@@ -88,7 +112,12 @@ def motif_find(
     ``max_degree`` hub cap.
     """
     terms = parse_pattern(pattern)
+    attrs = [c for c in edges.columns if c not in ("src", "dst")]
+    named = any(t.ename for t in terms)
+    # pair-distinct relation for existence semantics; full-row distinct
+    # only when a named term actually needs edge attributes
     e = edges.select("src", "dst").distinct()
+    ea = edges.select("src", "dst", *attrs).distinct() if named and attrs else e
     if max_degree is not None:
         deg = (
             e.select(F.col("src").alias("id"))
@@ -103,12 +132,20 @@ def motif_find(
             .join(deg.withColumnRenamed("id", "dst"), "dst", "left_semi")
             .select("src", "dst")
         )
+        if ea is not e:
+            ea = ea.join(e, ["src", "dst"], "left_semi")
     pos = [t for t in terms if not t.neg]
     neg = [t for t in terms if t.neg]
     if len(pos) + len(neg) > 1:
         e = e.persist()
 
     def term_df(t: _Term) -> DataFrame:
+        if t.ename:
+            return ea.select(
+                F.col("src").alias(t.a),
+                F.col("dst").alias(t.b),
+                *[F.col(c).alias(f"{t.ename}_{c}") for c in attrs],
+            )
         return e.select(F.col("src").alias(t.a), F.col("dst").alias(t.b))
 
     out = term_df(pos[0])
@@ -143,4 +180,7 @@ def motif_find(
         out = out.join(term_df(t), on=[t.a, t.b], how="left_anti")
     if where:
         out = out.filter(where)
-    return out.select(*sorted(bound))
+    ecols = sorted(
+        f"{t.ename}_{c}" for t in pos if t.ename for c in attrs
+    )
+    return out.select(*sorted(bound), *ecols)

@@ -91,3 +91,57 @@ class TestMotifMatch:
         e = spark.createDataFrame(EDGES, "src long, dst long")
         with pytest.raises(ValueError, match="unbound"):
             motif_find(e, "(a)-[]->(b); !(a)-[]->(z)")
+
+
+class TestNamedEdges:
+    TEDGES = [
+        (0, 1, 5), (1, 2, 7), (1, 2, 3),   # (1,2) recurs at two times
+        (2, 3, 9), (0, 2, 1),
+    ]
+
+    def _tdf(self, spark):
+        return spark.createDataFrame(self.TEDGES, "src long, dst long, t long")
+
+    def test_named_edge_exposes_attrs_and_multiplicity(self, spark):
+        df = motif_find(self._tdf(spark), "(a)-[e1]->(b)")
+        got = {(r["a"], r["b"], r["e1_t"]) for r in df.collect()}
+        assert got == set(self.TEDGES)
+        assert sorted(df.columns) == ["a", "b", "e1_t"]
+
+    def test_time_respecting_chain(self, spark):
+        df = motif_find(
+            self._tdf(spark),
+            "(a)-[e1]->(b); (b)-[e2]->(c)",
+            where="e2_t >= e1_t",
+        )
+        got = {(r["a"], r["b"], r["c"], r["e1_t"], r["e2_t"]) for r in df.collect()}
+        exp = {
+            (a, b1, c, t1, t2)
+            for (a, b1, t1) in self.TEDGES
+            for (b2, c, t2) in self.TEDGES
+            if b1 == b2 and t2 >= t1
+        }
+        assert got == exp
+        # the out-of-order occurrence (1,2,@3) after (0,1,@5) is excluded
+        assert (0, 1, 2, 5, 3) not in got and (0, 1, 2, 5, 7) in got
+
+    def test_unnamed_terms_keep_existence_semantics(self, spark):
+        # unnamed: the duplicated (1,2) pair matches once
+        df = motif_find(self._tdf(spark), "(a)-[]->(b)")
+        assert df.count() == 4
+
+    def test_mixing_named_and_negated(self, spark):
+        df = motif_find(
+            self._tdf(spark), "(a)-[e1]->(b); !(b)-[]->(a)"
+        )
+        assert df.count() == len(self.TEDGES)  # no reciprocal edges exist
+
+    def test_rejects_named_negation_and_collisions(self):
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="negated term cannot name"):
+            parse_pattern("(a)-[]->(b); !(a)-[e]->(b)")
+        with _pytest.raises(ValueError, match="duplicate edge name"):
+            parse_pattern("(a)-[e]->(b); (b)-[e]->(c)")
+        with _pytest.raises(ValueError, match="collide"):
+            parse_pattern("(a)-[b]->(b)")
