@@ -2136,6 +2136,94 @@ def _louvain_sql(rounds: int) -> str:
     return "".join(parts)
 
 
+def _louvain_round_ctes(lvl: str, rel: str, rounds: int) -> str:
+    """Weighted synchronous-move round CTEs over relation ``rel``
+    (src, dst, w; self rows allowed) starting from ``{lvl}lab0`` — the
+    _louvain_sql recurrence generalized to SUM(w) gathers with self
+    rows excluded from edge-to-community weights (they move with the
+    vertex, algorithms/louvain.py)."""
+    parts = [
+        f", {lvl}vdeg AS (SELECT src AS id, SUM(w) AS deg FROM {rel}"
+        f"  GROUP BY src)"
+    ]
+    for k in range(rounds):
+        cmp_dir = "<" if k % 2 == 0 else ">"
+        tie = "ASC" if k % 2 == 0 else "DESC"
+        parts.append(
+            f", {lvl}vol{k} AS MATERIALIZED (SELECT l.community,"
+            f"   SUM(d.deg) AS vol"
+            f"   FROM {lvl}lab{k} l JOIN {lvl}vdeg d USING (id) GROUP BY 1)"
+            f", {lvl}evc{k} AS MATERIALIZED (SELECT s.src AS id,"
+            f"   l.community AS c2, SUM(s.w) AS e"
+            f"   FROM {rel} s JOIN {lvl}lab{k} l ON l.id = s.dst"
+            f"   WHERE s.src != s.dst GROUP BY 1, 2)"
+            f", {lvl}cur{k} AS MATERIALIZED (SELECT l.id, l.community AS a,"
+            f"   COALESCE(d.deg, 0) AS deg_v,"
+            f"   COALESCE(v.vol, 0) - COALESCE(d.deg, 0) AS vol_rest,"
+            f"   COALESCE(ea.e, 0) AS e_a"
+            f"   FROM {lvl}lab{k} l LEFT JOIN {lvl}vdeg d USING (id)"
+            f"   LEFT JOIN {lvl}vol{k} v ON v.community = l.community"
+            f"   LEFT JOIN {lvl}evc{k} ea ON ea.id = l.id"
+            f"    AND ea.c2 = l.community)"
+            f", {lvl}cand{k} AS MATERIALIZED (SELECT e.id, c.a, e.c2,"
+            f"   (SELECT m2 FROM twom) * (e.e - c.e_a)"
+            f"   - CAST(c.deg_v AS HUGEINT) * (v.vol - c.vol_rest) AS score"
+            f"   FROM {lvl}evc{k} e JOIN {lvl}cur{k} c ON c.id = e.id"
+            f"   JOIN {lvl}vol{k} v ON v.community = e.c2"
+            f"   WHERE e.c2 {cmp_dir} c.a)"
+            f", {lvl}best{k} AS (SELECT id, score, c2 AS c_new FROM ("
+            f"   SELECT {lvl}cand{k}.*, ROW_NUMBER() OVER (PARTITION BY id"
+            f"    ORDER BY score DESC, c2 {tie}) AS rn FROM {lvl}cand{k})"
+            f"   WHERE rn = 1)"
+            f", {lvl}lab{k + 1} AS MATERIALIZED (SELECT l.id,"
+            f"   CASE WHEN b.score > 0 THEN b.c_new ELSE l.community END"
+            f"   AS community FROM {lvl}lab{k} l"
+            f"   LEFT JOIN {lvl}best{k} b ON b.id = l.id)"
+        )
+    return "".join(parts)
+
+
+def _louvain_ml_sql(rounds: int) -> str:
+    """Unrolled TWO-level Louvain: level-1 weighted rounds over the
+    w = 1 symmetric relation, one contraction aggregate (intra weight
+    on self rows), level-2 rounds over the contracted relation, final
+    down-mapping — 2m shared across levels (contraction preserves total
+    weight)."""
+    parts = [
+        "WITH " + EDGES_CTES.strip() + "," + SYM_CTE.strip() + ",",
+        " ws1 AS (SELECT src, dst, CAST(1 AS BIGINT) AS w FROM sym),",
+        " twom AS (SELECT CAST(SUM(w) AS HUGEINT) AS m2 FROM ws1),",
+        " L1lab0 AS (SELECT doc_id AS id, doc_id AS community FROM documents)",
+        _louvain_round_ctes("L1", "ws1", rounds),
+        f", ws2 AS MATERIALIZED (SELECT la.community AS src,"
+        f"  lb.community AS dst, SUM(s.w) AS w"
+        f"  FROM ws1 s JOIN L1lab{rounds} la ON la.id = s.src"
+        f"  JOIN L1lab{rounds} lb ON lb.id = s.dst GROUP BY 1, 2)",
+        f", L2lab0 AS (SELECT DISTINCT community AS id, community"
+        f"  FROM L1lab{rounds})",
+        _louvain_round_ctes("L2", "ws2", rounds),
+        f" SELECT f.id, f.community AS c1, t.community AS c2,"
+        f" t.community AS community"
+        f" FROM L1lab{rounds} f JOIN L2lab{rounds} t ON t.id = f.community",
+    ]
+    return "".join(parts)
+
+
+def _q_louvain_hierarchy(spark, sf):
+    """Full multi-level Louvain: two move phases with one contraction
+    between them (algorithms/louvain.louvain_multilevel) — per-level
+    and final labels per original vertex, all exact-integer gains under
+    the shared 2m."""
+    from linkgraph.algorithms.louvain import louvain_multilevel
+
+    return louvain_multilevel(
+        document_edges(spark, sf),
+        levels=2,
+        rounds=LOUVAIN_ROUNDS,
+        vertices=document_vertices(spark, sf),
+    )
+
+
 def _q_landmarks(spark, sf):
     """Landmark distance labels: ONE composite-key BFS from the top-4
     degree pivots of the symmetrized doc graph, hop-bounded at LM_HOPS
@@ -2589,6 +2677,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rectangle_count": _q_rectangles,
         "landmark_distances": _q_landmarks,
         "louvain_communities": _q_louvain,
+        "louvain_hierarchy": _q_louvain_hierarchy,
         "neighborhood_minhash_pairs": _q_structsim,
         "cocitation_pairs": _q_cocitation,
         "bibliographic_coupling": _q_coupling,
@@ -4631,6 +4720,7 @@ def oracle_sql() -> dict[str, str]:
     sql["rectangle_count"] = _rectangles_sql()
     sql["landmark_distances"] = _landmarks_sql()
     sql["louvain_communities"] = _louvain_sql(LOUVAIN_ROUNDS)
+    sql["louvain_hierarchy"] = _louvain_ml_sql(LOUVAIN_ROUNDS)
     sql["neighborhood_minhash_pairs"] = _structsim_sql()
     sql["sgns_linkpred_auc"] = _sgns_auc_sql()
     sql["cocitation_pairs"] = _cocitation_sql("src", "dst")

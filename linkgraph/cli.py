@@ -56,7 +56,7 @@ def _build_parser() -> argparse.ArgumentParser:
             "closeness", "knn-degree", "rich-club",
             "canonical", "skipgram", "sgns",
             "louvain", "katz", "eigenvector", "triads", "triads-full", "effdiam", "dupgrams", "sweep",
-            "wl", "temporal", "motif",
+            "wl", "temporal", "motif", "louvain-ml",
         ],
     )
     src = p.add_argument_group("input (exactly one)")
@@ -122,6 +122,8 @@ def _build_parser() -> argparse.ArgumentParser:
                    help="motif: exclude vertices above this total degree")
     p.add_argument("--rounds", type=int, default=3,
                    help="louvain: synchronous greedy-move rounds")
+    p.add_argument("--levels", type=int, default=2,
+                   help="louvain-ml: contraction levels")
     p.add_argument("--min-common", type=int, default=2,
                    help="linkpred/cocitation/coupling: minimum shared "
                    "neighbors (centers) per pair")
@@ -604,6 +606,15 @@ def main(argv: list[str] | None = None) -> None:
         from linkgraph.algorithms.motifs import triad_census
 
         out = triad_census(edges)
+    elif args.algorithm == "louvain-ml":
+        from linkgraph.algorithms.louvain import louvain_multilevel
+
+        out = louvain_multilevel(
+            edges,
+            levels=args.levels,
+            rounds=args.rounds,
+            num_partitions=args.num_partitions,
+        )
     elif args.algorithm == "louvain":
         from linkgraph.algorithms.louvain import greedy_modularity_communities
 
