@@ -1400,6 +1400,15 @@ def _q_kmv_sketch(spark, sf):
     return kmv_distinct_tokens(load_documents(spark, sf), k=KMV_K)
 
 
+def _q_kmv_by_lang(spark, sf):
+    """Per-language KMV distinct-token estimates — one bottom-k sketch
+    per group via a WindowGroupLimit-pushed rank window; one row per
+    language regardless of corpus size."""
+    from linkgraph.pipeline.sketches import kmv_distinct_by
+
+    return kmv_distinct_by(load_documents(spark, sf), group_col="lang", k=KMV_K)
+
+
 def _q_cms_probe(spark, sf):
     """Count-min-sketch point queries for CMS_PROBES: fixed-size
     sketch (depth x width counters, map-side partial agg) + broadcast
@@ -2489,6 +2498,21 @@ def _q_motif_time_chains(spark, sf):
     )
 
 
+def _q_partition_report(spark, sf):
+    """Partition-quality introspection: per-partition vertex/edge
+    balance + cut edges of the md5-coin hash assignment over the doc
+    graph (algorithms/partition_stats.py) — the meter for sizing
+    num_partitions and judging placement changes."""
+    from linkgraph.algorithms.partition_stats import partition_quality
+
+    return partition_quality(
+        document_edges(spark, sf),
+        n_parts=8,
+        vertices=document_vertices(spark, sf),
+        portable=True,
+    )
+
+
 def _q_graph_delta(spark, sf):
     """Snapshot diff: per-vertex degree deltas between the document
     graph and a derivable perturbation of it (drop edges with
@@ -2651,6 +2675,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode_counts": _q_bpe_encode_counts,
         "collocations": _q_collocations,
         "distinct_token_sketch": _q_kmv_sketch,
+        "distinct_tokens_by_lang": _q_kmv_by_lang,
         "cms_token_counts": _q_cms_probe,
         "simhash64": _q_simhash,
         "simhash_pairs": _q_simhash_pairs,
@@ -2662,6 +2687,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": _q_chunk_documents,
         "graph_delta": _q_graph_delta,
         "motif_time_chains": _q_motif_time_chains,
+        "partition_report": _q_partition_report,
         "multimodal_features": _q_multimodal,
         "multimodal_raw_decode": _q_multimodal_raw,
         "graph_sample": _q_graph_sample,
@@ -4826,6 +4852,25 @@ def oracle_sql() -> dict[str, str]:
     sql["embedding_ivf_topk"] = _ivf_sql(8, 5, 4, N_QUERY_VECS, TOPK)
     # product quantization: per-subspace unrolled k-means + ADC scan
     sql["embedding_pq_topk"] = _pq_sql(64, PQ_M, PQ_KS, PQ_ITERS, N_QUERY_VECS, TOPK)
+    # partition report: md5-coin assignment replayed per endpoint
+    from linkgraph.algorithms.partition_stats import partition_coin_sql as _pc
+
+    sql["partition_report"] = (
+        "WITH "
+        + EDGES_CTES.strip()
+        + f", ep AS (SELECT {_pc('src', 8, 42)} AS p,"
+        f"  CASE WHEN {_pc('src', 8, 42)} != {_pc('dst', 8, 42)}"
+        f"  THEN 1 ELSE 0 END AS cut FROM edges),"
+        f" ea AS (SELECT p, COUNT(*) AS n_out_edges, SUM(cut) AS n_cut_edges"
+        f"  FROM ep GROUP BY p),"
+        f" va AS (SELECT {_pc('doc_id', 8, 42)} AS p,"
+        f"  COUNT(*) AS n_vertices FROM documents GROUP BY 1)"
+        " SELECT COALESCE(va.p, ea.p) AS partition,"
+        " CAST(COALESCE(n_vertices, 0) AS BIGINT) AS n_vertices,"
+        " CAST(COALESCE(n_out_edges, 0) AS BIGINT) AS n_out_edges,"
+        " CAST(COALESCE(n_cut_edges, 0) AS BIGINT) AS n_cut_edges"
+        " FROM va FULL OUTER JOIN ea ON va.p = ea.p"
+    )
     # temporal motifs: timed 2-chains over the derivable timestamps
     sql["motif_time_chains"] = (
         "WITH "
@@ -5102,6 +5147,9 @@ def oracle_sql() -> dict[str, str]:
     from linkgraph.pipeline.sketches import kmv_sql
 
     sql["distinct_token_sketch"] = kmv_sql(KMV_K)
+    from linkgraph.pipeline.sketches import kmv_by_sql as _kmv_by_sql
+
+    sql["distinct_tokens_by_lang"] = _kmv_by_sql("lang", KMV_K)
     from linkgraph.pipeline.sketches import cms_probe_sql
 
     sql["cms_token_counts"] = cms_probe_sql(

@@ -44,6 +44,7 @@ from .wl import wl_class_sizes, wl_refinement
 from .temporal import temporal_earliest_arrival
 from .motif_match import motif_find
 from .diff import edge_diff, vertex_delta
+from .partition_stats import partition_quality
 from .cliques import local_maximal_cliques, maximum_cliques
 
 __all__ = [
@@ -74,6 +75,7 @@ __all__ = [
     "motif_find",
     "edge_diff",
     "vertex_delta",
+    "partition_quality",
     "local_maximal_cliques",
     "maximum_cliques",
     "closed_triad_census",

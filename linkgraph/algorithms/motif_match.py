@@ -183,4 +183,8 @@ def motif_find(
     ecols = sorted(
         f"{t.ename}_{c}" for t in pos if t.ename for c in attrs
     )
-    return out.select(*sorted(bound), *ecols)
+    out = out.select(*sorted(bound), *ecols)
+    # release the cache registration; the plan re-reads the (narrow)
+    # projection if the action outlives it (khop convention)
+    e.unpersist()
+    return out

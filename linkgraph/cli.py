@@ -56,7 +56,7 @@ def _build_parser() -> argparse.ArgumentParser:
             "closeness", "knn-degree", "rich-club",
             "canonical", "skipgram", "sgns",
             "louvain", "katz", "eigenvector", "triads", "triads-full", "effdiam", "dupgrams", "sweep",
-            "wl", "temporal", "motif", "louvain-ml",
+            "wl", "temporal", "motif", "louvain-ml", "partition-report",
         ],
     )
     src = p.add_argument_group("input (exactly one)")
@@ -606,6 +606,14 @@ def main(argv: list[str] | None = None) -> None:
         from linkgraph.algorithms.motifs import triad_census
 
         out = triad_census(edges)
+    elif args.algorithm == "partition-report":
+        from linkgraph.algorithms.partition_stats import partition_quality
+
+        out = partition_quality(
+            edges,
+            n_parts=args.num_partitions or 32,
+            portable=args.portable_hash,
+        )
     elif args.algorithm == "louvain-ml":
         from linkgraph.algorithms.louvain import louvain_multilevel
 

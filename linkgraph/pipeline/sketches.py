@@ -229,3 +229,74 @@ def cms_probe_sql(
         " FROM pc p LEFT JOIN sk s ON s.j = p.j AND s.bucket = p.bucket"
         " GROUP BY p.term"
     )
+
+
+def kmv_distinct_by(
+    docs: DataFrame, group_col: str = "lang", k: int = 64
+) -> DataFrame:
+    """Per-group KMV distinct-token estimates: DF(<group_col>, k_used,
+    kth_min_hash, est_distinct) — one bottom-k sketch per group (e.g.
+    vocabulary size per language), same estimator and degeneration rule
+    as :func:`kmv_distinct_tokens`.
+
+    Shape: distinct (group, hash) pairs -> per-group bottom-k via a
+    rank window (Spark pushes the k-limit into the sort as
+    WindowGroupLimit, so each partition retains at most k rows per
+    group before the exchange) -> one k-row-per-group aggregate. The
+    driver sees one row per group regardless of corpus size.
+    """
+    if k < 2:
+        raise ValueError("kmv_distinct_by: k must be >= 2")
+    from pyspark.sql import Window
+
+    pairs = (
+        docs.select(
+            F.col(group_col).alias("grp"),
+            F.explode(F.split("text", " ")).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .select("grp", F.expr(md5_int_sql("term", 15)).alias("hv"))
+        .distinct()
+    )
+    w = Window.partitionBy("grp").orderBy("hv")
+    bottom = pairs.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= k
+    )
+    return (
+        bottom.groupBy("grp")
+        .agg(F.count(F.lit(1)).alias("k_used"), F.max("hv").alias("kth_min_hash"))
+        .select(
+            F.col("grp").alias(group_col),
+            "k_used",
+            "kth_min_hash",
+            F.round(
+                F.when(
+                    F.col("k_used") < k, F.col("k_used").cast("double")
+                ).otherwise(
+                    (F.col("k_used") - 1).cast("double")
+                    * F.lit(float(KMV_M))
+                    / F.col("kth_min_hash").cast("double")
+                ),
+                6,
+            ).alias("est_distinct"),
+        )
+    )
+
+
+def kmv_by_sql(group_col: str = "lang", k: int = 64) -> str:
+    """DuckDB oracle for :func:`kmv_distinct_by` — identical hash,
+    rank window, and estimator."""
+    hv = md5_int_sql("term", 15)
+    return (
+        f"WITH pairs AS (SELECT DISTINCT {group_col} AS grp, {hv} AS hv FROM ("
+        f" SELECT {group_col}, unnest(string_split(text, ' ')) AS term"
+        f" FROM documents) WHERE term != ''),"
+        f" bk AS (SELECT grp, hv FROM ("
+        f"  SELECT grp, hv, ROW_NUMBER() OVER (PARTITION BY grp ORDER BY hv)"
+        f"  AS rn FROM pairs) WHERE rn <= {k})"
+        f" SELECT grp AS {group_col}, COUNT(*)::BIGINT AS k_used,"
+        f" MAX(hv)::BIGINT AS kth_min_hash,"
+        f" ROUND(CASE WHEN COUNT(*) < {k} THEN COUNT(*)::DOUBLE"
+        f"  ELSE (COUNT(*) - 1)::DOUBLE * {float(KMV_M)!r} / MAX(hv)::DOUBLE END,"
+        f" 6) AS est_distinct FROM bk GROUP BY grp"
+    )

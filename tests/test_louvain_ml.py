@@ -124,3 +124,23 @@ class TestLouvainMultilevel:
             raise AssertionError("expected ValueError")
         except ValueError:
             pass
+
+
+class TestHierarchyQuality:
+    def test_level2_modularity_not_worse(self, spark):
+        """The contraction level exists to IMPROVE the objective:
+        on the clique fixture level-2 modularity must be >= level-1
+        (greedy moves on the contracted graph only take positive-gain
+        merges, and level-1 labels are a feasible level-2 state)."""
+        from linkgraph.algorithms.louvain import louvain_multilevel
+        from linkgraph.algorithms.stats import modularity
+        from pyspark.sql import functions as F
+
+        e = spark.createDataFrame(CLIQUES, "src long, dst long")
+        got = louvain_multilevel(e, levels=2, rounds=4)
+
+        def q(col):
+            labs = got.select("id", F.col(col).alias("label"))
+            return modularity(e, labs).collect()[0]["modularity"]
+
+        assert q("c2") >= q("c1") - 1e-12

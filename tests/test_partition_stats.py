@@ -1,0 +1,107 @@
+"""Partition-quality report (algorithms/partition_stats.py)."""
+
+import hashlib
+
+import pytest
+
+from linkgraph.algorithms.partition_stats import partition_quality
+
+
+def _part(v, n_parts, seed=42):
+    arg = f"pt:{v}:{seed}"
+    return int(hashlib.md5(arg.encode()).hexdigest()[:6], 16) % n_parts
+
+
+EDGES = [(i, (i * 7 + 3) % 20) for i in range(20)] + [(3, 15), (8, 2)]
+
+
+class TestPartitionQuality:
+    def test_portable_matches_bruteforce(self, spark):
+        e = spark.createDataFrame(EDGES, "src long, dst long")
+        n_parts = 4
+        got = {
+            r["partition"]: (r["n_vertices"], r["n_out_edges"], r["n_cut_edges"])
+            for r in partition_quality(e, n_parts, portable=True).collect()
+        }
+        verts = {v for ed in EDGES for v in ed}
+        exp = {}
+        for k in range(n_parts):
+            nv = sum(1 for v in verts if _part(v, n_parts) == k)
+            no = sum(1 for s, d in EDGES if _part(s, n_parts) == k)
+            nc = sum(
+                1
+                for s, d in EDGES
+                if _part(s, n_parts) == k and _part(d, n_parts) != k
+            )
+            if nv or no:
+                exp[k] = (nv, no, nc)
+        assert got == exp
+
+    def test_totals_are_invariants(self, spark):
+        e = spark.createDataFrame(EDGES, "src long, dst long")
+        for portable in (False, True):
+            rows = partition_quality(e, 5, portable=portable).collect()
+            assert sum(r["n_out_edges"] for r in rows) == len(EDGES)
+            assert sum(r["n_vertices"] for r in rows) == len(
+                {v for ed in EDGES for v in ed}
+            )
+            for r in rows:
+                assert 0 <= r["n_cut_edges"] <= r["n_out_edges"]
+
+    def test_single_partition_no_cut(self, spark):
+        e = spark.createDataFrame(EDGES, "src long, dst long")
+        rows = partition_quality(e, 1).collect()
+        assert len(rows) == 1 and rows[0]["n_cut_edges"] == 0
+
+    def test_community_renumbering_lowers_cut(self, spark):
+        """The report's purpose as a before/after meter: under RANGE
+        placement, two dense blocks with contiguous ids cut nothing,
+        while the same graph with ids interleaved across blocks cuts
+        heavily (hash placement is locality-free by design — range is
+        the mode that rewards community-aligned renumbering)."""
+        import itertools
+
+        blocks = list(itertools.combinations(range(8), 2)) + list(
+            itertools.combinations(range(8, 16), 2)
+        )
+        # interleave the two blocks' ids (even ids block A, odd block B)
+        members = sorted({x for ed in blocks for x in ed})
+        remap = {}
+        for v in members:
+            remap[v] = v * 2 if v < 8 else (v - 8) * 2 + 1
+        shuffled = [(remap[a], remap[b]) for a, b in blocks]
+        e1 = spark.createDataFrame(blocks, "src long, dst long")
+        e2 = spark.createDataFrame(shuffled, "src long, dst long")
+
+        def cutfrac(df):
+            rows = partition_quality(df, 2, method="range").collect()
+            return sum(r["n_cut_edges"] for r in rows) / sum(
+                r["n_out_edges"] for r in rows
+            )
+
+        assert cutfrac(e1) == 0.0
+        assert cutfrac(e2) > 0.4
+
+    def test_rejects_zero_parts(self, spark):
+        e = spark.createDataFrame(EDGES, "src long, dst long")
+        with pytest.raises(ValueError):
+            partition_quality(e, 0)
+
+
+class TestKMVByGroup:
+    def test_per_group_estimates(self, spark):
+        """Per-group KMV: small groups degenerate to exact counts."""
+        from linkgraph.pipeline.sketches import kmv_distinct_by
+
+        rows = [
+            (0, "a b c a", "py"),
+            (1, "c d", "py"),
+            (2, "x y z w q", "go"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+        got = {
+            r["lang"]: (r["k_used"], r["est_distinct"])
+            for r in kmv_distinct_by(df, "lang", k=64).collect()
+        }
+        assert got["py"] == (4, 4.0)   # {a,b,c,d}
+        assert got["go"] == (5, 5.0)   # {x,y,z,w,q}
