@@ -185,3 +185,101 @@ def dedup_stream(docs: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def session_stream(events: DataFrame, gap_sec: int = 1800) -> DataFrame:
+    """Streaming gap-based sessionization — the stateful twin of the
+    batch ``pipeline.sessions.sessionize_events`` window operator
+    (applyInPandasWithState, keyed by user).
+
+    State per user: the OPEN session (last event time, session
+    sequence number, event count, first event id, start time). Each
+    micro-batch folds its events in (ts, event_id) order into the open
+    session and emits every session it PROVABLY closes (a later event
+    arrived more than ``gap_sec`` after it). The user's final open
+    session stays in state — exactly the sessions a batch run over the
+    same prefix would also revise if more events arrived, so the
+    emitted rows equal the batch operator's output minus each user's
+    last session (stream==batch parity, tested).
+
+    Output (user_id, session_seq, n_events, first_event_id, start_us,
+    end_us, duration_us) — all integer microseconds, matching the
+    batch operator's exact-arithmetic contract.
+
+    Scale shape: one 5-long row of state per ACTIVE user; per-batch
+    work proportional to the batch. Assumes per-user event-time order
+    across micro-batches (true for replayed logs and time-ordered
+    ingest); at 100 TB add a GroupStateTimeout to evict idle users and
+    emit their final sessions.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("session_seq", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("first_event_id", T.LongType()),
+            T.StructField("start_us", T.LongType()),
+            T.StructField("end_us", T.LongType()),
+            T.StructField("duration_us", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("last_us", T.LongType()),
+            T.StructField("seq", T.LongType()),
+            T.StructField("n", T.LongType()),
+            T.StructField("first_eid", T.LongType()),
+            T.StructField("start_us", T.LongType()),
+        ]
+    )
+    gap_us = int(gap_sec) * 1_000_000
+
+    def fold(key, pdfs, state):
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        if len(rows) == 0:
+            return
+        rows = rows.sort_values(["us", "event_id"], ignore_index=True)
+        if state.exists:
+            last_us, seq, n, first_eid, start_us = state.get
+        else:
+            last_us = seq = n = first_eid = start_us = None
+        closed = []
+        for us, eid in zip(rows["us"], rows["event_id"]):
+            us, eid = int(us), int(eid)
+            if seq is None:
+                seq, n, first_eid, start_us = 1, 1, eid, us
+            elif us - last_us > gap_us:
+                closed.append(
+                    (key[0], seq, n, first_eid, start_us, last_us,
+                     last_us - start_us)
+                )
+                seq, n, first_eid, start_us = seq + 1, 1, eid, us
+            else:
+                n += 1
+            last_us = us
+        state.update((last_us, seq, n, first_eid, start_us))
+        if closed:
+            yield pd.DataFrame(
+                closed,
+                columns=[
+                    "user_id", "session_seq", "n_events", "first_event_id",
+                    "start_us", "end_us", "duration_us",
+                ],
+            )
+
+    with_us = events.select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    return with_us.groupBy("user_id").applyInPandasWithState(
+        fold,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -283,3 +283,78 @@ class TestStreamingCms:
         }
         assert got == batch
         assert len(got) <= 3 * 32
+
+
+class TestSessionStream:
+    def test_session_stream_equals_batch_minus_open(self, spark, tmp_path):
+        """Streaming sessionization over two micro-batches: emitted
+        sessions == batch sessionize_events minus each user's (still
+        open) last session, with state carrying open sessions across
+        the batch boundary."""
+        import datetime as dt
+
+        from linkgraph.pipeline.sessions import sessionize_events
+        from linkgraph.streaming import session_stream
+
+        def ts(minute):
+            return dt.datetime(2026, 1, 1, 10, 0) + dt.timedelta(minutes=minute)
+
+        schema = "event_id LONG, ts TIMESTAMP, user_id LONG"
+        # user 1: events at 0,5 | 40,42 (gap 35m closes s1) | 90 (opens s3)
+        # user 2: 0 | 70 — s1 closes at the batch BOUNDARY (40m gap)
+        f0 = [(1, ts(0), 1), (2, ts(5), 1), (3, ts(40), 1), (10, ts(0), 2)]
+        f1 = [(4, ts(42), 1), (5, ts(90), 1), (11, ts(10), 2), (12, ts(50), 2)]
+        d = tmp_path / "ev"
+        d.mkdir()
+        spark.createDataFrame(f0, schema).coalesce(1).write.parquet(str(d / "f0"))
+        spark.createDataFrame(f1, schema).coalesce(1).write.parquet(str(d / "f1"))
+
+        src = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(d / "f*"))
+        )
+        got = []
+        q = (
+            session_stream(src, gap_sec=1800)
+            .writeStream.trigger(availableNow=True)
+            .outputMode("append")
+            .foreachBatch(lambda df, bid: got.extend(
+                (r["user_id"], r["session_seq"], r["n_events"],
+                 r["first_event_id"], r["start_us"], r["end_us"],
+                 r["duration_us"])
+                for r in df.collect()))
+            .option("checkpointLocation", str(tmp_path / "ck_sess"))
+            .start()
+        )
+        q.awaitTermination()
+
+        batch = sessionize_events(
+            spark.createDataFrame(f0 + f1, schema), gap_sec=1800
+        )
+        import pyspark.sql.functions as F
+        from pyspark.sql import Window
+
+        us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+        brows = batch.select(
+            "user_id", "session_seq", "n_events", "first_event_id",
+            us("start_ts").alias("start_us"), us("end_ts").alias("end_us"),
+            "duration_us",
+        ).collect()
+        last_seq = {}
+        for r in brows:
+            last_seq[r["user_id"]] = max(
+                last_seq.get(r["user_id"], 0), r["session_seq"]
+            )
+        expected = {
+            tuple(r) for r in (
+                (r["user_id"], r["session_seq"], r["n_events"],
+                 r["first_event_id"], r["start_us"], r["end_us"],
+                 r["duration_us"])
+                for r in brows
+            ) if r[1] != last_seq[r[0]]
+        }
+        assert set(got) == expected
+        # the cross-batch closure actually happened: user 2's session 1
+        # (single event at t0) closed by the t70 arrival in batch 2
+        assert any(g[0] == 2 and g[1] == 1 for g in got)
