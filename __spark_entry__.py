@@ -2218,6 +2218,43 @@ def _louvain_ml_sql(rounds: int) -> str:
     return "".join(parts)
 
 
+def _q_repo_communities(spark, sf):
+    """WEIGHTED Louvain over the repo rollup — reference-count edge
+    weights drive the modularity gains (the weighted move core,
+    algorithms/louvain.py), exact-integer under 2m = total symmetric
+    weight."""
+    from linkgraph.algorithms.louvain import greedy_modularity_communities
+
+    redges = _q_repo_rollup(spark, sf).select(
+        F.col("src_repo").alias("src"),
+        F.col("dst_repo").alias("dst"),
+        "weight",
+    )
+    return greedy_modularity_communities(
+        redges, rounds=LOUVAIN_ROUNDS, weight_col="weight"
+    )
+
+
+def _repo_communities_sql(rounds: int) -> str:
+    """Unrolled weighted Louvain over the repo rollup: both-direction
+    weight symmetrization, then the weighted round CTEs."""
+    return (
+        "WITH "
+        + EDGES_CTES.strip()
+        + ", "
+        + _REPO_EDGES_CTE
+        + ", und AS (SELECT LEAST(src_repo, dst_repo) AS u,"
+        "  GREATEST(src_repo, dst_repo) AS v, SUM(weight) AS w"
+        "  FROM repo_edges GROUP BY 1, 2)"
+        ", wsr AS (SELECT u AS src, v AS dst, w FROM und"
+        "  UNION ALL SELECT v AS src, u AS dst, w FROM und)"
+        ", twom AS (SELECT CAST(SUM(w) AS HUGEINT) AS m2 FROM wsr)"
+        ", Rlab0 AS (SELECT DISTINCT src AS id, src AS community FROM wsr)"
+        + _louvain_round_ctes("R", "wsr", rounds)
+        + f" SELECT id, community FROM Rlab{rounds}"
+    )
+
+
 def _q_louvain_hierarchy(spark, sf):
     """Full multi-level Louvain: two move phases with one contraction
     between them (algorithms/louvain.louvain_multilevel) — per-level
@@ -2704,6 +2741,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "landmark_distances": _q_landmarks,
         "louvain_communities": _q_louvain,
         "louvain_hierarchy": _q_louvain_hierarchy,
+        "repo_communities": _q_repo_communities,
         "neighborhood_minhash_pairs": _q_structsim,
         "cocitation_pairs": _q_cocitation,
         "bibliographic_coupling": _q_coupling,
@@ -4747,6 +4785,7 @@ def oracle_sql() -> dict[str, str]:
     sql["landmark_distances"] = _landmarks_sql()
     sql["louvain_communities"] = _louvain_sql(LOUVAIN_ROUNDS)
     sql["louvain_hierarchy"] = _louvain_ml_sql(LOUVAIN_ROUNDS)
+    sql["repo_communities"] = _repo_communities_sql(LOUVAIN_ROUNDS)
     sql["neighborhood_minhash_pairs"] = _structsim_sql()
     sql["sgns_linkpred_auc"] = _sgns_auc_sql()
     sql["cocitation_pairs"] = _cocitation_sql("src", "dst")

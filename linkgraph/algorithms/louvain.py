@@ -76,6 +76,27 @@ from ..superstep import iteration_conf, local_checkpoint_fresh_stats
 DEC = "decimal(38,0)"
 
 
+def _weighted_sym(edges: DataFrame, weight_col: str) -> DataFrame:
+    """Symmetrize a weighted directed relation: undirected weight =
+    sum over both orientations (the standard directed->undirected
+    convention), emitted as both symmetric rows. Self loops dropped."""
+    und = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("u"),
+            F.greatest("src", "dst").alias("v"),
+            F.col(weight_col).cast("long").alias("w"),
+        )
+        .groupBy("u", "v")
+        .agg(F.sum("w").alias("w"))
+    )
+    return und.select(
+        F.col("u").alias("src"), F.col("v").alias("dst"), "w"
+    ).unionByName(
+        und.select(F.col("v").alias("src"), F.col("u").alias("dst"), "w")
+    )
+
+
 def _move_rounds(
     wsym: DataFrame,
     lab: DataFrame,
@@ -182,24 +203,32 @@ def greedy_modularity_communities(
     rounds: int = 3,
     vertices: DataFrame | None = None,
     num_partitions: int | None = None,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Returns DF(id BIGINT, community BIGINT): labels after ``rounds``
     synchronous greedy-modularity move rounds over the symmetrized
-    simple graph, initialized to singleton communities. Isolated
-    vertices keep their singleton label."""
+    graph, initialized to singleton communities. Isolated vertices keep
+    their singleton label.
+
+    ``weight_col`` selects weighted modularity: the undirected weight
+    of a pair is the SUM over both directed orientations (standard
+    directed->undirected convention — e.g. the repo rollup's
+    reference-count weights), and every gain is exact-integer under
+    2m = total symmetric weight. Default (None) is the simple-graph
+    contract (each present direction contributes 1)."""
     spark = edges.sparkSession
     p = choose_partitions(edges, lambda: edges.count(), num_partitions)
     if vertices is None:
         vertices = vertices_from_edges(edges)
 
     with iteration_conf(spark, p):
-        wsym = (
-            symmetrize(edges)
-            .withColumn("w", F.lit(1).cast("long"))
-            .repartition(p, "src")
-            .persist()
+        base = (
+            _weighted_sym(edges, weight_col)
+            if weight_col is not None
+            else symmetrize(edges).withColumn("w", F.lit(1).cast("long"))
         )
-        two_m = wsym.count()  # w = 1: total weight = row count = 2m
+        wsym = base.repartition(p, "src").persist()
+        two_m = wsym.agg(F.sum("w")).collect()[0][0] or 0
         lab = local_checkpoint_fresh_stats(
             vertices.select("id", F.col("id").alias("community")).repartition(
                 p, "id"

@@ -144,3 +144,41 @@ class TestHierarchyQuality:
             return modularity(e, labs).collect()[0]["modularity"]
 
         assert q("c2") >= q("c1") - 1e-12
+
+
+class TestWeightedLouvain:
+    def test_weight_beats_count(self, spark):
+        """Weighted modularity: vertex 0 sits between community {0,1}
+        (one heavy edge) and {2,3} (two light edges). Unweighted moves
+        see 0-1 and 0-2/0-3 as comparable; weighted moves must pull 0
+        toward the heavy partner."""
+        from linkgraph.algorithms.louvain import greedy_modularity_communities
+
+        edges = [
+            (0, 1, 10),          # heavy pair
+            (0, 2, 1), (0, 3, 1),
+            (2, 3, 10),          # the light partners are their own pair
+            (4, 5, 10),          # control pair far away
+            (1, 4, 1),
+        ]
+        e = spark.createDataFrame(edges, "src long, dst long, weight long")
+        lab = {
+            r["id"]: r["community"]
+            for r in greedy_modularity_communities(
+                e, rounds=4, weight_col="weight"
+            ).collect()
+        }
+        assert lab[0] == lab[1]
+        assert lab[2] == lab[3]
+        assert lab[4] == lab[5]
+        assert lab[0] != lab[2] and lab[0] != lab[4]
+
+    def test_both_orientations_sum(self, spark):
+        """(a->b, 3) + (b->a, 4) is one undirected weight-7 pair."""
+        from linkgraph.algorithms.louvain import _weighted_sym
+
+        e = spark.createDataFrame(
+            [(0, 1, 3), (1, 0, 4), (1, 2, 5)], "src long, dst long, weight long"
+        )
+        rows = {(r["src"], r["dst"]): r["w"] for r in _weighted_sym(e, "weight").collect()}
+        assert rows == {(0, 1): 7, (1, 0): 7, (1, 2): 5, (2, 1): 5}
