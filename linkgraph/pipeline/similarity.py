@@ -279,7 +279,10 @@ def pq_topk(
 
     if queries is None:
         queries = embeddings
-    dim = len(embeddings.select("embedding").first()["embedding"])
+    first = embeddings.select("embedding").first()
+    if first is None:
+        raise ValueError("pq_topk: empty embeddings table")
+    dim = len(first["embedding"])
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m {m} subspaces")
     sub = dim // m
