@@ -448,6 +448,32 @@ def _q_temporal_reachability(spark, sf):
     return arr
 
 
+def _q_temporal_departure(spark, sf):
+    """Latest time-respecting departure reaching doc 0 by deadline 96
+    (the max derivable timestamp) — the reverse temporal fixpoint,
+    max-relaxation along reverse edges (algorithms/temporal.py)."""
+    from linkgraph.algorithms.temporal import temporal_latest_departure
+
+    tedges = document_edges(spark, sf).withColumn(
+        "t", ((F.col("src") * 13 + F.col("dst") * 7) % 97).cast("long")
+    )
+    dep, res = temporal_latest_departure(
+        tedges,
+        target=0,
+        deadline=96,
+        vertices=document_vertices(spark, sf),
+        max_supersteps=4 * TEMPORAL_STEPS,
+        track_messages=False,
+    )
+    if not res.converged or res.supersteps > TEMPORAL_STEPS:
+        raise RuntimeError(
+            f"temporal departure needed {res.supersteps} supersteps "
+            f"(converged={res.converged}); the unrolled oracle covers "
+            f"{TEMPORAL_STEPS} — raise TEMPORAL_STEPS"
+        )
+    return dep
+
+
 def _q_dw_pagerank(spark, sf):
     """Degree-weighted PageRank — a user-defined VertexProgram (degree-
     proportional teleport prior), oracle-checked via an unrolled CTE."""
@@ -2647,6 +2673,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sssp_vertex_program": _q_sssp_vp,
         "sssp_weighted": _q_sssp_weighted,
         "temporal_reachability": _q_temporal_reachability,
+        "temporal_departure": _q_temporal_departure,
         "degree_weighted_pagerank": _q_dw_pagerank,
         "repo_rollup": _q_repo_rollup,
         "weighted_repo_pagerank": _q_weighted_repo_pagerank,
@@ -3001,6 +3028,38 @@ def _temporal_sql(steps: int) -> str:
         "WITH "
         + ",\n".join(ctes)
         + f"\nSELECT id, CAST(arr AS BIGINT) AS arrival FROM a{steps}"
+    )
+
+
+def _temporal_dep_sql(steps: int, deadline: int) -> str:
+    """Unrolled latest-departure max-relaxation: d_i(v) = max(d_{i-1}(v),
+    max over OUT-edges (v, u, t) with t <= d_{i-1}(u) of t);
+    d_0(target) = deadline. NULL = no time-respecting path."""
+    ctes = [
+        EDGES_CTES.strip(),
+        "te AS (SELECT src, dst,"
+        " CAST((src*13 + dst*7) % 97 AS BIGINT) AS t FROM edges)",
+        f"d0 AS (SELECT doc_id AS id,"
+        f" CASE WHEN doc_id = 0 THEN CAST({deadline} AS BIGINT) END AS dep"
+        f" FROM documents)",
+    ]
+    for i in range(1, steps + 1):
+        ctes.append(
+            f"d{i} AS MATERIALIZED ("
+            f" SELECT v.id, CASE"
+            f"  WHEN m.md IS NULL THEN v.dep"
+            f"  WHEN v.dep IS NULL THEN m.md"
+            f"  ELSE GREATEST(v.dep, m.md) END AS dep"
+            f" FROM d{i-1} v LEFT JOIN ("
+            f"   SELECT e.src AS id, MAX(e.t) AS md"
+            f"   FROM te e JOIN d{i-1} p ON e.dst = p.id"
+            f"    AND p.dep IS NOT NULL AND e.t <= p.dep"
+            f"   GROUP BY e.src) m ON m.id = v.id)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT id, CAST(dep AS BIGINT) AS departure FROM d{steps}"
     )
 
 
@@ -4763,6 +4822,7 @@ def oracle_sql() -> dict[str, str]:
     # Bellman-Ford over the derivable weights (steps mirror WSSSP_STEPS)
     sql["sssp_weighted"] = _weighted_sssp_sql(WSSSP_STEPS)
     sql["temporal_reachability"] = _temporal_sql(TEMPORAL_STEPS)
+    sql["temporal_departure"] = _temporal_dep_sql(TEMPORAL_STEPS, 96)
     # IMRU kmeans: unrolled Lloyd iterations (deterministic init /
     # ties / update — see _kmeans_sql); K/ITERS must mirror _q_kmeans
     sql["kmeans_centers"] = _kmeans_sql(5, 5)

@@ -41,7 +41,7 @@ from .stats import (
 )
 from .walks import node2vec_walks, random_walks
 from .wl import wl_class_sizes, wl_refinement
-from .temporal import temporal_earliest_arrival
+from .temporal import temporal_earliest_arrival, temporal_latest_departure
 from .motif_match import motif_find
 from .diff import edge_diff, vertex_delta
 from .partition_stats import partition_quality
@@ -72,6 +72,7 @@ __all__ = [
     "wl_class_sizes",
     "wl_refinement",
     "temporal_earliest_arrival",
+    "temporal_latest_departure",
     "motif_find",
     "edge_diff",
     "vertex_delta",

@@ -128,3 +128,108 @@ def temporal_earliest_arrival(
         F.when(F.col("arr") == _INF, F.lit(None)).otherwise(F.col("arr")).alias("arrival"),
     )
     return out, result
+
+
+def temporal_latest_departure(
+    tedges: DataFrame,
+    target: int,
+    deadline: int | None = None,
+    time_col: str = "t",
+    vertices: DataFrame | None = None,
+    num_partitions: int | None = None,
+    max_supersteps: int = 200,
+    ckpt: CheckpointManager | None = None,
+    resume: bool = True,
+    track_messages: bool = True,
+) -> tuple[DataFrame, LoopResult]:
+    """Latest departure time reaching ``target`` — the reverse twin of
+    :func:`temporal_earliest_arrival`: dep(v) = the latest t at which v
+    can leave and still reach ``target`` over non-decreasing
+    timestamps ("how late could this source have acted and still
+    influenced the target?").
+
+    Rule: dep(target) = ``deadline`` (unbounded when None); edge
+    (u, v, t) relaxes dep(u) to max(dep(u), t) iff t <= dep(v).
+    Departure times only ever INCREASE toward the fixpoint (the max
+    lattice mirrors earliest arrival's min), scattered along REVERSE
+    edges from the changed frontier — same one-exchange delta plan.
+
+    Returns (DF(id, departure BIGINT), LoopResult); departure NULL if
+    no time-respecting path exists, and NULL for ``target`` itself
+    when ``deadline`` is None (it does not depart).
+    """
+    p = choose_partitions(tedges, lambda: tedges.count(), num_partitions)
+    if vertices is None:
+        vertices = vertices_from_edges(tedges)
+    verts = vertices.select("id").repartition(p, "id")
+    cap = _INF if deadline is None else int(deadline)
+
+    with iteration_conf(tedges.sparkSession, p):
+        # reverse orientation: scatter src <- dst, partitioned by dst
+        te = (
+            tedges.select("src", "dst", F.col(time_col).cast("long").alias("t"))
+            .filter(F.col("t") <= cap)
+            .repartition(p, "dst")
+            .persist()
+        )
+        te.count()
+
+    _NONE = -1  # "cannot reach" sentinel; timestamps must be >= 0
+
+    init = verts.select(
+        "id",
+        F.when(F.col("id") == target, F.lit(cap))
+        .otherwise(F.lit(_NONE))
+        .cast("long")
+        .alias("dep"),
+    ).withColumn("changed", F.col("id") == target)
+
+    def superstep(state: DataFrame, k: int) -> StepResult:
+        cur = state.select("id", "dep", "changed")
+        senders = cur.filter(F.col("changed"))
+        msgs = (
+            te.join(senders, te["dst"] == senders["id"])
+            .filter(F.col("t") <= F.col("dep"))
+            .select(F.col("src").alias("id"), F.col("t").alias("cand"))
+            .groupBy("id")
+            .agg(F.max("cand").alias("cand"))
+        )
+        new = (
+            cur.drop("changed")
+            .join(msgs, "id", "left_outer")
+            .select(
+                "id",
+                F.greatest(F.col("dep"), F.coalesce(F.col("cand"), F.col("dep"))).alias("ndep"),
+                F.col("dep").alias("_oldd"),
+                F.col("cand").isNotNull().cast("long").alias("_msgs"),
+            )
+            .select(
+                "id",
+                F.col("ndep").alias("dep"),
+                (F.col("ndep") > F.col("_oldd")).alias("changed"),
+                "_msgs",
+            )
+            .withColumn("_changed", F.col("changed"))
+        )
+        return StepResult(state=new, messages=msgs)
+
+    result = iterate(
+        init,
+        superstep,
+        converged=lambda s: s.changed == 0,
+        max_supersteps=max_supersteps,
+        ckpt=ckpt,
+        resume=resume,
+        track_messages=track_messages,
+        num_partitions=p,
+    )
+    te.unpersist()
+    out = result.state.select(
+        "id",
+        F.when(
+            (F.col("dep") == _NONE) | (F.col("dep") == _INF), F.lit(None)
+        )
+        .otherwise(F.col("dep"))
+        .alias("departure"),
+    )
+    return out, result

@@ -90,3 +90,78 @@ class TestTemporal:
         arr = {r["id"]: r["arrival"] for r in got.collect()}
         assert arr == _brute(tedges, [0, 1, 2, 3], 0, 0)
         assert arr[1] == 6 and arr[3] == 7
+
+
+def _brute_dep(tedges, verts, target, deadline):
+    """Reverse label-setting on latest departure."""
+    import heapq as hq
+
+    inc = {}
+    for s, d, t in tedges:
+        inc.setdefault(d, []).append((s, t))
+    dep = {v: None for v in verts}
+    dep[target] = deadline
+    pq = [(-deadline, target)]
+    while pq:
+        nd, v = hq.heappop(pq)
+        d = -nd
+        if dep[v] is not None and d < dep[v]:
+            continue
+        for u, t in inc.get(v, []):
+            if t <= d and (dep[u] is None or t > dep[u]):
+                dep[u] = t
+                hq.heappush(pq, (-t, u))
+    return dep
+
+
+class TestLatestDeparture:
+    def test_matches_bruteforce(self, spark):
+        from linkgraph.algorithms.temporal import temporal_latest_departure
+
+        e = spark.createDataFrame(TEDGES, "src long, dst long, t long")
+        v = spark.createDataFrame([(x,) for x in VERTS], "id long")
+        got, res = temporal_latest_departure(
+            e, target=4, deadline=100, vertices=v
+        )
+        dep = {r["id"]: r["departure"] for r in got.collect()}
+        assert dep == _brute_dep(TEDGES, VERTS, 4, 100)
+        assert res.converged
+        # 3 can leave as late as t=12 (the second (3,4) occurrence);
+        # 0 must leave by t=10 (0->3 at 10, then 3->4 at 12)
+        assert dep[3] == 12 and dep[0] == 10
+
+    def test_unbounded_deadline_target_null(self, spark):
+        from linkgraph.algorithms.temporal import temporal_latest_departure
+
+        e = spark.createDataFrame([(0, 1, 5)], "src long, dst long, t long")
+        got, _ = temporal_latest_departure(e, target=1)
+        dep = {r["id"]: r["departure"] for r in got.collect()}
+        assert dep[0] == 5 and dep[1] is None
+
+    def test_deadline_excludes_late_edges(self, spark):
+        from linkgraph.algorithms.temporal import temporal_latest_departure
+
+        e = spark.createDataFrame(
+            [(0, 1, 5), (0, 1, 50)], "src long, dst long, t long"
+        )
+        got, _ = temporal_latest_departure(e, target=1, deadline=10)
+        dep = {r["id"]: r["departure"] for r in got.collect()}
+        assert dep[0] == 5 and dep[1] == 10
+
+    def test_duality_with_earliest_arrival(self, spark):
+        """u reaches v temporally iff v's latest-departure set (with
+        unbounded deadline) contains u — check against earliest
+        arrival's reachable set on the shared fixture."""
+        from linkgraph.algorithms.temporal import (
+            temporal_earliest_arrival,
+            temporal_latest_departure,
+        )
+
+        e = spark.createDataFrame(TEDGES, "src long, dst long, t long")
+        v = spark.createDataFrame([(x,) for x in VERTS], "id long")
+        arr, _ = temporal_earliest_arrival(e, source=0, vertices=v, start_time=0)
+        reach_fwd = {r["id"] for r in arr.collect() if r["arrival"] is not None}
+        dep, _ = temporal_latest_departure(e, target=4, deadline=10**9, vertices=v)
+        reach_bwd = {r["id"] for r in dep.collect() if r["departure"] is not None}
+        # 0 reaches 4 (via 3 at t=12), so 0 must be in 4's backward set
+        assert 4 in reach_fwd and 0 in reach_bwd
