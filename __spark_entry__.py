@@ -2591,6 +2591,21 @@ def _q_graph_delta(spark, sf):
     return vertex_delta(old, kept.unionByName(flipped))
 
 
+def _q_triangle_delta(spark, sf):
+    """Incremental triangle maintenance over the snapshot diff: the
+    engine enumerates only triangles incident to changed pairs
+    (churn-proportional); the oracle independently enumerates ALL
+    triangles of both snapshots and classifies them."""
+    from linkgraph.algorithms.diff import triangle_delta
+
+    old = document_edges(spark, sf)
+    kept = old.filter((F.col("src") + F.col("dst")) % 17 != 0)
+    flipped = old.filter((F.col("src") * 7 + F.col("dst")) % 23 == 0).select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    )
+    return triangle_delta(old, kept.unionByName(flipped))
+
+
 def _q_chunk_documents(spark, sf):
     """RAG-corpus chunking: sliding CHUNK_SIZE-token windows with
     CHUNK_OVERLAP shared tokens (pipeline/packing.chunk_documents) —
@@ -2750,6 +2765,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "motif_open_triads": _q_motif_open_triads,
         "chunk_documents": _q_chunk_documents,
         "graph_delta": _q_graph_delta,
+        "triangle_delta": _q_triangle_delta,
         "motif_time_chains": _q_motif_time_chains,
         "partition_report": _q_partition_report,
         "multimodal_features": _q_multimodal,
@@ -4951,6 +4967,34 @@ def oracle_sql() -> dict[str, str]:
     sql["embedding_ivf_topk"] = _ivf_sql(8, 5, 4, N_QUERY_VECS, TOPK)
     # product quantization: per-subspace unrolled k-means + ADC scan
     sql["embedding_pq_topk"] = _pq_sql(64, PQ_M, PQ_KS, PQ_ITERS, N_QUERY_VECS, TOPK)
+    # incremental triangle delta: the oracle enumerates BOTH snapshots'
+    # full triangle sets (the formulation the engine avoids) and counts
+    # those touching a changed pair — algorithmic agreement, not replay
+    sql["triangle_delta"] = (
+        "WITH "
+        + EDGES_CTES.strip()
+        + ", nw AS (SELECT src, dst FROM edges WHERE (src + dst) % 17 != 0"
+        "   UNION SELECT dst AS src, src AS dst FROM edges"
+        "   WHERE (src*7 + dst) % 23 = 0),"
+        " po AS (SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v"
+        "  FROM edges WHERE src != dst),"
+        " pn AS (SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v"
+        "  FROM nw WHERE src != dst),"
+        " ad AS (SELECT u, v FROM pn EXCEPT SELECT u, v FROM po),"
+        " rm AS (SELECT u, v FROM po EXCEPT SELECT u, v FROM pn),"
+        " trin AS (SELECT a.u AS x, a.v AS y, b.v AS z FROM pn a"
+        "  JOIN pn b ON b.u = a.v JOIN pn c ON c.u = a.u AND c.v = b.v),"
+        " trio AS (SELECT a.u AS x, a.v AS y, b.v AS z FROM po a"
+        "  JOIN po b ON b.u = a.v JOIN po c ON c.u = a.u AND c.v = b.v),"
+        " g AS (SELECT COUNT(*) AS n FROM trin t WHERE"
+        "  EXISTS (SELECT 1 FROM ad WHERE (u = t.x AND v = t.y)"
+        "   OR (u = t.x AND v = t.z) OR (u = t.y AND v = t.z))),"
+        " l AS (SELECT COUNT(*) AS n FROM trio t WHERE"
+        "  EXISTS (SELECT 1 FROM rm WHERE (u = t.x AND v = t.y)"
+        "   OR (u = t.x AND v = t.z) OR (u = t.y AND v = t.z)))"
+        " SELECT CAST(g.n AS BIGINT) AS gained, CAST(l.n AS BIGINT) AS lost,"
+        " CAST(g.n - l.n AS BIGINT) AS delta FROM g, l"
+    )
     # partition report: md5-coin assignment replayed per endpoint
     from linkgraph.algorithms.partition_stats import partition_coin_sql as _pc
 

@@ -52,3 +52,65 @@ def vertex_delta(old: DataFrame, new: DataFrame) -> DataFrame:
         )
         .filter((F.col("d_out") != 0) | (F.col("d_in") != 0))
     )
+
+
+def triangle_delta(old: DataFrame, new: DataFrame) -> DataFrame:
+    """Incremental triangle maintenance: one row
+    DF(gained BIGINT, lost BIGINT, delta BIGINT) — how the undirected
+    triangle count changed between two edge snapshots, computed from
+    work proportional to the CHURN, not the graph.
+
+    A triangle appears in the diff iff it contains >= 1 changed pair,
+    so enumeration starts FROM the changed pairs: for each added pair
+    (u, v), its triangles in the new graph are u-v's common neighbors
+    (one adjacency join per endpoint); triangles counted once via the
+    canonical sorted triple even when 2-3 of their edges changed at
+    once. Same for removed pairs over the old graph. At 100 TB this is
+    |churn| * avg-degree work versus a full |E|^1.5 recount — the
+    point of keeping the count maintained; the driver oracle verifies
+    against an INDEPENDENT full enumeration of both snapshots.
+    """
+
+    def pairs(df):
+        return (
+            df.filter(F.col("src") != F.col("dst"))
+            .select(
+                F.least("src", "dst").alias("u"),
+                F.greatest("src", "dst").alias("v"),
+            )
+            .distinct()
+        )
+
+    po, pn = pairs(old), pairs(new)
+    added = pn.join(po, ["u", "v"], "left_anti")
+    removed = po.join(pn, ["u", "v"], "left_anti")
+
+    def incident_triangles(changed, graph_pairs):
+        """Distinct sorted triples {u, v, w} in ``graph_pairs`` where
+        (u, v) is a changed pair and w closes it."""
+        sym = graph_pairs.select(
+            F.col("u").alias("a"), F.col("v").alias("b")
+        ).unionByName(
+            graph_pairs.select(F.col("v").alias("a"), F.col("u").alias("b"))
+        )
+        wedge = changed.join(
+            sym.select(F.col("a").alias("u"), F.col("b").alias("w")), "u"
+        ).filter(F.col("w") != F.col("v"))
+        closed = wedge.join(
+            graph_pairs.select(
+                F.least("u", "v").alias("_cu"), F.greatest("u", "v").alias("_cv")
+            ).withColumnRenamed("_cu", "cu").withColumnRenamed("_cv", "cv"),
+            (F.least("v", "w") == F.col("cu")) & (F.greatest("v", "w") == F.col("cv")),
+            "left_semi",
+        )
+        return closed.select(
+            F.array_sort(F.array("u", "v", "w")).alias("tri")
+        ).distinct()
+
+    gained = incident_triangles(added, pn).count()
+    lost = incident_triangles(removed, po).count()
+    spark = old.sparkSession
+    return spark.createDataFrame(
+        [(gained, lost, gained - lost)],
+        "gained long, lost long, delta long",
+    )

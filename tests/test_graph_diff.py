@@ -63,3 +63,50 @@ class TestDiffDrivenWarmRestart:
             (r["id"], r["component"]) for r in cold_labels.collect()
         }
         assert warm.supersteps < cold.supersteps
+
+
+class TestTriangleDelta:
+    @staticmethod
+    def _tri(edges):
+        import itertools
+
+        pairs = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+        verts = sorted({v for e in pairs for v in e})
+        return sum(
+            1
+            for a, b, c in itertools.combinations(verts, 3)
+            if (a, b) in pairs and (a, c) in pairs and (b, c) in pairs
+        )
+
+    def test_matches_full_recount(self, spark):
+        from linkgraph.algorithms.diff import triangle_delta
+
+        old = [(0, 1), (1, 2), (0, 2), (2, 3), (3, 4), (2, 4), (4, 5)]
+        # remove (0,2) killing triangle 012; add (4,0),(5,0),(4,5 dup)
+        # and (3,5) creating 345-side triangles
+        new = [(0, 1), (1, 2), (2, 3), (3, 4), (2, 4), (4, 5), (0, 4),
+               (0, 5), (3, 5)]
+        o = spark.createDataFrame(old, "src long, dst long")
+        n = spark.createDataFrame(new, "src long, dst long")
+        r = triangle_delta(o, n).collect()[0]
+        assert r["delta"] == self._tri(new) - self._tri(old)
+        assert r["gained"] - r["lost"] == r["delta"]
+        assert r["lost"] >= 1  # triangle 0-1-2 died with (0,2)
+
+    def test_shared_triangle_counted_once(self, spark):
+        """A triangle gaining ALL THREE edges at once counts once."""
+        from linkgraph.algorithms.diff import triangle_delta
+
+        o = spark.createDataFrame([(9, 8)], "src long, dst long")
+        n = spark.createDataFrame(
+            [(9, 8), (0, 1), (1, 2), (2, 0)], "src long, dst long"
+        )
+        r = triangle_delta(o, n).collect()[0]
+        assert (r["gained"], r["lost"], r["delta"]) == (1, 0, 1)
+
+    def test_no_change(self, spark):
+        from linkgraph.algorithms.diff import triangle_delta
+
+        o = spark.createDataFrame([(0, 1), (1, 2), (2, 0)], "src long, dst long")
+        r = triangle_delta(o, o).collect()[0]
+        assert (r["gained"], r["lost"], r["delta"]) == (0, 0, 0)
