@@ -1161,6 +1161,21 @@ def _q_wl_roles(spark, sf):
     )
 
 
+def _q_wl_fingerprint(spark, sf):
+    """WL graph fingerprint: the class-size histogram of the round-
+    WL_ROUNDS refinement labels — the multiset that summarizes the
+    graph's structural-role composition in O(#classes) rows."""
+    from linkgraph.algorithms.wl import wl_class_sizes, wl_refinement
+
+    labels = wl_refinement(
+        document_edges(spark, sf),
+        rounds=WL_ROUNDS,
+        vertices=document_vertices(spark, sf),
+        portable=True,
+    )
+    return wl_class_sizes(labels, f"wl{WL_ROUNDS}")
+
+
 def _q_bpe_merges(spark, sf):
     """Distributed BPE tokenizer training: BPE_MERGES rounds of
     pair-count -> argmax -> merge over the word-type table (the
@@ -2750,6 +2765,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sgns_linkpred_auc": _q_sgns_auc,
         "khop_features": _q_khop_features,
         "wl_roles": _q_wl_roles,
+        "wl_fingerprint": _q_wl_fingerprint,
         "bpe_merges": _q_bpe_merges,
         "bpe_encode_counts": _q_bpe_encode_counts,
         "collocations": _q_collocations,
@@ -5094,6 +5110,12 @@ def oracle_sql() -> dict[str, str]:
     sql["skipgram_pairs"] = _skipgram_sql(RW_W, RW_LEN, RW_SEED, SG_WINDOW)
     sql["khop_features"] = _khop_sql(KHOP_HOPS)
     sql["wl_roles"] = _wl_sql(WL_ROUNDS)
+    sql["wl_fingerprint"] = (
+        "WITH base AS (" + _wl_sql(WL_ROUNDS) + ")"
+        f" SELECT wl{WL_ROUNDS} AS wl_label,"
+        " CAST(COUNT(*) AS BIGINT) AS class_size"
+        f" FROM base GROUP BY wl{WL_ROUNDS}"
+    )
     sql["bpe_merges"] = _bpe_sql(BPE_MERGES)
     sql["bpe_encode_counts"] = _bpe_counts_sql(BPE_MERGES)
     sql["collocations"] = _colloc_sql(COLLOC_MIN_PAIRS)
