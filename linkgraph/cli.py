@@ -47,7 +47,7 @@ def _build_parser() -> argparse.ArgumentParser:
             "clustering", "transitivity", "ktruss", "anf", "sssp",
             "reachability", "sample", "cliques", "derive",
             "derive-repo", "wpr", "linkpred",
-            "dedup", "vocab", "pii", "repetition", "bm25", "lm-score",
+            "dedup", "vocab", "pii", "repetition", "bm25", "lm-score", "chunk",
             "seeded-lpa",
             "ppr", "hits", "kcore", "walks", "node2vec", "mis", "matching", "toposort",
             "coloring", "msf", "bipartite", "cocitation", "coupling", "cooccur",
@@ -114,6 +114,10 @@ def _build_parser() -> argparse.ArgumentParser:
     p.add_argument("--alpha", type=float, default=0.05,
                    help="katz: attenuation factor (must be < 1/lambda_max "
                    "for the infinite series; any value in fixed-updates mode)")
+    p.add_argument("--chunk-size", type=int, default=64,
+                   help="chunk: window size in whitespace tokens")
+    p.add_argument("--chunk-overlap", type=int, default=16,
+                   help="chunk: tokens shared between consecutive windows")
     p.add_argument("--pattern", default=None,
                    help='motif: pattern string, e.g. "(a)-[]->(b); !(b)-[]->(a)"')
     p.add_argument("--where", default=None,
@@ -205,7 +209,7 @@ def main(argv: list[str] | None = None) -> None:
         ckpt = CheckpointManager(spark, args.checkpoint, every=args.checkpoint_every)
 
     if args.algorithm in ("dedup", "canonical", "vocab", "pii", "repetition",
-                          "cooccur", "bm25", "lm-score", "dupgrams"):
+                          "cooccur", "bm25", "lm-score", "dupgrams", "chunk"):
         if not args.documents:
             raise SystemExit(f"{args.algorithm} requires --documents")
         docs = spark.read.load(args.documents).select(
@@ -252,6 +256,12 @@ def main(argv: list[str] | None = None) -> None:
                 threshold=args.threshold,
                 seed=args.seed,
                 portable=args.portable_hash,
+            )
+        elif args.algorithm == "chunk":
+            from linkgraph.pipeline.packing import chunk_documents
+
+            out = chunk_documents(
+                docs, chunk_size=args.chunk_size, overlap=args.chunk_overlap
             )
         elif args.algorithm == "cooccur":
             from linkgraph.pipeline.cooccur import token_cooccurrence
