@@ -81,7 +81,9 @@ def triangle_delta(old: DataFrame, new: DataFrame) -> DataFrame:
             .distinct()
         )
 
-    po, pn = pairs(old), pairs(new)
+    # each snapshot's pair relation feeds the anti-join, the wedge
+    # expansion, and the closing semi-join — materialize once
+    po, pn = pairs(old).persist(), pairs(new).persist()
     added = pn.join(po, ["u", "v"], "left_anti")
     removed = po.join(pn, ["u", "v"], "left_anti")
 
@@ -109,6 +111,8 @@ def triangle_delta(old: DataFrame, new: DataFrame) -> DataFrame:
 
     gained = incident_triangles(added, pn).count()
     lost = incident_triangles(removed, po).count()
+    po.unpersist()
+    pn.unpersist()
     spark = old.sparkSession
     return spark.createDataFrame(
         [(gained, lost, gained - lost)],
