@@ -2684,7 +2684,84 @@ def _q_multimodal_raw(spark, sf):
     ).withColumn("n_bytes", F.col("n_bytes").cast("long"))
 
 
+# Gate rotation (round 4): the driver's per-round CORRECTNESS gate
+# checks the FIRST ~50 entries of queries() in dict order.  Rounds 1-3
+# accumulated committed hash-match rows for 73 of 126 queries; the 53
+# never-driver-gated queries are rotated into the front window here so
+# CORRECTNESS_r04 verifies them.  Three sibling queries whose core
+# machinery already has a driver row via a gated twin are deferred to
+# positions 51-53 (random_walks_weighted ~ random_walks,
+# distinct_tokens_by_lang ~ distinct_token_sketch, louvain_hierarchy ~
+# louvain_communities) and lead the round-5 window together with any
+# new round-4 queries.  tools/gate_rotation.py derives / audits this
+# list from the committed CORRECTNESS_r*.json files.
+_GATE_FRONT = [
+    # never driver-gated as of CORRECTNESS_r03 (50 of 53)
+    "unigram_lm_score",
+    "seeded_label_propagation",
+    "pii_redaction",
+    "repetition_stats",
+    "ngram_decontamination",
+    "pack_sequences",
+    "proportional_sample",
+    "weighted_sample",
+    "stratified_sample",
+    "event_sessions",
+    "minhash_verified_pairs",
+    "canonical_docs",
+    "training_batch_pipeline",
+    "skipgram_pairs",
+    "sgns_embeddings",
+    "sgns_linkpred_auc",
+    "khop_features",
+    "wl_roles",
+    "wl_fingerprint",
+    "bpe_merges",
+    "bpe_encode_counts",
+    "collocations",
+    "cms_token_counts",
+    "embedding_pq_topk",
+    "motif_open_triads",
+    "chunk_documents",
+    "graph_delta",
+    "triangle_delta",
+    "motif_time_chains",
+    "partition_report",
+    "random_walks",
+    "node2vec_walks",
+    "maximal_independent_set",
+    "maximal_matching",
+    "dependency_levels",
+    "greedy_coloring",
+    "minimum_spanning_forest",
+    "bipartite_check",
+    "rectangle_count",
+    "landmark_distances",
+    "louvain_communities",
+    "repo_communities",
+    "neighborhood_minhash_pairs",
+    "cocitation_pairs",
+    "bibliographic_coupling",
+    "token_cooccurrence",
+    "salsa_scores",
+    "graph_summary",
+    "avg_neighbor_degree",
+    "rich_club_profile",
+    # deferred never-gated siblings (positions 51-53, round-5 window)
+    "random_walks_weighted",
+    "distinct_tokens_by_lang",
+    "louvain_hierarchy",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    base = _base_queries()
+    ordered = {name: base[name] for name in _GATE_FRONT}
+    ordered.update({k: v for k, v in base.items() if k not in ordered})
+    return ordered
+
+
+def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "edge_derivation": _q_edges,
         "degree_distribution": _q_degree_distribution,

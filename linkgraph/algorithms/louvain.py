@@ -79,7 +79,24 @@ DEC = "decimal(38,0)"
 def _weighted_sym(edges: DataFrame, weight_col: str) -> DataFrame:
     """Symmetrize a weighted directed relation: undirected weight =
     sum over both orientations (the standard directed->undirected
-    convention), emitted as both symmetric rows. Self loops dropped."""
+    convention), emitted as both symmetric rows. Self loops dropped.
+
+    Integer-weight contract: modularity gains are exact only under
+    integer weights, so fractional values are REJECTED (not silently
+    truncated) — pre-scale e.g. DOUBLE weights to integers upstream.
+    """
+    dtype = dict(edges.dtypes)[weight_col]
+    if not (dtype in ("bigint", "int", "smallint", "tinyint")
+            or (dtype.startswith("decimal") and dtype.endswith(",0)"))):
+        n_frac = edges.filter(
+            F.col(weight_col) != F.col(weight_col).cast("long")
+        ).limit(1).count()
+        if n_frac:
+            raise ValueError(
+                f"louvain requires integer edge weights (exact-gain "
+                f"contract); column {weight_col!r} of type {dtype} holds "
+                "fractional values — round or rescale it upstream"
+            )
     und = (
         edges.filter(F.col("src") != F.col("dst"))
         .select(
@@ -225,7 +242,11 @@ def greedy_modularity_communities(
         base = (
             _weighted_sym(edges, weight_col)
             if weight_col is not None
-            else symmetrize(edges).withColumn("w", F.lit(1).cast("long"))
+            # input self-loops dropped in BOTH paths: the 2x-self-row
+            # weight convention only applies to contraction-produced
+            # intra rows, never raw input loops
+            else symmetrize(edges.filter(F.col("src") != F.col("dst")))
+            .withColumn("w", F.lit(1).cast("long"))
         )
         wsym = base.repartition(p, "src").persist()
         two_m = wsym.agg(F.sum("w")).collect()[0][0] or 0
@@ -266,7 +287,7 @@ def louvain_multilevel(
 
     with iteration_conf(spark, p):
         wsym = (
-            symmetrize(edges)
+            symmetrize(edges.filter(F.col("src") != F.col("dst")))
             .withColumn("w", F.lit(1).cast("long"))
             .repartition(p, "src")
             .persist()

@@ -79,9 +79,21 @@ def partition_quality(
     if method not in ("hash", "range"):
         raise ValueError("method must be 'hash' or 'range'")
     if method == "range":
+        # the id span must cover explicitly-passed vertices too, else
+        # every id above the edge max clamps into the last block and
+        # skews the balance report
         hi = edges.select(
             F.greatest(F.max("src"), F.max("dst")).alias("m")
         ).collect()[0]["m"]
+        if vertices is not None:
+            vhi = vertices.select(F.max("id").alias("m")).collect()[0]["m"]
+            if vhi is not None:
+                hi = vhi if hi is None else max(int(hi), int(vhi))
+        if hi is None:
+            raise ValueError(
+                "partition_quality(method='range') needs at least one "
+                "edge or vertex to derive the id span"
+            )
         span = int(hi) + 1
 
         def expr_for(col: str) -> str:

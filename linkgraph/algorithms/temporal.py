@@ -36,6 +36,19 @@ from ..graph import choose_partitions, vertices_from_edges
 from ..superstep import LoopResult, StepResult, iterate, iteration_conf
 
 _INF = (1 << 62) - 1  # integer +inf sentinel; timestamps must be < this
+_NEG_INF = -(1 << 62)  # integer -inf sentinel; timestamps must be > this
+
+
+def _check_time_range(te: DataFrame) -> None:
+    """Timestamps may be any BIGINT (negative epochs are legal) but must
+    stay strictly inside the sentinel range so min/max relaxation against
+    the sentinels cannot collide with a real value."""
+    row = te.agg(F.min("t").alias("lo"), F.max("t").alias("hi")).first()
+    if row["lo"] is not None and (row["lo"] <= _NEG_INF or row["hi"] >= _INF):
+        raise ValueError(
+            f"temporal timestamps must lie in ({_NEG_INF}, {_INF}); "
+            f"got [{row['lo']}, {row['hi']}]"
+        )
 
 
 def temporal_earliest_arrival(
@@ -73,6 +86,7 @@ def temporal_earliest_arrival(
             .persist()
         )
         te.count()
+    _check_time_range(te)
 
     init = verts.select(
         "id",
@@ -173,8 +187,13 @@ def temporal_latest_departure(
             .persist()
         )
         te.count()
+    _check_time_range(te)
 
-    _NONE = -1  # "cannot reach" sentinel; timestamps must be >= 0
+    # "cannot reach" sentinel strictly below every representable
+    # timestamp (negative epochs are legal BIGINT input; a -1 sentinel
+    # would shadow real departures <= -1 — _check_time_range guards the
+    # boundary)
+    _NONE = _NEG_INF
 
     init = verts.select(
         "id",

@@ -148,7 +148,9 @@ def _build_parser() -> argparse.ArgumentParser:
                    help="walks/node2vec: steps after the start vertex")
     p.add_argument("--weight-col", default=None,
                    help="walks: integer edge-weight column for "
-                   "weight-proportional steps")
+                   "weight-proportional steps; temporal: the BIGINT "
+                   "timestamp column (defaults to 't' when the edge "
+                   "table has one)")
     p.add_argument("--mult-return", type=int, default=1,
                    help="node2vec: integer bias for returning to the previous "
                    "vertex (1/p scaled to integers)")
@@ -179,10 +181,27 @@ def _load_edges(spark: SparkSession, args) -> DataFrame:
             "exactly one of --edges / --code-table / --adjacency-text is required"
         )
     if args.edges:
+        df = spark.read.load(args.edges)
         cols = [F.col("src").cast("long"), F.col("dst").cast("long")]
-        if getattr(args, "weight_col", None):
-            cols.append(F.col(args.weight_col).cast("long").alias(args.weight_col))
-        return spark.read.load(args.edges).select(*cols)
+        extra = getattr(args, "weight_col", None)
+        if not extra and getattr(args, "algorithm", None) == "temporal":
+            # temporal rides the same extra-column loader; default to the
+            # conventional 't' timestamp column when the table has one.
+            if "t" in df.columns:
+                extra = "t"
+            else:
+                raise SystemExit(
+                    "temporal requires a BIGINT timestamp column: pass "
+                    "--weight-col <column> (no 't' column in the edge table)"
+                )
+        if extra:
+            if extra not in df.columns:
+                raise SystemExit(
+                    f"--weight-col {extra!r} not in edge table columns "
+                    f"{df.columns}"
+                )
+            cols.append(F.col(extra).cast("long").alias(extra))
+        return df.select(*cols)
     if args.adjacency_text:
         from linkgraph.sources import adjacency_text_graph
 
@@ -592,10 +611,17 @@ def main(argv: list[str] | None = None) -> None:
 
         # the timestamp column rides the --weight-col loader (any extra
         # BIGINT column on the edge table)
+        time_col = args.weight_col or "t"
+        if time_col not in edges.columns:
+            raise SystemExit(
+                f"temporal requires a timestamp column; {time_col!r} is not "
+                "in the edge table (pass --weight-col, and use --edges: the "
+                "adjacency-text / code-table sources carry no timestamps)"
+            )
         out, res = temporal_earliest_arrival(
             edges,
             source=args.source,
-            time_col=args.weight_col or "t",
+            time_col=time_col,
             max_supersteps=args.max_supersteps,
             **common,
         )

@@ -104,12 +104,18 @@ def pack_sequences(
         "n_tokens",
         "group",
         "start",
-        (F.col("start") / budget).cast("long").alias("bin"),
+        # integer DIV, not double /: the running token offset of a group
+        # can exceed 2^53 at scale, where double division silently
+        # misplaces bins and breaks the exact-integer oracle contract
+        F.expr(f"start DIV {budget}").alias("bin"),
         (F.col("start") % budget).alias("offset"),
-        # windows touched: ceil((offset + n_tokens) / budget), 0 if empty
+        # windows touched: ceil((offset + n_tokens) / budget) in pure
+        # integer arithmetic, 0 if empty
         F.when(F.col("n_tokens") == 0, F.lit(0))
         .otherwise(
-            F.ceil((F.col("start") % budget + F.col("n_tokens")) / budget)
+            F.expr(
+                f"(start % {budget} + n_tokens + {budget - 1}) DIV {budget}"
+            )
         )
         .cast("long")
         .alias("n_spans"),

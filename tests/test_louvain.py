@@ -99,3 +99,48 @@ class TestLouvain:
         for v in (5, 6, 7):
             assert out[v] == v
         assert len(out) == 8
+
+
+class TestWeightContract:
+    def test_fractional_weights_rejected(self, spark):
+        """ADVICE r3: DOUBLE weights used to be silently truncated by a
+        cast to long; the exact-gain contract requires integer weights,
+        so fractional input must raise."""
+        import pytest
+
+        from linkgraph.algorithms.louvain import greedy_modularity_communities as louvain_communities
+
+        e = spark.createDataFrame(
+            [(0, 1, 0.5), (1, 2, 2.0)], "src long, dst long, w double"
+        )
+        with pytest.raises(ValueError, match="integer edge weights"):
+            louvain_communities(e, weight_col="w")
+
+    def test_integral_doubles_accepted(self, spark):
+        from linkgraph.algorithms.louvain import greedy_modularity_communities as louvain_communities
+
+        e = spark.createDataFrame(
+            [(0, 1, 2.0), (1, 2, 3.0), (3, 4, 1.0)],
+            "src long, dst long, w double",
+        )
+        lab = {r["id"]: r["community"]
+               for r in louvain_communities(e, weight_col="w").collect()}
+        # integral doubles are accepted (no raise) and cover all vertices;
+        # the disconnected pair can never share the triangle's community
+        assert set(lab) == {0, 1, 2, 3, 4}
+        assert lab[3] not in {lab[0], lab[1], lab[2]}
+        assert lab[4] not in {lab[0], lab[1], lab[2]}
+
+    def test_input_self_loops_ignored_unweighted(self, spark):
+        """Raw input self-loops must not perturb 2m in the unweighted
+        path (the 2x-self-row convention is contraction-only)."""
+        from linkgraph.algorithms.louvain import greedy_modularity_communities as louvain_communities
+
+        base = [(0, 1), (1, 2), (0, 2)]
+        e1 = spark.createDataFrame(base, "src long, dst long")
+        e2 = spark.createDataFrame(
+            base + [(0, 0), (1, 1)], "src long, dst long"
+        )
+        l1 = {r["id"]: r["community"] for r in louvain_communities(e1).collect()}
+        l2 = {r["id"]: r["community"] for r in louvain_communities(e2).collect()}
+        assert l1 == l2

@@ -88,6 +88,23 @@ class TestPartitionQuality:
             partition_quality(e, 0)
 
 
+    def test_range_span_covers_explicit_vertices(self, spark):
+        """ADVICE r3: range placement must derive the id span from
+        max(vertices.id, edge endpoints) — isolated vertices with ids
+        above every edge id used to clamp into the last block."""
+        e = spark.createDataFrame([(0, 1)], "src long, dst long")
+        v = spark.createDataFrame([(i,) for i in range(8)], "id long")
+        rows = partition_quality(e, 4, vertices=v, method="range").collect()
+        nv = {r["partition"]: r["n_vertices"] for r in rows}
+        # span = 8 -> blocks of 2: perfectly balanced, no last-block pile
+        assert nv == {0: 2, 1: 2, 2: 2, 3: 2}
+
+    def test_range_empty_input_raises(self, spark):
+        e = spark.createDataFrame([], "src long, dst long")
+        with pytest.raises(ValueError, match="id span"):
+            partition_quality(e, 4, method="range")
+
+
 class TestKMVByGroup:
     def test_per_group_estimates(self, spark):
         """Per-group KMV: small groups degenerate to exact counts."""

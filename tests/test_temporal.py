@@ -165,3 +165,36 @@ class TestLatestDeparture:
         reach_bwd = {r["id"] for r in dep.collect() if r["departure"] is not None}
         # 0 reaches 4 (via 3 at t=12), so 0 must be in 4's backward set
         assert 4 in reach_fwd and 0 in reach_bwd
+
+    def test_negative_timestamps(self, spark):
+        """Negative epochs are legal BIGINT timestamps; the old -1
+        'unreachable' sentinel silently shadowed departures <= -1
+        (ADVICE r3). A chain living entirely at negative times must
+        report real negative departure/arrival values, not NULL."""
+        from linkgraph.algorithms.temporal import (
+            temporal_earliest_arrival,
+            temporal_latest_departure,
+        )
+
+        tedges = [(0, 1, -50), (1, 2, -10), (3, 2, -100)]
+        e = spark.createDataFrame(tedges, "src long, dst long, t long")
+        v = spark.createDataFrame([(x,) for x in range(4)], "id long")
+        dep, _ = temporal_latest_departure(e, target=2, deadline=-5, vertices=v)
+        d = {r["id"]: r["departure"] for r in dep.collect()}
+        assert d[1] == -10 and d[0] == -50 and d[3] == -100 and d[2] == -5
+        arr, _ = temporal_earliest_arrival(
+            e, source=0, start_time=-100, vertices=v
+        )
+        a = {r["id"]: r["arrival"] for r in arr.collect()}
+        assert a[1] == -50 and a[2] == -10 and a[3] is None
+
+    def test_sentinel_boundary_rejected(self, spark):
+        import pytest
+
+        from linkgraph.algorithms.temporal import temporal_latest_departure
+
+        e = spark.createDataFrame(
+            [(0, 1, -(1 << 62))], "src long, dst long, t long"
+        )
+        with pytest.raises(ValueError, match="timestamps"):
+            temporal_latest_departure(e, target=1, deadline=10)
