@@ -1211,7 +1211,7 @@ def _q_sgns_embeddings(spark, sf):
     BIGINT the oracle replays exactly."""
     from linkgraph import random_walks
     from linkgraph.algorithms.walks import skipgram_pairs
-    from linkgraph.pipeline.sgns import train_sgns
+    from linkgraph.pipeline.sgns import train_sgns_sharded
 
     corpus, _ = random_walks(
         document_edges(spark, sf),
@@ -1222,7 +1222,10 @@ def _q_sgns_embeddings(spark, sf):
         portable=True,
     )
     pairs = skipgram_pairs(corpus, window=SG_WINDOW)
-    out, _ = train_sgns(
+    # the model-sharded trainer (bit-identical to the driver-held IMRU
+    # variant, tests/test_sgns.py::TestSharded) so the gate exercises
+    # the 100 TB path
+    return train_sgns_sharded(
         pairs,
         vertices=document_vertices(spark, sf),
         dim=SGNS_DIM,
@@ -1234,7 +1237,6 @@ def _q_sgns_embeddings(spark, sf):
         scale_bits=SGNS_SCALE_BITS,
         portable=True,
     )
-    return out
 
 
 def _q_sgns_auc(spark, sf):
@@ -1245,7 +1247,7 @@ def _q_sgns_auc(spark, sf):
     from linkgraph import random_walks
     from linkgraph.algorithms.walks import skipgram_pairs
     from linkgraph.pipeline.embed_eval import linkpred_auc
-    from linkgraph.pipeline.sgns import train_sgns
+    from linkgraph.pipeline.sgns import train_sgns_sharded
 
     edges = document_edges(spark, sf)
     verts = document_vertices(spark, sf)
@@ -1258,7 +1260,7 @@ def _q_sgns_auc(spark, sf):
         vertices=verts,
         portable=True,
     )
-    emb, _ = train_sgns(
+    emb = train_sgns_sharded(
         skipgram_pairs(corpus, window=SG_WINDOW),
         vertices=verts,
         dim=SGNS_DIM,

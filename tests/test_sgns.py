@@ -123,3 +123,47 @@ class TestSGNS:
             train_sgns(pairs, dim=0)
         with pytest.raises(ValueError):
             train_sgns(pairs, scale_bits=40)
+
+
+class TestSharded:
+    """train_sgns_sharded: the model-sharded (driver-unbounded) trainer
+    must be BIT-IDENTICAL to the driver-held IMRU variant."""
+
+    def test_bit_identical_portable(self, pairs):
+        from linkgraph.pipeline.sgns import train_sgns_sharded
+
+        a, _ = _train(pairs)
+        b = train_sgns_sharded(
+            pairs, dim=4, epochs=2, negatives=2, seed=11, portable=True
+        )
+        assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+    def test_bit_identical_production_hash(self, pairs):
+        from linkgraph.pipeline.sgns import train_sgns_sharded
+
+        a, _ = _train(pairs, portable=False)
+        b = train_sgns_sharded(
+            pairs, dim=4, epochs=2, negatives=2, seed=11, portable=False
+        )
+        assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+    def test_partition_invariance(self, pairs):
+        from linkgraph.pipeline.sgns import train_sgns_sharded
+
+        kw = dict(dim=3, epochs=2, negatives=1, seed=7, portable=False)
+        a = train_sgns_sharded(pairs, num_partitions=2, **kw)
+        b = train_sgns_sharded(pairs.repartition(9), num_partitions=13, **kw)
+        assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+    def test_no_negatives(self, pairs):
+        from linkgraph.pipeline.sgns import train_sgns_sharded
+
+        a, _ = _train(pairs, negatives=0)
+        b = train_sgns_sharded(
+            pairs, dim=4, epochs=2, negatives=0, seed=11, portable=True
+        )
+        assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+    def test_driver_vocab_cap_raises(self, pairs):
+        with pytest.raises(ValueError, match="train_sgns_sharded"):
+            _train(pairs, max_driver_vocab=3)
