@@ -11,10 +11,15 @@ two tiers:
   complete numpy decoders, and ``decode_stub="raw"`` runs the full
   decode → resize (block-mean pooling) → feature-extract pipeline on
   actual pixel/sample data inside the Arrow batches.
-- **Stub** for container formats (PNG/WAV/MP4 — this container ships no
-  codecs): ``decode_stub="fake"`` produces a deterministic fake feature
-  from the bytes, ``decode_stub="raise"`` raises NotImplementedError
-  where a real codec (PIL/torchaudio/ffmpeg) would plug in.
+- **Real decode** for PNG and WAV containers (pipeline/codecs.py:
+  stdlib zlib + numpy per-row unfilter for PNG, RIFF struct parse for
+  WAV) — ``decode_stub="raw"`` sniffs the payload magic and dispatches
+  RAWI/RAWA/PNG/WAV to the matching real decoder.
+- **Stub** for MP4 (a real ISO-BMFF/H.264 stack needs ffmpeg):
+  ``decode_stub="fake"`` produces a deterministic fake feature from the
+  bytes, ``decode_stub="raise"`` raises NotImplementedError where the
+  real codec would plug in, and an MP4 payload reaching the raw tier
+  raises NotImplementedError with the same marker.
 """
 
 from __future__ import annotations
@@ -138,6 +143,35 @@ def decode_raw_audio(payload: bytes) -> tuple[np.ndarray, int]:
     return np.frombuffer(body, dtype=">i2").astype(np.int16), rate
 
 
+def decode_media(payload: bytes) -> tuple[str, np.ndarray, int | None]:
+    """Sniff the payload magic and run the matching REAL decoder.
+
+    Returns ``(modality, array, sample_rate)``: ``("image", uint8
+    (H, W, C), None)`` for RAWI/PNG, ``("audio", int16 samples, rate)``
+    for RAWA/WAV. MP4 (ISO-BMFF ``ftyp``) raises NotImplementedError —
+    the one remaining honest stub; anything else is a ValueError.
+    """
+    from .codecs import PNG_MAGIC, png_decode, wav_decode
+
+    if payload[:4] == _RAWI_MAGIC:
+        return "image", decode_raw_image(payload), None
+    if payload[:4] == _RAWA_MAGIC:
+        samples, rate = decode_raw_audio(payload)
+        return "audio", samples, rate
+    if payload[: len(PNG_MAGIC)] == PNG_MAGIC:
+        return "image", png_decode(payload), None
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        samples, rate = wav_decode(payload)
+        if samples.ndim == 2:  # downmix: first channel (deterministic)
+            samples = samples[:, 0]
+        return "audio", samples, rate
+    if len(payload) >= 12 and payload[4:8] == b"ftyp":
+        raise NotImplementedError(
+            "MP4 decode requires ffmpeg — not available in this container"
+        )
+    raise ValueError("unrecognized media payload (no known magic)")
+
+
 def resize_image(pixels: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     """Block-mean downsample to (out_h, out_w, C) — the resize step of
     the decode pipeline, pure numpy. Requires integer downscale factors
@@ -237,12 +271,16 @@ def extract_features(
             for payload, kind in zip(pdf["payload"], pdf["kind"]):
                 raw = bytes(payload)
                 if decode_stub == "raw":
-                    if kind == "image":
-                        f = image_feature(decode_raw_image(raw))
-                    elif kind == "audio":
-                        f = audio_feature(*decode_raw_audio(raw))
+                    modality, arr, rate = decode_media(raw)
+                    if modality != kind:
+                        raise ValueError(
+                            f"payload magic says {modality!r} but metadata "
+                            f"says {kind!r}"
+                        )
+                    if modality == "image":
+                        f = image_feature(arr)
                     else:
-                        raise ValueError(f"raw decode: unsupported kind {kind!r}")
+                        f = audio_feature(arr, rate)
                     feats.append(f[:feat_dim].astype(np.float32))
                     continue
                 b = np.frombuffer(raw, dtype=np.uint8)
@@ -259,6 +297,98 @@ def extract_features(
             )
 
     return media.mapInPandas(batches, FEATURE_SCHEMA)
+
+
+def synth_codec_media(spark, n: int = 40, seed: int = 0) -> DataFrame:
+    """Media table whose payloads are REAL PNG images / WAV audio with
+    CLOSED-FORM contents, so a SQL oracle can verify the decoded data:
+
+    - image row i (even i): H = 8*(2 + i%3), W = 8*(2 + (i//2)%3), RGB;
+      pixel value at linear index k (row-major y, x, channel) is
+      ``k % 251`` — the decoded pixel sum is a pure function of (H, W).
+      The PNG filter type cycles ``(i // 2) % 5`` so every unfilter
+      path (None/Sub/Up/Average/Paeth) is exercised by the gate.
+    - audio row i (odd i): n_samples = 800*(1 + i%5), mono 16 kHz;
+      sample k is ``(k * 37) % 4001 - 2000``.
+
+    ``seed`` only offsets media_id so distinct tables can coexist.
+    """
+    from .codecs import png_encode, wav_encode
+
+    rows = []
+    for i in range(n):
+        if i % 2 == 0:
+            h, w = 8 * (2 + i % 3), 8 * (2 + (i // 2) % 3)
+            pixels = (np.arange(h * w * 3, dtype=np.int64) % 251).astype(
+                np.uint8
+            ).reshape(h, w, 3)
+            payload = png_encode(pixels, filter_type=(i // 2) % 5)
+            rows.append(
+                (seed + i, "image", "image/png", w, h, None, bytearray(payload))
+            )
+        else:
+            n_samp = 800 * (1 + i % 5)
+            samples = ((np.arange(n_samp, dtype=np.int64) * 37) % 4001 - 2000).astype(
+                np.int16
+            )
+            payload = wav_encode(samples, 16000)
+            rows.append(
+                (
+                    seed + i,
+                    "audio",
+                    "audio/wav",
+                    None,
+                    None,
+                    1000 * n_samp // 16000,
+                    bytearray(payload),
+                )
+            )
+    n_slices = max(1, min(n // 16, spark.sparkContext.defaultParallelism))
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, n_slices), MEDIA_SCHEMA
+    )
+
+
+DECODE_SUMMARY_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("n_units", T.LongType(), False),   # pixels | samples
+        T.StructField("content_sum", T.LongType(), False),
+    ]
+)
+
+
+def decode_summary(media: DataFrame) -> DataFrame:
+    """REAL-decode every payload (magic-dispatched: RAWI/RAWA/PNG/WAV)
+    and emit exact-integer content invariants — unit count and the sum
+    of decoded pixel/sample values — that an external oracle can verify
+    against closed-form payloads. A corrupt byte anywhere (CRC, length,
+    filter, header) raises inside the Arrow batch instead of producing
+    a wrong row."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            units, sums, kinds = [], [], []
+            for payload in pdf["payload"]:
+                modality, arr, _rate = decode_media(bytes(payload))
+                kinds.append(modality)
+                units.append(
+                    int(arr.shape[0] * arr.shape[1])
+                    if modality == "image"
+                    else int(arr.shape[0])
+                )
+                sums.append(int(arr.astype(np.int64).sum()))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": kinds,
+                    "n_units": pd.Series(units, dtype="int64"),
+                    "content_sum": pd.Series(sums, dtype="int64"),
+                }
+            )
+
+    return media.mapInPandas(batches, DECODE_SUMMARY_SCHEMA)
 
 
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
