@@ -752,6 +752,21 @@ def _q_knn_accuracy(spark, sf):
     return knn_label_accuracy(emb, k=TOPK, n_queries=N_QUERY_VECS)
 
 
+def _q_knn_accuracy_ann(spark, sf):
+    """kNN label eval over the sign-LSH candidate set (VERDICT r3 #4:
+    the ANN-composed variant of knn_label_accuracy) — neighbors come
+    from the banded bucket join instead of the brute-force scan, the
+    majority vote is shared code, and the oracle replays the identical
+    plane projections + vote."""
+    from linkgraph.pipeline import knn_label_accuracy_ann
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    dim = len(emb.select("embedding").first()["embedding"])
+    return knn_label_accuracy_ann(
+        emb, dim, k=TOPK, n_queries=N_QUERY_VECS, method="lsh"
+    )
+
+
 def _q_triad_census(spark, sf):
     """Closed-triad census over the directed doc graph: the triangle
     join of §4.4 carrying per-pair direction codes, classified by the
@@ -2767,6 +2782,7 @@ _GATE_FRONT = [
     "louvain_hierarchy",
     # new round-4 queries (never gated yet; round-5 window)
     "multimodal_codec_decode",
+    "knn_label_accuracy_ann",
 ]
 
 
@@ -2816,6 +2832,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "closed_triad_census": _q_triad_census,
         "triad_census_full": _q_triad_census_full,
         "knn_label_accuracy": _q_knn_accuracy,
+        "knn_label_accuracy_ann": _q_knn_accuracy_ann,
         "core_decomposition": _q_coreness,
         "reachability": _q_reachability,
         "exact_dedup": _q_exact_dedup,
@@ -3885,6 +3902,44 @@ def _lsh_topk_sql(
         "  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid"
         "   ORDER BY sim DESC, vec_id ASC) AS rn FROM scored"
         f" ) WHERE rn <= {k}"
+    )
+
+
+def _knn_ann_sql(
+    dim: int, n_planes: int, bands: int, seed: int, n_queries: int, k: int
+) -> str:
+    """kNN majority-vote label eval over the sign-LSH candidate set —
+    the LSH top-k of _lsh_topk_sql composed with the vote CTEs of the
+    exact knn_label_accuracy oracle (prediction = most frequent
+    neighbor label, ties to the smallest label)."""
+    ctes = _lsh_bucket_ctes(dim, n_planes, bands, seed) + [
+        f"cands AS MATERIALIZED (SELECT DISTINCT q.vec_id AS qid, c.vec_id"
+        f" FROM buckets q JOIN buckets c"
+        f" ON q.band = c.band AND q.bucket = c.bucket AND q.vec_id != c.vec_id"
+        f" WHERE q.vec_id < {n_queries})",
+        "scored AS (SELECT cd.qid, cd.vec_id,"
+        " ROUND(list_sum(list_transform(generate_series(1, len(q.v)),"
+        "   i -> q.v[i]*c.v[i]))"
+        "  / (sqrt(list_sum(list_transform(q.v, x -> x*x)))"
+        "     * sqrt(list_sum(list_transform(c.v, x -> x*x)))), 4) AS sim"
+        " FROM cands cd JOIN pts q ON q.vec_id = cd.qid"
+        " JOIN pts c ON c.vec_id = cd.vec_id)",
+        "topk AS (SELECT qid, vec_id FROM ("
+        " SELECT *, ROW_NUMBER() OVER (PARTITION BY qid"
+        "  ORDER BY sim DESC, vec_id ASC) AS rn FROM scored"
+        f") WHERE rn <= {k})",
+        "votes AS (SELECT t.qid, e.label AS lab, COUNT(*) AS c"
+        " FROM topk t JOIN embeddings e ON t.vec_id = e.vec_id GROUP BY 1, 2)",
+        "pred AS (SELECT qid, lab AS pred_label FROM ("
+        " SELECT *, ROW_NUMBER() OVER (PARTITION BY qid"
+        "  ORDER BY c DESC, lab ASC) AS rn FROM votes) WHERE rn = 1)",
+    ]
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + " SELECT p.qid, p.pred_label, e.label AS true_label,"
+        " CAST(p.pred_label = e.label AS INT) AS correct"
+        " FROM pred p JOIN embeddings e ON p.qid = e.vec_id"
     )
 
 
@@ -5419,6 +5474,11 @@ def oracle_sql() -> dict[str, str]:
     # sign-LSH ANN: md5-derived hyperplanes embedded as literals;
     # params mirror _q_lsh_topk (dim 64, 16 planes, 4 bands)
     sql["embedding_lsh_topk"] = _lsh_topk_sql(64, 16, 4, 42, N_QUERY_VECS, TOPK)
+    # same plane/band params as embedding_lsh_topk; the vote tail
+    # mirrors knn_label_accuracy's oracle
+    sql["knn_label_accuracy_ann"] = _knn_ann_sql(
+        64, 16, 4, 42, N_QUERY_VECS, TOPK
+    )
     sql["embedding_neardup_pairs"] = _neardup_pairs_sql(64, 16, 4, 42, NEARDUP_TAU)
     # maximal-clique aggregator's global answer: enumerate ALL cliques
     # by ordered extension (each clique generated exactly once as its

@@ -35,8 +35,10 @@ from .sample import proportional_sample, stratified_sample, weighted_sample
 from .sessions import sessionize_events
 from .sketches import cms_probe_counts, cms_sketch, kmv_distinct_tokens
 from .similarity import (
+    ann_recall,
     cosine_topk,
     knn_label_accuracy,
+    knn_label_accuracy_ann,
     embedding_neardup_pairs,
     ivf_cosine_topk,
     lsh_cosine_topk,
@@ -80,6 +82,8 @@ __all__ = [
     "token_cooccurrence",
     "cosine_topk",
     "knn_label_accuracy",
+    "knn_label_accuracy_ann",
+    "ann_recall",
     "lsh_cosine_topk",
     "ivf_cosine_topk",
     "pq_topk",

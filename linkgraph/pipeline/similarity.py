@@ -94,6 +94,14 @@ def knn_label_accuracy(
     """
     queries = embeddings.filter(F.col("vec_id") < n_queries)
     topk = cosine_topk(embeddings, queries=queries, k=k, round_to=round_to)
+    return _majority_vote(topk, embeddings)
+
+
+def _majority_vote(topk: DataFrame, embeddings: DataFrame) -> DataFrame:
+    """Shared vote/score tail of the kNN evaluations: most frequent
+    neighbor label (ties to the smallest label) vs the query's own
+    label. ``topk`` is any (qid, vec_id, ...) neighbor relation —
+    exact or ANN; the vote is identical."""
     votes = (
         topk.join(
             embeddings.select("vec_id", F.col("label").alias("lab")), "vec_id"
@@ -115,6 +123,92 @@ def knn_label_accuracy(
         "pred_label",
         "true_label",
         (F.col("pred_label") == F.col("true_label")).cast("int").alias("correct"),
+    )
+
+
+def _ann_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int,
+    method: str,
+    round_to: int,
+    **ann_kwargs,
+) -> DataFrame:
+    """Dispatch to one of the ANN tiers with a shared output contract
+    (qid, vec_id, score-ish column)."""
+    if method == "lsh":
+        return lsh_cosine_topk(
+            embeddings, dim, queries=queries, k=k, round_to=round_to,
+            **ann_kwargs,
+        )
+    if method == "ivf":
+        return ivf_cosine_topk(
+            embeddings, queries=queries, k=k, round_to=round_to, **ann_kwargs
+        )
+    if method == "pq":
+        return pq_topk(
+            embeddings, queries=queries, k=k, round_to=round_to, **ann_kwargs
+        )
+    raise ValueError(f"method must be lsh|ivf|pq, got {method!r}")
+
+
+def knn_label_accuracy_ann(
+    embeddings: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_queries: int = 64,
+    method: str = "lsh",
+    round_to: int = 4,
+    **ann_kwargs,
+) -> DataFrame:
+    """kNN majority-vote label evaluation with the neighbor set drawn
+    from an ANN tier (``method``: sign-LSH buckets, IVF probe join, or
+    PQ ADC codes) instead of the brute-force scan — the at-scale
+    composition the exact :func:`knn_label_accuracy` documents
+    (VERDICT r3 item #4). The vote is IDENTICAL (shared
+    :func:`_majority_vote`); only the candidate generation changes, so
+    accuracy degradation measures exactly the index's neighborhood
+    loss. Same output schema as the exact variant."""
+    queries = embeddings.filter(F.col("vec_id") < n_queries)
+    topk = _ann_topk(
+        embeddings, queries, dim, k, method, round_to, **ann_kwargs
+    )
+    return _majority_vote(topk, embeddings)
+
+
+def ann_recall(
+    embeddings: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_queries: int = 64,
+    method: str = "lsh",
+    round_to: int = 4,
+    **ann_kwargs,
+) -> DataFrame:
+    """(qid, n_exact, n_hit, recall) — per-query recall of the ANN
+    tier's top-k against the exact brute-force top-k (the standard
+    index-quality report). ``recall`` = |ANN ∩ exact| / |exact|."""
+    queries = embeddings.filter(F.col("vec_id") < n_queries)
+    exact = cosine_topk(
+        embeddings, queries=queries, k=k, round_to=round_to
+    ).select("qid", "vec_id")
+    ann = _ann_topk(
+        embeddings, queries, dim, k, method, round_to, **ann_kwargs
+    ).select("qid", F.col("vec_id").alias("ann_id"))
+    hits = exact.join(
+        ann,
+        (exact["qid"] == ann["qid"]) & (exact["vec_id"] == ann["ann_id"]),
+        "left_semi",
+    ).groupBy("qid").agg(F.count(F.lit(1)).alias("n_hit"))
+    base = exact.groupBy("qid").agg(F.count(F.lit(1)).alias("n_exact"))
+    return base.join(hits, "qid", "left_outer").select(
+        "qid",
+        "n_exact",
+        F.coalesce(F.col("n_hit"), F.lit(0)).alias("n_hit"),
+        F.round(
+            F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("n_exact"), 4
+        ).alias("recall"),
     )
 
 

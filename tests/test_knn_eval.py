@@ -65,3 +65,67 @@ class TestKnnLabelAccuracy:
         assert len(got) == 12
         # the clusters are recoverable: accuracy well above chance
         assert sum(c for _, _, c in got.values()) >= 9
+
+
+class TestAnnComposition:
+    """knn_label_accuracy_ann + ann_recall (VERDICT r3 #4): the ANN
+    candidate tiers composed with the shared majority vote."""
+
+    def _emb(self, spark, n=48, dim=8):
+        rows = _synth(n=n, dim=dim)
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>, label long"
+        )
+
+    def test_lsh_accuracy_on_planted_clusters(self, spark):
+        from linkgraph.pipeline import knn_label_accuracy_ann
+
+        emb = self._emb(spark)
+        out = knn_label_accuracy_ann(
+            emb, dim=8, k=5, n_queries=12, method="lsh"
+        ).collect()
+        assert len(out) == 12
+        acc = sum(r["correct"] for r in out) / len(out)
+        # well-separated planted clusters: the LSH candidate set must
+        # preserve enough neighborhood to classify almost perfectly
+        assert acc >= 0.9, acc
+
+    def test_ivf_and_pq_run_and_vote(self, spark):
+        from linkgraph.pipeline import knn_label_accuracy_ann
+
+        emb = self._emb(spark)
+        for method, kw in [
+            ("ivf", dict(n_clusters=4, n_probe=2)),
+            ("pq", dict(m=4, ks=4)),
+        ]:
+            out = knn_label_accuracy_ann(
+                emb, dim=8, k=5, n_queries=6, method=method, **kw
+            ).collect()
+            assert len(out) == 6, method
+            acc = sum(r["correct"] for r in out) / len(out)
+            assert acc >= 0.5, (method, acc)
+
+    def test_recall_bounds(self, spark):
+        from linkgraph.pipeline import ann_recall
+
+        emb = self._emb(spark)
+        rows = ann_recall(
+            emb, dim=8, k=5, n_queries=12, method="lsh"
+        ).collect()
+        assert len(rows) == 12
+        assert all(0.0 <= r["recall"] <= 1.0 for r in rows)
+        assert all(r["n_exact"] == 5 for r in rows)
+        mean_recall = sum(r["recall"] for r in rows) / len(rows)
+        # planted clusters: same-cluster vectors share sign patterns,
+        # so banded LSH must recover most of the exact top-k
+        assert mean_recall >= 0.6, mean_recall
+
+    def test_unknown_method_raises(self, spark):
+        import pytest
+
+        from linkgraph.pipeline import knn_label_accuracy_ann
+
+        with pytest.raises(ValueError, match="lsh"):
+            knn_label_accuracy_ann(
+                self._emb(spark), dim=8, method="annoy"
+            ).collect()
