@@ -2638,6 +2638,32 @@ def _q_triangle_delta(spark, sf):
     return triangle_delta(old, kept.unionByName(flipped))
 
 
+def _q_incremental_cc(spark, sf):
+    """Composed incremental update (VERDICT r3 #6): snapshot diff →
+    deletion-aware warm CC restart (algorithms/incremental.py). Old
+    snapshot = the document graph; new = the same 17/23 perturbation as
+    graph_delta (deletions AND additions, so the component-reset path
+    runs). The oracle computes the NEW graph's components cold — a
+    hash match proves the warm path lands on the exact cold answer."""
+    from linkgraph import connected_components
+    from linkgraph.algorithms.incremental import incremental_cc
+
+    old = document_edges(spark, sf)
+    kept = old.filter((F.col("src") + F.col("dst")) % 17 != 0)
+    flipped = old.filter((F.col("src") * 7 + F.col("dst")) % 23 == 0).select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    )
+    new = kept.unionByName(flipped)
+    verts = document_vertices(spark, sf)
+    old_labels, _ = connected_components(
+        old, vertices=verts, track_messages=False
+    )
+    labels, _ = incremental_cc(
+        new, old, old_labels, vertices=verts, track_messages=False
+    )
+    return labels
+
+
 def _q_chunk_documents(spark, sf):
     """RAG-corpus chunking: sliding CHUNK_SIZE-token windows with
     CHUNK_OVERLAP shared tokens (pipeline/packing.chunk_documents) —
@@ -2783,6 +2809,7 @@ _GATE_FRONT = [
     # new round-4 queries (never gated yet; round-5 window)
     "multimodal_codec_decode",
     "knn_label_accuracy_ann",
+    "incremental_cc_update",
 ]
 
 
@@ -2892,6 +2919,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": _q_chunk_documents,
         "graph_delta": _q_graph_delta,
         "triangle_delta": _q_triangle_delta,
+        "incremental_cc_update": _q_incremental_cc,
         "motif_time_chains": _q_motif_time_chains,
         "partition_report": _q_partition_report,
         "multimodal_features": _q_multimodal,
@@ -5553,6 +5581,25 @@ def oracle_sql() -> dict[str, str]:
     # the two CC engines share one contract (component = min id of the
     # undirected component) and therefore one oracle
     sql["connected_components_hashmin"] = sql["connected_components"]
+    # incremental_cc_update: the warm restart must land on the COLD
+    # answer for the perturbed snapshot — the oracle recomputes it from
+    # scratch over the 17/23-perturbed edge relation
+    sql["incremental_cc_update"] = (
+        "WITH RECURSIVE "
+        + EDGES_CTES.strip()
+        + ", kept AS (SELECT src, dst FROM edges WHERE (src + dst) % 17 != 0)"
+        ", flipped AS (SELECT dst AS src, src AS dst FROM edges"
+        "   WHERE (src * 7 + dst) % 23 = 0)"
+        ", newe AS (SELECT src, dst FROM kept UNION SELECT src, dst FROM flipped)"
+        ", nsym AS (SELECT src, dst FROM newe"
+        "   UNION SELECT dst AS src, src AS dst FROM newe)"
+        ", reach(id, lbl) AS ("
+        "   SELECT doc_id, doc_id FROM documents"
+        "   UNION"
+        "   SELECT s.dst, r.lbl FROM reach r JOIN nsym s ON s.src = r.id"
+        " )"
+        " SELECT id, MIN(lbl) AS component FROM reach GROUP BY id"
+    )
     # triangle participation (all three corners) + degrees over the
     # undirected simple doc graph — mirrors
     # linkgraph/algorithms/triangles.py::clustering_coefficients
