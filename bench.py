@@ -166,6 +166,58 @@ def main() -> None:
         except (OSError, json.JSONDecodeError, KeyError, TypeError):
             pass
 
+    # Round-4 capacity probes: heavyweight graph ops (SCC/MSF/Louvain at
+    # >= 5M vertices, tools/heavy_capacity.py) and the model-sharded
+    # SGNS trainer (tools/sgns_capacity.py) — compact summaries only.
+    bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
+    hc_path = os.path.join(bench_dir, "heavy_capacity.json")
+    if os.path.exists(hc_path):
+        try:
+            with open(hc_path) as f:
+                hc = json.load(f)
+            out["heavy_capacity"] = {
+                op: {
+                    k: v
+                    for k, v in r.items()
+                    if k
+                    in (
+                        "n_vertices",
+                        "n_edges",
+                        "total_sec",
+                        "rounds_supersteps_total",
+                        "boruvka_rounds",
+                        "levels",
+                        "converged",
+                        "n_communities",
+                    )
+                }
+                for op, r in hc.items()
+            }
+            out["heavy_capacity"]["detail"] = "BENCH/heavy_capacity.json"
+        except (OSError, json.JSONDecodeError, AttributeError, TypeError):
+            pass
+    sgns_path = os.path.join(bench_dir, "sgns_capacity.json")
+    if os.path.exists(sgns_path):
+        try:
+            with open(sgns_path) as f:
+                sg = json.load(f)
+            out["sgns_capacity"] = {
+                k: sg.get(k)
+                for k in (
+                    "n_vocab",
+                    "n_pairs",
+                    "dim",
+                    "epochs",
+                    "total_sec",
+                    "embedding_rows",
+                    "driver_model_bytes",
+                    "driver_held_variant_would_need_bytes",
+                )
+            }
+            out["sgns_capacity"]["detail"] = "BENCH/sgns_capacity.json"
+        except (OSError, json.JSONDecodeError, TypeError):
+            pass
+
     # Delta-plan ladder (connected components): paired-by-index per-step
     # efficiency, computed from the committed raw runs. See
     # BENCH/BASELINE.md "Second workload" for methodology.

@@ -127,6 +127,12 @@ def main() -> None:
                 "steady_median_step_sec": round(steady_median, 3),
                 "steady_min_step_sec": round(steady_min, 3),
                 "steady_p25_step_sec": round(steady_p25, 3),
+                # bimodality indicator for the automatic re-run policy
+                # (tools/bench_scaling.py): a clean trace has median ~=
+                # P25; host-contention stalls inflate the ratio
+                "noise_ratio": round(steady_median / steady_p25, 3)
+                if steady_p25
+                else 1.0,
                 "edges_per_sec_per_superstep": round(n_edges * updates / loop_sec, 1),
                 "steady_edges_per_sec_per_superstep": round(n_edges / steady_median, 1),
                 "p25_edges_per_sec_per_superstep": round(n_edges / steady_p25, 1),

