@@ -57,6 +57,7 @@ def _build_parser() -> argparse.ArgumentParser:
             "canonical", "skipgram", "sgns",
             "louvain", "katz", "eigenvector", "triads", "triads-full", "effdiam", "dupgrams", "sweep",
             "wl", "temporal", "motif", "louvain-ml", "partition-report",
+            "inc-cc",
         ],
     )
     src = p.add_argument_group("input (exactly one)")
@@ -77,6 +78,10 @@ def _build_parser() -> argparse.ArgumentParser:
         "TextVertexInputFormat)",
     )
     p.add_argument("--output", required=True, help="output path (parquet)")
+    p.add_argument("--old-edges",
+                   help="inc-cc: previous edge snapshot (src, dst parquet)")
+    p.add_argument("--old-labels",
+                   help="inc-cc: previous run's labels (id, component parquet)")
     p.add_argument("--format", default="parquet", help="spark output format (default parquet)")
     p.add_argument("--checkpoint", help="checkpoint dir for resumable iteration")
     p.add_argument("--checkpoint-every", type=int, default=1)
@@ -359,6 +364,22 @@ def main(argv: list[str] | None = None) -> None:
         out, res = connected_components(
             edges,
             symmetrize_edges=not args.directed,
+            max_supersteps=args.max_supersteps,
+            **common,
+        )
+    elif args.algorithm == "inc-cc":
+        from linkgraph.algorithms.incremental import incremental_cc
+
+        if not args.old_edges or not args.old_labels:
+            raise SystemExit(
+                "inc-cc requires --old-edges (previous snapshot) and "
+                "--old-labels (previous id/component parquet); --edges is "
+                "the NEW snapshot"
+            )
+        out, res = incremental_cc(
+            edges,
+            spark.read.load(args.old_edges).select("src", "dst"),
+            spark.read.load(args.old_labels).select("id", "component"),
             max_supersteps=args.max_supersteps,
             **common,
         )

@@ -116,3 +116,35 @@ class TestIncrementalPipeline:
         cold, _ = connected_components(new, track_messages=False)
         warm, _ = incremental_cc(new, old, labels_old, track_messages=False)
         assert _cc_map(warm) == _cc_map(cold)
+
+    def test_cli_inc_cc(self, spark, tmp_path):
+        """CLI drive: cc on the old snapshot, then inc-cc with
+        --old-edges/--old-labels equals cc on the new snapshot."""
+        from linkgraph import cli
+
+        old_e = [(0, 1), (1, 2), (10, 11)]
+        new_e = [(0, 1), (1, 2), (10, 11), (2, 10)]
+        p_old = str(tmp_path / "old_e")
+        p_new = str(tmp_path / "new_e")
+        spark.createDataFrame(old_e, "src LONG, dst LONG").write.parquet(p_old)
+        spark.createDataFrame(new_e, "src LONG, dst LONG").write.parquet(p_new)
+
+        p_lab0 = str(tmp_path / "lab0")
+        cli.main(["cc", "--edges", p_old, "--output", p_lab0])
+        p_lab1 = str(tmp_path / "lab1")
+        cli.main(["inc-cc", "--edges", p_new, "--old-edges", p_old,
+                  "--old-labels", p_lab0, "--output", p_lab1])
+        got = _cc_map(spark.read.parquet(p_lab1))
+        p_cold = str(tmp_path / "cold")
+        cli.main(["cc", "--edges", p_new, "--output", p_cold])
+        assert got == _cc_map(spark.read.parquet(p_cold))
+
+    def test_cli_inc_cc_missing_args(self, spark, tmp_path):
+        import pytest
+
+        from linkgraph import cli
+
+        p = str(tmp_path / "e")
+        spark.createDataFrame([(0, 1)], "src LONG, dst LONG").write.parquet(p)
+        with pytest.raises(SystemExit, match="old-edges"):
+            cli.main(["inc-cc", "--edges", p, "--output", str(tmp_path / "o")])
