@@ -767,6 +767,18 @@ def _q_knn_accuracy_ann(spark, sf):
     )
 
 
+def _q_ann_recall(spark, sf):
+    """Per-query recall of the sign-LSH top-k against the exact
+    brute-force top-k — the index-quality report (similarity.ann_recall)
+    gated end to end: candidate generation, both rankings, and the
+    overlap count all replayed by the oracle."""
+    from linkgraph.pipeline import ann_recall
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    dim = len(emb.select("embedding").first()["embedding"])
+    return ann_recall(emb, dim, k=TOPK, n_queries=N_QUERY_VECS, method="lsh")
+
+
 def _q_triad_census(spark, sf):
     """Closed-triad census over the directed doc graph: the triangle
     join of §4.4 carrying per-pair direction codes, classified by the
@@ -2809,6 +2821,7 @@ _GATE_FRONT = [
     # new round-4 queries (never gated yet; round-5 window)
     "multimodal_codec_decode",
     "knn_label_accuracy_ann",
+    "ann_recall",
     "incremental_cc_update",
 ]
 
@@ -2860,6 +2873,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triad_census_full": _q_triad_census_full,
         "knn_label_accuracy": _q_knn_accuracy,
         "knn_label_accuracy_ann": _q_knn_accuracy_ann,
+        "ann_recall": _q_ann_recall,
         "core_decomposition": _q_coreness,
         "reachability": _q_reachability,
         "exact_dedup": _q_exact_dedup,
@@ -3968,6 +3982,56 @@ def _knn_ann_sql(
         + " SELECT p.qid, p.pred_label, e.label AS true_label,"
         " CAST(p.pred_label = e.label AS INT) AS correct"
         " FROM pred p JOIN embeddings e ON p.qid = e.vec_id"
+    )
+
+
+def _ann_recall_sql(
+    dim: int, n_planes: int, bands: int, seed: int, n_queries: int, k: int
+) -> str:
+    """Per-query recall of the LSH top-k vs the exact brute-force
+    top-k — both rankings replayed (same round-4 cosine + (sim DESC,
+    vec_id ASC) orders as their individual oracles), overlap counted,
+    recall = ROUND(hits / k, 4)."""
+    ctes = _lsh_bucket_ctes(dim, n_planes, bands, seed) + [
+        # LSH side (lsh_cosine_topk mirror)
+        f"cands AS MATERIALIZED (SELECT DISTINCT q.vec_id AS qid, c.vec_id"
+        f" FROM buckets q JOIN buckets c"
+        f" ON q.band = c.band AND q.bucket = c.bucket AND q.vec_id != c.vec_id"
+        f" WHERE q.vec_id < {n_queries})",
+        "lscored AS (SELECT cd.qid, cd.vec_id,"
+        " ROUND(list_sum(list_transform(generate_series(1, len(q.v)),"
+        "   i -> q.v[i]*c.v[i]))"
+        "  / (sqrt(list_sum(list_transform(q.v, x -> x*x)))"
+        "     * sqrt(list_sum(list_transform(c.v, x -> x*x)))), 4) AS sim"
+        " FROM cands cd JOIN pts q ON q.vec_id = cd.qid"
+        " JOIN pts c ON c.vec_id = cd.vec_id)",
+        "ltopk AS (SELECT qid, vec_id FROM ("
+        " SELECT *, ROW_NUMBER() OVER (PARTITION BY qid"
+        "  ORDER BY sim DESC, vec_id ASC) AS rn FROM lscored"
+        f") WHERE rn <= {k})",
+        # exact side (cosine_topk mirror over the same pts relation)
+        f"escored AS (SELECT q.vec_id AS qid, c.vec_id,"
+        " ROUND(list_sum(list_transform(generate_series(1, len(q.v)),"
+        "   i -> q.v[i]*c.v[i]))"
+        "  / (sqrt(list_sum(list_transform(q.v, x -> x*x)))"
+        "     * sqrt(list_sum(list_transform(c.v, x -> x*x)))), 4) AS sim"
+        f" FROM pts q JOIN pts c ON c.vec_id != q.vec_id"
+        f" WHERE q.vec_id < {n_queries})",
+        "etopk AS (SELECT qid, vec_id FROM ("
+        " SELECT *, ROW_NUMBER() OVER (PARTITION BY qid"
+        "  ORDER BY sim DESC, vec_id ASC) AS rn FROM escored"
+        f") WHERE rn <= {k})",
+        "base AS (SELECT qid, COUNT(*) AS n_exact FROM etopk GROUP BY qid)",
+        "hits AS (SELECT e.qid, COUNT(*) AS n_hit FROM etopk e"
+        " JOIN ltopk l ON l.qid = e.qid AND l.vec_id = e.vec_id"
+        " GROUP BY e.qid)",
+    ]
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + " SELECT b.qid, b.n_exact, COALESCE(h.n_hit, 0) AS n_hit,"
+        " ROUND(COALESCE(h.n_hit, 0) / b.n_exact, 4) AS recall"
+        " FROM base b LEFT JOIN hits h ON h.qid = b.qid"
     )
 
 
@@ -5507,6 +5571,7 @@ def oracle_sql() -> dict[str, str]:
     sql["knn_label_accuracy_ann"] = _knn_ann_sql(
         64, 16, 4, 42, N_QUERY_VECS, TOPK
     )
+    sql["ann_recall"] = _ann_recall_sql(64, 16, 4, 42, N_QUERY_VECS, TOPK)
     sql["embedding_neardup_pairs"] = _neardup_pairs_sql(64, 16, 4, 42, NEARDUP_TAU)
     # maximal-clique aggregator's global answer: enumerate ALL cliques
     # by ordered extension (each clique generated exactly once as its
