@@ -148,3 +148,47 @@ class TestIncrementalPipeline:
         spark.createDataFrame([(0, 1)], "src LONG, dst LONG").write.parquet(p)
         with pytest.raises(SystemExit, match="old-edges"):
             cli.main(["inc-cc", "--edges", p, "--output", str(tmp_path / "o")])
+
+
+class TestMaintainedStream:
+    def test_foreachbatch_maintained_state(self, spark, tmp_path):
+        """maintained_graph_stream folds each micro-batch into durable
+        (snapshot, labels, triangles) state: after two ingest rounds the
+        maintained labels and triangle count equal a cold recompute on
+        the union graph, and LATEST advanced one epoch per batch."""
+        from linkgraph import connected_components
+        from linkgraph.streaming import (
+            maintained_graph_stream,
+            read_maintained_state,
+        )
+
+        ingest = tmp_path / "in"
+        ingest.mkdir()
+        state = str(tmp_path / "state")
+        ck = str(tmp_path / "ck")
+
+        batch1 = [(0, 1), (1, 2), (10, 11), (11, 12), (10, 12)]
+        spark.createDataFrame(batch1, "src LONG, dst LONG").coalesce(1).write.parquet(
+            str(ingest / "b1")
+        )
+        maintained_graph_stream(spark, str(ingest) + "/*", state, ck)
+        edges1, labels1, tri1, epoch1 = read_maintained_state(spark, state)
+        assert epoch1 == 0 and tri1 == 1 and edges1.count() == 5
+
+        # second round: bridge plus one new triangle
+        batch2 = [(2, 10), (0, 2)]
+        spark.createDataFrame(batch2, "src LONG, dst LONG").coalesce(1).write.parquet(
+            str(ingest / "b2")
+        )
+        maintained_graph_stream(spark, str(ingest) + "/*", state, ck)
+        edges2, labels2, tri2, epoch2 = read_maintained_state(spark, state)
+        assert epoch2 == 1 and edges2.count() == 7
+        assert tri2 == 2  # {10,11,12} and {0,1,2}
+
+        cold, _ = connected_components(edges2, track_messages=False)
+        assert _cc_map(labels2) == _cc_map(cold)
+
+        # re-running with nothing new is a no-op (exactly-once)
+        maintained_graph_stream(spark, str(ingest) + "/*", state, ck)
+        _, _, tri3, epoch3 = read_maintained_state(spark, state)
+        assert (epoch3, tri3) == (epoch2, tri2)
