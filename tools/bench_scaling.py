@@ -346,36 +346,42 @@ def main() -> None:
             "",
             "## Heavyweight capacity probes (r3 verdict #5)",
             "",
-            "One local[32]/48g run each at 5M vertices / 21.5M edges (the scaled",
-            "arithmetic graph; tools/heavy_capacity.py), recording ROUNDS with wall",
-            "time — the measured data points behind the O(log)-round claims:",
+            "local[32]/48g runs over the scaled arithmetic graph",
+            "(tools/heavy_capacity.py), recording ROUNDS with wall time — the",
+            "measured data points behind the O(log)-round claims:",
             "",
-            "| operator | rounds | wall sec | result check |",
-            "|---|---|---|---|",
+            "| operator | graph | rounds | wall sec | result check |",
+            "|---|---|---|---|---|",
         ]
-        if "scc" in hc:
-            r = hc["scc"]
-            lines.append(
-                f"| SCC (FW-BW) | {r['rounds_supersteps_total']} supersteps total,"
-                f" converged={r['converged']} | {r['total_sec']} |"
-                f" {r['rows']:,} rows, checksum {r['scc_checksum']} |"
-            )
-        if "msf" in hc:
-            r = hc["msf"]
-            lines.append(
-                f"| MSF (Borůvka + anchored pointer doubling) |"
-                f" {r['boruvka_rounds']} rounds (log₂ of the 5M-vertex chains) |"
-                f" {r['total_sec']} | {r['forest_edges']:,} forest edges"
-                f" = V - components |"
-            )
-        if "louvain" in hc:
-            r = hc["louvain"]
-            lines.append(
-                f"| Louvain multilevel | {r['levels']} levels x"
-                f" {r['move_rounds_per_level']} move rounds + contraction |"
-                f" {r['total_sec']} | {r['n_communities']:,} communities over"
-                f" {r['rows']:,} vertices |"
-            )
+        for key in sorted(hc, key=lambda k: (k.rsplit("_", 1)[0], hc[k]["n_vertices"])):
+            r = hc[key]
+            size = f"{r['n_vertices'] / 1e6:.0f}M v / {r['n_edges'] / 1e6:.0f}M e"
+            if key.startswith("scc"):
+                lines.append(
+                    f"| SCC (FW-BW) | {size} |"
+                    f" {r['rounds_supersteps_total']} supersteps total,"
+                    f" converged={r['converged']} | {r['total_sec']} |"
+                    f" {r['rows']:,} rows, checksum {r['scc_checksum']} |"
+                )
+            elif key.startswith("msf"):
+                lines.append(
+                    f"| MSF (Borůvka + anchored pointer doubling) | {size} |"
+                    f" {r['boruvka_rounds']} rounds |"
+                    f" {r['total_sec']} | {r['forest_edges']:,} forest edges"
+                    f" = V - components |"
+                )
+            elif key.startswith("louvain"):
+                lines.append(
+                    f"| Louvain multilevel | {size} | {r['levels']} levels x"
+                    f" {r['move_rounds_per_level']} move rounds + contraction |"
+                    f" {r['total_sec']} | {r['n_communities']:,} communities over"
+                    f" {r['rows']:,} vertices |"
+                )
+        lines += [
+            "",
+            "Two sizes per operator (where present) evidence the O(log) round",
+            "growth directly: rounds grow by ~1 per doubling, not linearly.",
+        ]
     sgns_path = bench_dir / "sgns_capacity.json"
     if sgns_path.exists():
         sg = json.loads(sgns_path.read_text())

@@ -7,7 +7,8 @@ with wall time so the O(log)-round claims get a measured data point
 
 Usage: python tools/heavy_capacity.py [n_vertices] [cores] [op ...]
        ops default to: scc msf louvain
-Writes/merges BENCH/heavy_capacity.json (one entry per op).
+Writes/merges BENCH/heavy_capacity.json (one entry per (op, size) —
+repeat at two sizes to show the O(log) round growth).
 """
 
 from __future__ import annotations
@@ -72,7 +73,7 @@ def main() -> None:
         row = out.agg(
             F.count(F.lit(1)).alias("rows"), F.sum("scc").alias("chk")
         ).first()
-        results["scc"] = {
+        results[f"scc_{n}"] = {
             **common,
             "workload": "strongly_connected_components (FW-BW rounds)",
             "rounds_supersteps_total": res.supersteps,
@@ -81,7 +82,7 @@ def main() -> None:
             "rows": int(row["rows"]),
             "scc_checksum": int(row["chk"]),
         }
-        print("scc:", json.dumps(results["scc"]))
+        print("scc:", json.dumps(results[f"scc_{n}"]))
 
     if "msf" in ops:
         from linkgraph.algorithms.msf import minimum_spanning_forest
@@ -91,7 +92,7 @@ def main() -> None:
         row = forest.agg(
             F.count(F.lit(1)).alias("rows"), F.sum("weight").alias("chk")
         ).first()
-        results["msf"] = {
+        results[f"msf_{n}"] = {
             **common,
             "workload": "minimum_spanning_forest (Boruvka rounds, anchored pointer doubling)",
             "boruvka_rounds": rounds,
@@ -99,7 +100,7 @@ def main() -> None:
             "forest_edges": int(row["rows"]),
             "weight_checksum": int(row["chk"]),
         }
-        print("msf:", json.dumps(results["msf"]))
+        print("msf:", json.dumps(results[f"msf_{n}"]))
 
     if "louvain" in ops:
         from linkgraph.algorithms.louvain import louvain_multilevel
@@ -111,7 +112,7 @@ def main() -> None:
             F.countDistinct("community").alias("n_comm"),
             F.sum("community").alias("chk"),
         ).first()
-        results["louvain"] = {
+        results[f"louvain_{n}"] = {
             **common,
             "workload": "louvain_multilevel (2 levels x 2 move rounds + contraction)",
             "levels": 2,
@@ -121,7 +122,7 @@ def main() -> None:
             "n_communities": int(row["n_comm"]),
             "community_checksum": int(row["chk"]),
         }
-        print("louvain:", json.dumps(results["louvain"]))
+        print("louvain:", json.dumps(results[f"louvain_{n}"]))
 
     spark.stop()
     out_path.write_text(json.dumps(results, indent=1))
