@@ -192,3 +192,27 @@ class TestMaintainedStream:
         maintained_graph_stream(spark, str(ingest) + "/*", state, ck)
         _, _, tri3, epoch3 = read_maintained_state(spark, state)
         assert (epoch3, tri3) == (epoch2, tri2)
+
+
+class TestNewVertices:
+    def test_incremental_cc_with_brand_new_vertices(self, spark):
+        """Vertices that exist only in the NEW snapshot (no old label)
+        must seed at their own id and merge correctly through the added
+        edges — the growing-corpus arrival case."""
+        from linkgraph import connected_components
+        from linkgraph.algorithms.incremental import incremental_cc
+
+        old = spark.createDataFrame(
+            [(0, 1), (1, 2)], "src LONG, dst LONG"
+        )
+        labels_old, _ = connected_components(old, track_messages=False)
+        # 100 and 101 are brand-new; 100 attaches to the old component,
+        # 101-102 form a new isolated one
+        new = spark.createDataFrame(
+            [(0, 1), (1, 2), (2, 100), (101, 102)], "src LONG, dst LONG"
+        )
+        cold, _ = connected_components(new, track_messages=False)
+        warm, _ = incremental_cc(new, old, labels_old, track_messages=False)
+        assert _cc_map(warm) == _cc_map(cold)
+        m = _cc_map(warm)
+        assert m[100] == 0 and m[101] == m[102] == 101
