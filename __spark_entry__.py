@@ -2676,6 +2676,23 @@ def _q_incremental_cc(spark, sf):
     return labels
 
 
+def _q_component_renumber(spark, sf):
+    """Locality renumbering (partition_stats.renumber_by_label): dense
+    contiguous ids ordered by (component, id) over the document graph's
+    CC labels — the placement prelude that makes range partitioning
+    community-aligned. Distributed sort + zipWithIndex; the oracle is
+    ROW_NUMBER over the recursive-CC labels."""
+    from linkgraph import connected_components
+    from linkgraph.algorithms.partition_stats import renumber_by_label
+
+    labels, _ = connected_components(
+        document_edges(spark, sf),
+        vertices=document_vertices(spark, sf),
+        track_messages=False,
+    )
+    return renumber_by_label(labels)
+
+
 def _q_chunk_documents(spark, sf):
     """RAG-corpus chunking: sliding CHUNK_SIZE-token windows with
     CHUNK_OVERLAP shared tokens (pipeline/packing.chunk_documents) —
@@ -2823,6 +2840,7 @@ _GATE_FRONT = [
     "knn_label_accuracy_ann",
     "ann_recall",
     "incremental_cc_update",
+    "component_renumber",
 ]
 
 
@@ -2934,6 +2952,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_delta": _q_graph_delta,
         "triangle_delta": _q_triangle_delta,
         "incremental_cc_update": _q_incremental_cc,
+        "component_renumber": _q_component_renumber,
         "motif_time_chains": _q_motif_time_chains,
         "partition_report": _q_partition_report,
         "multimodal_features": _q_multimodal,
@@ -5649,6 +5668,19 @@ def oracle_sql() -> dict[str, str]:
     # incremental_cc_update: the warm restart must land on the COLD
     # answer for the perturbed snapshot — the oracle recomputes it from
     # scratch over the 17/23-perturbed edge relation
+    sql["component_renumber"] = (
+        "WITH RECURSIVE "
+        + EDGES_CTES.strip()
+        + ", "
+        + SYM_CTE.strip()
+        + ", reach(id, lbl) AS ("
+        "   SELECT doc_id, doc_id FROM documents"
+        "   UNION"
+        "   SELECT s.dst, r.lbl FROM reach r JOIN sym s ON s.src = r.id"
+        " ), comp AS (SELECT id, MIN(lbl) AS component FROM reach GROUP BY id)"
+        " SELECT id, ROW_NUMBER() OVER (ORDER BY component, id) - 1 AS new_id"
+        " FROM comp"
+    )
     sql["incremental_cc_update"] = (
         "WITH RECURSIVE "
         + EDGES_CTES.strip()

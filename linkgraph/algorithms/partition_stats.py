@@ -138,3 +138,31 @@ def partition_quality(
             F.coalesce("n_cut_edges", F.lit(0)).cast("long").alias("n_cut_edges"),
         )
     )
+
+
+def renumber_by_label(
+    labels: DataFrame, label_col: str = "component", id_col: str = "id"
+) -> DataFrame:
+    """(id, new_id) — dense contiguous new ids ordered by
+    ``(label, id)``: the community-aligned renumbering that range
+    placement rewards (see the module docstring's before/after read).
+
+    After renumbering, each community occupies one contiguous id block,
+    so ``partition_quality(method="range")`` on the renumbered edge
+    relation reports the cut a range placement would actually pay —
+    at 100 TB this is how you turn a community structure into real
+    shuffle savings (intra-community messages stay partition-local).
+
+    Dense numbering is assigned by a distributed sort + ``zipWithIndex``
+    (per-partition counts + offsets — no single-partition window, no
+    driver data); the (label, id) order is total, so the mapping is
+    deterministic and engine-reproducible (ROW_NUMBER in SQL).
+    """
+    ordered = labels.select(
+        F.col(id_col).alias("id"), F.col(label_col).alias("_lbl")
+    ).sort("_lbl", "id")
+    rdd = ordered.rdd.map(lambda r: r["id"]).zipWithIndex()
+    return (
+        rdd.toDF(["id", "new_id"])
+        .select(F.col("id").cast("long"), F.col("new_id").cast("long"))
+    )

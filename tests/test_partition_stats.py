@@ -122,3 +122,57 @@ class TestKMVByGroup:
         }
         assert got["py"] == (4, 4.0)   # {a,b,c,d}
         assert got["go"] == (5, 5.0)   # {x,y,z,w,q}
+
+
+class TestRenumber:
+    def test_dense_permutation_ordered_by_label(self, spark):
+        from linkgraph.algorithms.partition_stats import renumber_by_label
+
+        labels = spark.createDataFrame(
+            [(10, 2), (11, 1), (12, 2), (13, 1), (14, 3)],
+            "id long, component long",
+        )
+        got = {r["id"]: r["new_id"]
+               for r in renumber_by_label(labels).collect()}
+        # (label, id) order: (1,11) (1,13) (2,10) (2,12) (3,14)
+        assert got == {11: 0, 13: 1, 10: 2, 12: 3, 14: 4}
+
+    def test_range_cut_drops_after_community_renumber(self, spark):
+        """The operator's point: after renumbering by community, range
+        placement keeps intra-community edges partition-local, so the
+        cut fraction drops vs the scrambled original ids."""
+        from linkgraph.algorithms.partition_stats import renumber_by_label
+
+        # two 8-cliques whose original ids interleave (worst case for
+        # range placement), one bridge edge
+        a = [2 * i for i in range(8)]        # evens -> community A
+        b = [2 * i + 1 for i in range(8)]    # odds  -> community B
+        edges = (
+            [(u, v) for u in a for v in a if u < v]
+            + [(u, v) for u in b for v in b if u < v]
+            + [(a[0], b[0])]
+        )
+        e = spark.createDataFrame(edges, "src long, dst long")
+        labels = spark.createDataFrame(
+            [(v, 0) for v in a] + [(v, 1) for v in b],
+            "id long, component long",
+        )
+
+        def cutfrac(edges_df):
+            rows = partition_quality(edges_df, 2, method="range").collect()
+            return sum(r["n_cut_edges"] for r in rows) / sum(
+                r["n_out_edges"] for r in rows
+            )
+
+        before = cutfrac(e)
+        m = renumber_by_label(labels)
+        ren = (
+            e.join(m.selectExpr("id AS src", "new_id AS nsrc"), "src")
+            .join(m.selectExpr("id AS dst", "new_id AS ndst"), "dst")
+            .selectExpr("nsrc AS src", "ndst AS dst")
+        )
+        after = cutfrac(ren)
+        # interleaved ids: range blocks cut ~half the clique edges;
+        # renumbered: only the single bridge edge crosses
+        assert before > 0.3
+        assert after <= 1 / len(edges) + 1e-9
