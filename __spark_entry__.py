@@ -133,6 +133,7 @@ PQ_ITERS = 4
 CHUNK_SIZE = 32
 CHUNK_OVERLAP = 8
 TFIDF_TOPK = 3
+DUPSPAN_N = 4  # duplicate_spans word n-gram width (sf docs are short)
 # BM25 retrieval: query bag from the synthetic vocabulary; k1/b are the
 # Robertson defaults, shared verbatim with the oracle expression
 BM25_QUERY = ["spark", "hash", "join", "window"]
@@ -2676,6 +2677,18 @@ def _q_incremental_cc(spark, sf):
     return labels
 
 
+def _q_duplicate_spans(spark, sf):
+    """Cross-doc duplicated text spans (span-granular substring dedup,
+    Lee et al. 2022 tier): maximal token ranges whose every word 4-gram
+    occurs in >= 2 distinct documents; the oracle replays positional
+    shingles, document frequency, and the gaps-and-islands merge."""
+    from linkgraph.pipeline import duplicate_spans
+
+    return duplicate_spans(
+        load_documents(spark, sf), n=DUPSPAN_N, min_docs=2, portable=True
+    )
+
+
 def _q_component_renumber(spark, sf):
     """Locality renumbering (partition_stats.renumber_by_label): dense
     contiguous ids ordered by (component, id) over the document graph's
@@ -2841,6 +2854,7 @@ _GATE_FRONT = [
     "ann_recall",
     "incremental_cc_update",
     "component_renumber",
+    "duplicate_spans",
 ]
 
 
@@ -2953,6 +2967,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_delta": _q_triangle_delta,
         "incremental_cc_update": _q_incremental_cc,
         "component_renumber": _q_component_renumber,
+        "duplicate_spans": _q_duplicate_spans,
         "motif_time_chains": _q_motif_time_chains,
         "partition_report": _q_partition_report,
         "multimodal_features": _q_multimodal,
@@ -5668,6 +5683,24 @@ def oracle_sql() -> dict[str, str]:
     # incremental_cc_update: the warm restart must land on the COLD
     # answer for the perturbed snapshot — the oracle recomputes it from
     # scratch over the 17/23-perturbed edge relation
+    sql["duplicate_spans"] = (
+        f"WITH toks AS (SELECT doc_id, string_split(text, ' ') AS toks"
+        " FROM documents),"
+        " sh AS (SELECT doc_id, pos,"
+        f"  array_to_string(toks[pos:pos+{DUPSPAN_N - 1}], ' ') AS s"
+        "  FROM (SELECT doc_id, toks,"
+        "   unnest(generate_series(1,"
+        f"    greatest(len(toks) - {DUPSPAN_N - 1}, 0))) AS pos FROM toks)),"
+        " dup AS (SELECT s FROM"
+        "  (SELECT s, COUNT(DISTINCT doc_id) AS df FROM sh GROUP BY s)"
+        "  WHERE df >= 2),"
+        " m AS (SELECT doc_id, pos FROM sh WHERE s IN (SELECT s FROM dup)),"
+        " runs AS (SELECT doc_id, pos, pos - ROW_NUMBER() OVER"
+        "  (PARTITION BY doc_id ORDER BY pos) AS grp FROM m)"
+        " SELECT doc_id, MIN(pos) AS span_start,"
+        f" MAX(pos) + {DUPSPAN_N - 1} AS span_end, COUNT(*) AS n_grams"
+        " FROM runs GROUP BY doc_id, grp"
+    )
     sql["component_renumber"] = (
         "WITH RECURSIVE "
         + EDGES_CTES.strip()

@@ -4,6 +4,7 @@ search, multimodal plumbing."""
 
 from .dedup import (
     dedup_clusters,
+    duplicate_spans,
     duplicated_ngram_stats,
     exact_duplicates,
     minhash_lsh_pairs,
@@ -46,6 +47,7 @@ from .similarity import (
 )
 
 __all__ = [
+    "duplicate_spans",
     "duplicated_ngram_stats",
     "exact_duplicates",
     "ngram_jaccard_pairs",

@@ -835,3 +835,71 @@ def canonical_docs(
             F.count(F.lit(1)).alias("cluster_size"),
         )
     )
+
+
+def duplicate_spans(
+    docs: DataFrame, n: int = 8, min_docs: int = 2, portable: bool = False
+) -> DataFrame:
+    """Cross-document duplicated TEXT SPANS — the span-granular
+    companion of :func:`duplicated_ngram_stats`: instead of per-doc
+    coverage counts, emit the actual maximal token ranges whose every
+    word n-gram also occurs in at least ``min_docs`` distinct documents
+    (itself included; min_docs=2 = "shared with at least one other
+    doc"). These ranges are what a Lee-et-al-style substring dedup
+    pass CUTS from the corpus, and what doc-granular MinHash/SimHash
+    cannot see when only a boilerplate span is shared.
+
+    Returns DF(doc_id, span_start, span_end, n_grams): 1-based token
+    positions, ``span_end = last duplicated shingle position + n - 1``
+    (the span covers whole tokens), ``n_grams`` = duplicated shingle
+    positions merged into the span. Maximality comes from the
+    gaps-and-islands grouping (pos - row_number), the same run
+    detector as :func:`~linkgraph.pipeline.textstats.
+    ngram_decontaminate`.
+
+    100 TB shape: positional shingles explode once (text itself never
+    shuffles — only 8-byte xxhash64 shingle identities in production
+    mode); the shingle document-frequency table is a partial/final
+    count keyed by shingle identity whose map-side combine absorbs
+    boilerplate heavy hitters; the >=min_docs set equi-joins back
+    (left-semi, identity-keyed), and ONLY matched positions — O(actual
+    duplication) rows — reach the per-doc run window. ``portable=True``
+    keeps raw shingle strings so the DuckDB oracle replays verbatim.
+    """
+    shingle = F.expr(
+        f"transform(if(size(toks) < {n}, array(), sequence(1, size(toks) - {n - 1})),"
+        f" i -> concat_ws(' ', slice(toks, i, {n})))"
+    )
+    key = (lambda c: F.col(c)) if portable else (lambda c: F.xxhash64(F.col(c)))
+    corpus = (
+        _tokenized(docs)
+        .select("doc_id", F.posexplode(shingle).alias("pos", "sh"))
+        .select("doc_id", (F.col("pos") + 1).alias("pos"), key("sh").alias("k"))
+    )
+    dup_keys = (
+        corpus.select("doc_id", "k")
+        .distinct()
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= min_docs)
+        .select("k")
+    )
+    matched = corpus.join(dup_keys, "k", "left_semi")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    return (
+        matched.withColumn("grp", F.col("pos") - F.row_number().over(w))
+        .groupBy("doc_id", "grp")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + (n - 1)).alias("span_end"),
+            F.count(F.lit(1)).alias("n_grams"),
+        )
+        .select(
+            "doc_id",
+            F.col("span_start").cast("long"),
+            F.col("span_end").cast("long"),
+            F.col("n_grams").cast("long"),
+        )
+    )

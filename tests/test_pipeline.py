@@ -1029,3 +1029,51 @@ class TestDuplicatedNgramStats:
             duplicated_ngram_stats(docs, n=5, portable=True).collect()
         )
         assert fast == portable
+
+
+class TestDuplicateSpans:
+    def test_hand_fixture(self, spark):
+        """Two docs share an exact 6-token boilerplate block; a third is
+        unique. Spans must cover exactly the shared block (maximal,
+        whole tokens), in both docs, and nothing else."""
+        from linkgraph.pipeline import duplicate_spans
+
+        shared = "the quick brown fox jumps high"
+        rows = [
+            (0, f"alpha beta {shared} gamma delta"),
+            (1, f"{shared} zeta eta theta iota"),
+            (2, "totally unique words only here today now"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r["doc_id"]: (r["span_start"], r["span_end"], r["n_grams"])
+            for r in duplicate_spans(docs, n=3, min_docs=2).collect()
+        }
+        # doc 0: shared tokens at positions 3..8 -> shingles 3..6 (4 of
+        # them), span_end = 6 + 2 = 8
+        assert got[0] == (3, 8, 4)
+        # doc 1: shared tokens at 1..6 -> shingles 1..4, span 1..6
+        assert got[1] == (1, 6, 4)
+        assert 2 not in got
+
+    def test_internal_repetition_not_flagged(self, spark):
+        """min_docs counts DISTINCT documents: a doc repeating its own
+        phrase is not a cross-doc duplicate."""
+        from linkgraph.pipeline import duplicate_spans
+
+        docs = spark.createDataFrame(
+            [(0, "spam spam spam spam spam spam"),
+             (1, "other words entirely different here now")],
+            "doc_id long, text string",
+        )
+        assert duplicate_spans(docs, n=3, min_docs=2).count() == 0
+
+    def test_production_hash_equals_portable(self, spark):
+        from linkgraph.pipeline import duplicate_spans
+
+        rows = [(i, f"common prefix tokens here doc {i} common suffix "
+                    "tail block shared") for i in range(6)]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        a = sorted(map(tuple, duplicate_spans(docs, n=3, portable=True).collect()))
+        b = sorted(map(tuple, duplicate_spans(docs, n=3, portable=False).collect()))
+        assert a == b
