@@ -2693,8 +2693,9 @@ def _q_component_renumber(spark, sf):
     """Locality renumbering (partition_stats.renumber_by_label): dense
     contiguous ids ordered by (component, id) over the document graph's
     CC labels — the placement prelude that makes range partitioning
-    community-aligned. Distributed sort + zipWithIndex; the oracle is
-    ROW_NUMBER over the recursive-CC labels."""
+    community-aligned. JVM-side dense rank (partitioning.dense_index:
+    range repartition + per-partition row_number + O(p) offsets); the
+    oracle is ROW_NUMBER over the recursive-CC labels."""
     from linkgraph import connected_components
     from linkgraph.algorithms.partition_stats import renumber_by_label
 

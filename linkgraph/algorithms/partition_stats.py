@@ -153,16 +153,18 @@ def renumber_by_label(
     at 100 TB this is how you turn a community structure into real
     shuffle savings (intra-community messages stay partition-local).
 
-    Dense numbering is assigned by a distributed sort + ``zipWithIndex``
-    (per-partition counts + offsets — no single-partition window, no
-    driver data); the (label, id) order is total, so the mapping is
-    deterministic and engine-reproducible (ROW_NUMBER in SQL).
+    Dense numbering is assigned JVM-side by
+    :func:`~linkgraph.partitioning.dense_index` (range repartition +
+    per-partition row_number + O(p) driver offsets — no per-row Python,
+    no single-partition window); the (label, id) order is total, so the
+    mapping is deterministic and engine-reproducible (ROW_NUMBER in
+    SQL).
     """
-    ordered = labels.select(
+    from ..partitioning import dense_index
+
+    base = labels.select(
         F.col(id_col).alias("id"), F.col(label_col).alias("_lbl")
-    ).sort("_lbl", "id")
-    rdd = ordered.rdd.map(lambda r: r["id"]).zipWithIndex()
-    return (
-        rdd.toDF(["id", "new_id"])
-        .select(F.col("id").cast("long"), F.col("new_id").cast("long"))
+    )
+    return dense_index(base, ["_lbl", "id"], "new_id").select(
+        F.col("id").cast("long"), "new_id"
     )

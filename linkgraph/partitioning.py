@@ -89,3 +89,63 @@ def skew_ratio(df: DataFrame, key: str) -> float:
     if row is None or not row["mean"]:
         return 1.0
     return float(row["mx"]) / float(row["mean"])
+
+
+def dense_index(
+    df: DataFrame,
+    order_cols: list[str],
+    index_col: str = "new_id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Append a global dense 0-based BIGINT ``index_col`` ordered by
+    ``order_cols`` (which must be a TOTAL order — include a unique
+    tie-breaker column).
+
+    The scalable dense-rank: ``repartitionByRange`` puts ascending key
+    ranges on ascending partition ids, ``row_number`` runs per
+    partition (never a single-partition global window), and the only
+    driver traffic is the O(p) per-partition counts that become the
+    partition offsets. No per-row Python anywhere — this replaces the
+    ``rdd.zipWithIndex`` idiom, whose ``DataFrame.rdd`` hop serializes
+    every row through the Python worker.
+
+    The range-partitioned frame is localCheckpoint'ed once so the
+    counts job and the output job see the SAME boundaries (the range
+    partitioner samples with a nondeterministic seed; two separate
+    computations could disagree).
+    """
+    from .superstep import local_checkpoint_fresh_stats
+
+    spark = df.sparkSession
+    p = num_partitions or max(
+        1, min(spark.sparkContext.defaultParallelism, 200)
+    )
+    ordered = local_checkpoint_fresh_stats(
+        df.repartitionByRange(p, *[F.col(c) for c in order_cols]).withColumn(
+            "_pid", F.spark_partition_id()
+        )
+    )
+    counts = {
+        r["_pid"]: r["c"]
+        for r in ordered.groupBy("_pid")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    offsets, acc = [], 0
+    for pid in sorted(counts):
+        offsets.append((pid, acc))
+        acc += counts[pid]
+    off_df = F.broadcast(
+        spark.createDataFrame(offsets or [(0, 0)], "_pid INT, _off LONG")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("_pid").orderBy(*[F.col(c) for c in order_cols])
+    return (
+        ordered.join(off_df, "_pid")
+        .withColumn(
+            index_col,
+            (F.row_number().over(w) - 1 + F.col("_off")).cast("long"),
+        )
+        .drop("_pid", "_off")
+    )

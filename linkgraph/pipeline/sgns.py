@@ -332,15 +332,14 @@ def train_sgns_sharded(
 
     with iteration_conf(spark, p):
         # sorted dense index (idx == row in the driver variant's sorted
-        # vocab array) without collecting: zipWithIndex preserves the
-        # global sort order across partitions
-        vocab_map = (
-            vocab_ids.sort("id")
-            .rdd.map(lambda r: r["id"])
-            .zipWithIndex()
-            .toDF(["v", "idx"])
-            .select(F.col("v").cast("long"), F.col("idx").cast("long"))
-        )
+        # vocab array) without collecting — JVM-side dense rank (range
+        # repartition + per-partition row_number; no per-row Python)
+        from ..partitioning import dense_index
+
+        vocab_map = dense_index(
+            vocab_ids.select(F.col("id").cast("long")), ["id"], "idx",
+            num_partitions=p,
+        ).select(F.col("id").alias("v"), "idx")
         vocab_map = local_checkpoint_fresh_stats(
             vocab_map.repartition(p, "idx")
         )
