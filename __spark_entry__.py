@@ -2782,19 +2782,27 @@ def _q_multimodal_codec(spark, sf):
     return decode_summary(synth_codec_media(spark, n=40))
 
 
-# Gate rotation (round 4): the driver's per-round CORRECTNESS gate
-# checks the FIRST ~50 entries of queries() in dict order.  Rounds 1-3
-# accumulated committed hash-match rows for 73 of 126 queries; the 53
-# never-driver-gated queries are rotated into the front window here so
-# CORRECTNESS_r04 verifies them.  Three sibling queries whose core
-# machinery already has a driver row via a gated twin are deferred to
-# positions 51-53 (random_walks_weighted ~ random_walks,
-# distinct_tokens_by_lang ~ distinct_token_sketch, louvain_hierarchy ~
-# louvain_communities) and lead the round-5 window together with any
-# new round-4 queries.  tools/gate_rotation.py derives / audits this
-# list from the committed CORRECTNESS_r*.json files.
+# Gate rotation (round 5): the driver's per-round CORRECTNESS gate
+# checks the FIRST ~50 entries of queries() in dict order.  Rounds 1-4
+# accumulated committed hash-match rows for 123 of 132 queries
+# (CORRECTNESS_r01..r04); the 9 never-driver-gated queries lead the
+# round-5 window, followed by the queries newly added this round, then
+# already-gated backfill so the window stays ~50 wide.
+# tools/gate_rotation.py derives / audits this list from the committed
+# CORRECTNESS_r*.json files.
 _GATE_FRONT = [
-    # never driver-gated as of CORRECTNESS_r03 (50 of 53)
+    # never driver-gated as of CORRECTNESS_r04 (9)
+    "random_walks_weighted",
+    "distinct_tokens_by_lang",
+    "louvain_hierarchy",
+    "multimodal_codec_decode",
+    "knn_label_accuracy_ann",
+    "ann_recall",
+    "incremental_cc_update",
+    "component_renumber",
+    "duplicate_spans",
+    # new round-5 queries slot in here as they are added
+    # already-gated backfill (window stays ~50 wide; re-verification)
     "unigram_lm_score",
     "seeded_label_propagation",
     "pii_redaction",
@@ -2836,26 +2844,6 @@ _GATE_FRONT = [
     "rectangle_count",
     "landmark_distances",
     "louvain_communities",
-    "repo_communities",
-    "neighborhood_minhash_pairs",
-    "cocitation_pairs",
-    "bibliographic_coupling",
-    "token_cooccurrence",
-    "salsa_scores",
-    "graph_summary",
-    "avg_neighbor_degree",
-    "rich_club_profile",
-    # deferred never-gated siblings (positions 51-53, round-5 window)
-    "random_walks_weighted",
-    "distinct_tokens_by_lang",
-    "louvain_hierarchy",
-    # new round-4 queries (never gated yet; round-5 window)
-    "multimodal_codec_decode",
-    "knn_label_accuracy_ann",
-    "ann_recall",
-    "incremental_cc_update",
-    "component_renumber",
-    "duplicate_spans",
 ]
 
 
