@@ -2689,6 +2689,19 @@ def _q_duplicate_spans(spark, sf):
     )
 
 
+def _q_cut_duplicate_spans(spark, sf):
+    """The substring-dedup CUT (dedup.py cut_duplicate_spans): the
+    corpus rewritten with every cross-doc duplicated span removed —
+    tokens outside the spans survive in order, one output row per doc.
+    The oracle replays span discovery then rebuilds each text from the
+    uncovered token positions with string_agg."""
+    from linkgraph.pipeline import cut_duplicate_spans
+
+    return cut_duplicate_spans(
+        load_documents(spark, sf), n=DUPSPAN_N, min_docs=2, portable=True
+    )
+
+
 def _q_component_renumber(spark, sf):
     """Locality renumbering (partition_stats.renumber_by_label): dense
     contiguous ids ordered by (component, id) over the document graph's
@@ -2802,6 +2815,7 @@ _GATE_FRONT = [
     "component_renumber",
     "duplicate_spans",
     # new round-5 queries slot in here as they are added
+    "cut_duplicate_spans",
     # already-gated backfill (window stays ~50 wide; re-verification)
     "unigram_lm_score",
     "seeded_label_propagation",
@@ -2843,7 +2857,6 @@ _GATE_FRONT = [
     "bipartite_check",
     "rectangle_count",
     "landmark_distances",
-    "louvain_communities",
 ]
 
 
@@ -2957,6 +2970,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_cc_update": _q_incremental_cc,
         "component_renumber": _q_component_renumber,
         "duplicate_spans": _q_duplicate_spans,
+        "cut_duplicate_spans": _q_cut_duplicate_spans,
         "motif_time_chains": _q_motif_time_chains,
         "partition_report": _q_partition_report,
         "multimodal_features": _q_multimodal,
@@ -5689,6 +5703,36 @@ def oracle_sql() -> dict[str, str]:
         " SELECT doc_id, MIN(pos) AS span_start,"
         f" MAX(pos) + {DUPSPAN_N - 1} AS span_end, COUNT(*) AS n_grams"
         " FROM runs GROUP BY doc_id, grp"
+    )
+    # cut_duplicate_spans = the same span discovery, then each text
+    # rebuilt from the token positions no span covers
+    sql["cut_duplicate_spans"] = (
+        f"WITH toks AS (SELECT doc_id, string_split(text, ' ') AS toks"
+        " FROM documents),"
+        " sh AS (SELECT doc_id, pos,"
+        f"  array_to_string(toks[pos:pos+{DUPSPAN_N - 1}], ' ') AS s"
+        "  FROM (SELECT doc_id, toks,"
+        "   unnest(generate_series(1,"
+        f"    greatest(len(toks) - {DUPSPAN_N - 1}, 0))) AS pos FROM toks)),"
+        " dup AS (SELECT s FROM"
+        "  (SELECT s, COUNT(DISTINCT doc_id) AS df FROM sh GROUP BY s)"
+        "  WHERE df >= 2),"
+        " m AS (SELECT doc_id, pos FROM sh WHERE s IN (SELECT s FROM dup)),"
+        " runs AS (SELECT doc_id, pos, pos - ROW_NUMBER() OVER"
+        "  (PARTITION BY doc_id ORDER BY pos) AS grp FROM m),"
+        " spans AS (SELECT doc_id, MIN(pos) AS s,"
+        f"  MAX(pos) + {DUPSPAN_N - 1} AS e FROM runs GROUP BY doc_id, grp),"
+        " pos AS (SELECT doc_id, toks,"
+        "  unnest(generate_series(1, len(toks))) AS p FROM toks),"
+        " keep AS (SELECT pos.doc_id, pos.p, pos.toks[pos.p] AS tok"
+        "  FROM pos WHERE NOT EXISTS (SELECT 1 FROM spans sp"
+        "   WHERE sp.doc_id = pos.doc_id AND pos.p >= sp.s AND pos.p <= sp.e))"
+        " SELECT t.doc_id,"
+        "  COALESCE(string_agg(k.tok, ' ' ORDER BY k.p), '') AS text,"
+        "  len(t.toks)::BIGINT AS n_tokens,"
+        "  (len(t.toks) - COUNT(k.p))::BIGINT AS n_tokens_cut"
+        " FROM toks t LEFT JOIN keep k ON k.doc_id = t.doc_id"
+        " GROUP BY t.doc_id, t.toks"
     )
     sql["component_renumber"] = (
         "WITH RECURSIVE "

@@ -3,6 +3,7 @@ first-class per the task brief): dedup, text analysis, similarity
 search, multimodal plumbing."""
 
 from .dedup import (
+    cut_duplicate_spans,
     dedup_clusters,
     duplicate_spans,
     duplicated_ngram_stats,
@@ -49,6 +50,7 @@ from .similarity import (
 __all__ = [
     "duplicate_spans",
     "duplicated_ngram_stats",
+    "cut_duplicate_spans",
     "exact_duplicates",
     "ngram_jaccard_pairs",
     "minhash_lsh_pairs",

@@ -865,6 +865,18 @@ def duplicate_spans(
     (left-semi, identity-keyed), and ONLY matched positions — O(actual
     duplication) rows — reach the per-doc run window. ``portable=True``
     keeps raw shingle strings so the DuckDB oracle replays verbatim.
+
+    Approximation note (production mode): with ``portable=False`` the
+    shingle identity is the raw 64-bit xxhash64 value with no
+    verification, the same hash-identity trade the other near-dup
+    tiers make. A collision between two DISTINCT shingles merges
+    their document-frequency counts, which can push a shingle past
+    ``min_docs`` and emit a false duplicated span. Expected collisions
+    among U distinct shingles ~= U^2 / 2^65 (birthday bound): ~0.003
+    at U=1e8 and ~27 at U=1e10 — per corpus, not per document — so at
+    100 TB the false-span rate is vanishingly small relative to real
+    duplication. ``portable=True`` keeps exact shingle strings and has
+    no such approximation (the driver oracle pins that mode).
     """
     shingle = F.expr(
         f"transform(if(size(toks) < {n}, array(), sequence(1, size(toks) - {n - 1})),"
@@ -901,5 +913,76 @@ def duplicate_spans(
             F.col("span_start").cast("long"),
             F.col("span_end").cast("long"),
             F.col("n_grams").cast("long"),
+        )
+    )
+
+
+def cut_duplicate_spans(
+    docs: DataFrame,
+    spans: DataFrame | None = None,
+    n: int = 8,
+    min_docs: int = 2,
+    portable: bool = False,
+) -> DataFrame:
+    """The substring-dedup CUT: rewrite the corpus with the
+    cross-document duplicated spans found by :func:`duplicate_spans`
+    removed — the operator a Lee-et-al-style training-data pipeline
+    actually runs after span discovery (the reference analogue is the
+    mutation channel's delete path, SURVEY §3.9 /
+    pregelix PregelixJob mutation API). Every token whose 1-based
+    position falls inside ANY span for its document is dropped; the
+    survivors are re-joined in original order. Overlapping spans (runs
+    closer than ``n`` tokens overlap after the ``+ n - 1`` widening)
+    need no pre-merge — coverage is checked per token, so the result
+    is identical either way.
+
+    Returns DF(doc_id, text, n_tokens, n_tokens_cut): the rewritten
+    text (empty string when the whole doc was duplicated), the
+    original token count, and how many tokens were removed. Every doc
+    appears exactly once; span-free docs pass through unchanged with
+    ``n_tokens_cut = 0``.
+
+    Pass a precomputed ``spans`` frame (doc_id, span_start, span_end)
+    to compose with a cached discovery pass; otherwise
+    :func:`duplicate_spans` runs with the given ``n`` / ``min_docs`` /
+    ``portable``.
+
+    100 TB shape: the span table is O(actual duplication) rows of 3
+    longs and aggregates to one small sorted struct-array per
+    afflicted doc (ONE doc_id-keyed shuffle of spans only); the text
+    then meets it in a single doc_id equi-join — the corpus itself
+    crosses the wire once, exactly as in any by-doc_id operator — and
+    the cut is a JVM higher-order ``filter`` with a positional
+    ``exists`` over the per-doc span array (no Python, no per-token
+    explode of the text). Docs are independent, so the plan is
+    embarrassingly parallel after the join.
+    """
+    if spans is None:
+        spans = duplicate_spans(docs, n=n, min_docs=min_docs, portable=portable)
+    per_doc = spans.groupBy("doc_id").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("span_start").alias("s"), F.col("span_end").alias("e")
+                )
+            )
+        ).alias("_spans")
+    )
+    covered = lambda tok, i: F.when(F.col("_spans").isNull(), F.lit(True)).otherwise(
+        ~F.exists(
+            "_spans", lambda sp: (i + 1 >= sp["s"]) & (i + 1 <= sp["e"])
+        )
+    )
+    # _kept is multi-referenced and non-cheap, which blocks
+    # CollapseProject from inlining it twice (see _tokenized)
+    return (
+        _tokenized(docs)
+        .join(per_doc, "doc_id", "left")
+        .withColumn("_kept", F.filter("toks", covered))
+        .select(
+            "doc_id",
+            F.concat_ws(" ", "_kept").alias("text"),
+            F.size("toks").cast("long").alias("n_tokens"),
+            (F.size("toks") - F.size("_kept")).cast("long").alias("n_tokens_cut"),
         )
     )

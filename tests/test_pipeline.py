@@ -1077,3 +1077,85 @@ class TestDuplicateSpans:
         a = sorted(map(tuple, duplicate_spans(docs, n=3, portable=True).collect()))
         b = sorted(map(tuple, duplicate_spans(docs, n=3, portable=False).collect()))
         assert a == b
+
+
+class TestCutDuplicateSpans:
+    def _boilerplate_docs(self, spark):
+        shared = "the quick brown fox jumps high"
+        rows = [
+            (0, f"alpha beta {shared} gamma delta"),
+            (1, f"{shared} zeta eta theta iota"),
+            (2, "totally unique words only here today now"),
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_planted_boilerplate_removed(self, spark):
+        """The shared 6-token block is cut from both docs, surrounding
+        tokens survive in order, and the unique doc passes through
+        untouched with n_tokens_cut = 0."""
+        from linkgraph.pipeline import cut_duplicate_spans
+
+        got = {
+            r["doc_id"]: (r["text"], r["n_tokens"], r["n_tokens_cut"])
+            for r in cut_duplicate_spans(
+                self._boilerplate_docs(spark), n=3, min_docs=2
+            ).collect()
+        }
+        assert got[0] == ("alpha beta gamma delta", 10, 6)
+        assert got[1] == ("zeta eta theta iota", 10, 6)
+        assert got[2] == ("totally unique words only here today now", 7, 0)
+
+    def test_fully_duplicated_doc_becomes_empty(self, spark):
+        from linkgraph.pipeline import cut_duplicate_spans
+
+        docs = spark.createDataFrame(
+            [(0, "a b c d"), (1, "a b c d")], "doc_id long, text string"
+        )
+        got = sorted(map(tuple, cut_duplicate_spans(docs, n=3, min_docs=2).collect()))
+        assert got == [(0, "", 4, 4), (1, "", 4, 4)]
+
+    def test_overlapping_spans_cut_once(self, spark):
+        """Two separate duplicated runs in one doc produce two spans;
+        coverage-per-token must cut their union exactly once (no
+        double-count in n_tokens_cut) and keep the token between."""
+        from linkgraph.pipeline import cut_duplicate_spans, duplicate_spans
+
+        # doc 0 carries block A at 1..4 and block B at 6..9 with one
+        # private token between; docs 1/2 each share only one block.
+        rows = [
+            (0, "a1 a2 a3 a4 mid b1 b2 b3 b4"),
+            (1, "a1 a2 a3 a4 xx yy zz ww vv"),
+            (2, "pp qq rr ss b1 b2 b3 b4 tt"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        spans = duplicate_spans(docs, n=2, min_docs=2)
+        d0 = sorted(
+            (r["span_start"], r["span_end"])
+            for r in spans.where("doc_id = 0").collect()
+        )
+        out = {
+            r["doc_id"]: (r["text"], r["n_tokens_cut"])
+            for r in cut_duplicate_spans(docs, spans=spans).collect()
+        }
+        assert out[0] == ("mid", 8)
+        assert out[1][0] == "xx yy zz ww vv"
+        assert out[2][0] == "pp qq rr ss tt"
+        # sanity: doc 0 really had two separate spans feeding the cut
+        assert len(d0) == 2
+
+    def test_precomputed_spans_equals_recomputed(self, spark):
+        from linkgraph.pipeline import cut_duplicate_spans, duplicate_spans
+
+        docs = self._boilerplate_docs(spark)
+        a = sorted(map(tuple, cut_duplicate_spans(docs, n=3, min_docs=2).collect()))
+        spans = duplicate_spans(docs, n=3, min_docs=2)
+        b = sorted(map(tuple, cut_duplicate_spans(docs, spans=spans).collect()))
+        assert a == b
+
+    def test_every_doc_appears_once(self, spark):
+        from linkgraph.pipeline import cut_duplicate_spans
+
+        docs = self._boilerplate_docs(spark)
+        out = cut_duplicate_spans(docs, n=3, min_docs=2)
+        assert out.count() == docs.count()
+        assert out.select("doc_id").distinct().count() == docs.count()
