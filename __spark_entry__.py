@@ -780,6 +780,67 @@ def _q_ann_recall(spark, sf):
     return ann_recall(emb, dim, k=TOPK, n_queries=N_QUERY_VECS, method="lsh")
 
 
+def _q_knn_accuracy_ivf(spark, sf):
+    """kNN label eval over the IVF candidate set (VERDICT r4 #3: the
+    IVF tier of the ANN-kNN composition gated): neighbors come from
+    the n_probe-cluster probe join, the vote is the shared
+    _majority_vote, and the oracle composes the unrolled IVF top-k
+    (_ivf_sql — the embedding_ivf_topk oracle verbatim) with the vote
+    CTEs."""
+    from linkgraph.pipeline import knn_label_accuracy_ann
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    dim = len(emb.select("embedding").first()["embedding"])
+    return knn_label_accuracy_ann(
+        emb, dim, k=TOPK, n_queries=N_QUERY_VECS, method="ivf",
+        n_clusters=8, n_probe=4,
+    )
+
+
+def _q_knn_accuracy_pq(spark, sf):
+    """kNN label eval over the PQ ADC candidate set (VERDICT r4 #3):
+    neighbors ranked by the m-lookup ADC distance at the PQ gate's own
+    6dp rounding; oracle = the embedding_pq_topk unroll composed with
+    the vote CTEs."""
+    from linkgraph.pipeline import knn_label_accuracy_ann
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    dim = len(emb.select("embedding").first()["embedding"])
+    return knn_label_accuracy_ann(
+        emb, dim, k=TOPK, n_queries=N_QUERY_VECS, method="pq",
+        round_to=6, m=PQ_M, ks=PQ_KS, kmeans_iterations=PQ_ITERS,
+    )
+
+
+def _q_ann_recall_ivf(spark, sf):
+    """Per-query recall of the IVF top-k against the exact brute-force
+    top-k — the index-quality report for the probe-join tier."""
+    from linkgraph.pipeline import ann_recall
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    dim = len(emb.select("embedding").first()["embedding"])
+    return ann_recall(
+        emb, dim, k=TOPK, n_queries=N_QUERY_VECS, method="ivf",
+        n_clusters=8, n_probe=4,
+    )
+
+
+def _q_ann_recall_pq(spark, sf):
+    """Per-query recall of the PQ ADC top-k against the exact cosine
+    top-k: ADC distances rank at 6dp (the PQ gate's rounding), the
+    exact side stays at the brute-force gate's 4dp
+    (exact_round_to)."""
+    from linkgraph.pipeline import ann_recall
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    dim = len(emb.select("embedding").first()["embedding"])
+    return ann_recall(
+        emb, dim, k=TOPK, n_queries=N_QUERY_VECS, method="pq",
+        round_to=6, exact_round_to=4, m=PQ_M, ks=PQ_KS,
+        kmeans_iterations=PQ_ITERS,
+    )
+
+
 def _q_triad_census(spark, sf):
     """Closed-triad census over the directed doc graph: the triangle
     join of §4.4 carrying per-pair direction codes, classified by the
@@ -2816,6 +2877,10 @@ _GATE_FRONT = [
     "duplicate_spans",
     # new round-5 queries slot in here as they are added
     "cut_duplicate_spans",
+    "knn_label_accuracy_ivf",
+    "knn_label_accuracy_pq",
+    "ann_recall_ivf",
+    "ann_recall_pq",
     # already-gated backfill (window stays ~50 wide; re-verification)
     "unigram_lm_score",
     "seeded_label_propagation",
@@ -2853,10 +2918,6 @@ _GATE_FRONT = [
     "maximal_matching",
     "dependency_levels",
     "greedy_coloring",
-    "minimum_spanning_forest",
-    "bipartite_check",
-    "rectangle_count",
-    "landmark_distances",
 ]
 
 
@@ -2908,6 +2969,10 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_label_accuracy": _q_knn_accuracy,
         "knn_label_accuracy_ann": _q_knn_accuracy_ann,
         "ann_recall": _q_ann_recall,
+        "knn_label_accuracy_ivf": _q_knn_accuracy_ivf,
+        "knn_label_accuracy_pq": _q_knn_accuracy_pq,
+        "ann_recall_ivf": _q_ann_recall_ivf,
+        "ann_recall_pq": _q_ann_recall_pq,
         "core_decomposition": _q_coreness,
         "reachability": _q_reachability,
         "exact_dedup": _q_exact_dedup,
@@ -4067,6 +4132,58 @@ def _ann_recall_sql(
         "WITH "
         + ",\n".join(ctes)
         + " SELECT b.qid, b.n_exact, COALESCE(h.n_hit, 0) AS n_hit,"
+        " ROUND(COALESCE(h.n_hit, 0) / b.n_exact, 4) AS recall"
+        " FROM base b LEFT JOIN hits h ON h.qid = b.qid"
+    )
+
+
+def _vote_over_topk_sql(topk_sql: str) -> str:
+    """Majority-vote label eval over ANY (qid, vec_id, ...) ANN top-k
+    oracle — the _majority_vote mirror as a composition: the tier's
+    full unrolled top-k query nests as a WITH-in-CTE, so the IVF and
+    PQ gates reuse their own top-k oracles (_ivf_sql / _pq_sql)
+    verbatim instead of restating the train->encode->scan chain."""
+    return (
+        f"WITH atopk AS ({topk_sql}),"
+        " votes AS (SELECT t.qid, e.label AS lab, COUNT(*) AS c"
+        " FROM atopk t JOIN embeddings e ON t.vec_id = e.vec_id"
+        " GROUP BY 1, 2),"
+        " pred AS (SELECT qid, lab AS pred_label FROM ("
+        " SELECT *, ROW_NUMBER() OVER (PARTITION BY qid"
+        "  ORDER BY c DESC, lab ASC) AS rn FROM votes) WHERE rn = 1)"
+        " SELECT p.qid, p.pred_label, e.label AS true_label,"
+        " CAST(p.pred_label = e.label AS INT) AS correct"
+        " FROM pred p JOIN embeddings e ON p.qid = e.vec_id"
+    )
+
+
+def _recall_over_topk_sql(
+    topk_sql: str, n_queries: int, k: int, exact_round_to: int = 4
+) -> str:
+    """Per-query recall of ANY ANN top-k oracle against the exact
+    brute-force cosine top-k (the ann_recall mirror for the IVF/PQ
+    tiers; same (sim DESC, vec_id ASC) exact ranking as the
+    brute-force gate, rounded at ``exact_round_to``)."""
+    return (
+        f"WITH atopk AS ({topk_sql}),"
+        " epts AS (SELECT vec_id,"
+        " list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),"
+        " escored AS (SELECT q.vec_id AS qid, c.vec_id,"
+        " ROUND(list_sum(list_transform(generate_series(1, len(q.v)),"
+        "   i -> q.v[i]*c.v[i]))"
+        "  / (sqrt(list_sum(list_transform(q.v, x -> x*x)))"
+        f"     * sqrt(list_sum(list_transform(c.v, x -> x*x)))), {exact_round_to}) AS sim"
+        f" FROM epts q JOIN epts c ON c.vec_id != q.vec_id"
+        f" WHERE q.vec_id < {n_queries}),"
+        " etopk AS (SELECT qid, vec_id FROM ("
+        " SELECT *, ROW_NUMBER() OVER (PARTITION BY qid"
+        "  ORDER BY sim DESC, vec_id ASC) AS rn FROM escored"
+        f") WHERE rn <= {k}),"
+        " base AS (SELECT qid, COUNT(*) AS n_exact FROM etopk GROUP BY qid),"
+        " hits AS (SELECT e.qid, COUNT(*) AS n_hit FROM etopk e"
+        " JOIN atopk l ON l.qid = e.qid AND l.vec_id = e.vec_id"
+        " GROUP BY e.qid)"
+        " SELECT b.qid, b.n_exact, COALESCE(h.n_hit, 0) AS n_hit,"
         " ROUND(COALESCE(h.n_hit, 0) / b.n_exact, 4) AS recall"
         " FROM base b LEFT JOIN hits h ON h.qid = b.qid"
     )
@@ -5609,6 +5726,22 @@ def oracle_sql() -> dict[str, str]:
         64, 16, 4, 42, N_QUERY_VECS, TOPK
     )
     sql["ann_recall"] = _ann_recall_sql(64, 16, 4, 42, N_QUERY_VECS, TOPK)
+    # IVF / PQ tiers of the ANN-kNN composition (VERDICT r4 #3): the
+    # tiers' own gated top-k oracles composed with vote / recall tails
+    sql["knn_label_accuracy_ivf"] = _vote_over_topk_sql(
+        _ivf_sql(8, 5, 4, N_QUERY_VECS, TOPK)
+    )
+    sql["knn_label_accuracy_pq"] = _vote_over_topk_sql(
+        _pq_sql(64, PQ_M, PQ_KS, PQ_ITERS, N_QUERY_VECS, TOPK)
+    )
+    sql["ann_recall_ivf"] = _recall_over_topk_sql(
+        _ivf_sql(8, 5, 4, N_QUERY_VECS, TOPK), N_QUERY_VECS, TOPK
+    )
+    sql["ann_recall_pq"] = _recall_over_topk_sql(
+        _pq_sql(64, PQ_M, PQ_KS, PQ_ITERS, N_QUERY_VECS, TOPK),
+        N_QUERY_VECS,
+        TOPK,
+    )
     sql["embedding_neardup_pairs"] = _neardup_pairs_sql(64, 16, 4, 42, NEARDUP_TAU)
     # maximal-clique aggregator's global answer: enumerate ALL cliques
     # by ordered extension (each clique generated exactly once as its

@@ -184,14 +184,22 @@ def ann_recall(
     n_queries: int = 64,
     method: str = "lsh",
     round_to: int = 4,
+    exact_round_to: int | None = None,
     **ann_kwargs,
 ) -> DataFrame:
     """(qid, n_exact, n_hit, recall) — per-query recall of the ANN
     tier's top-k against the exact brute-force top-k (the standard
-    index-quality report). ``recall`` = |ANN ∩ exact| / |exact|."""
+    index-quality report). ``recall`` = |ANN ∩ exact| / |exact|.
+    ``round_to`` rounds the ANN tier's score before ranking;
+    ``exact_round_to`` (default: same) rounds the exact cosine side —
+    split so the PQ tier can keep its 6dp ADC distances while the
+    exact ranking stays at the 4dp the brute-force gate uses."""
     queries = embeddings.filter(F.col("vec_id") < n_queries)
     exact = cosine_topk(
-        embeddings, queries=queries, k=k, round_to=round_to
+        embeddings,
+        queries=queries,
+        k=k,
+        round_to=round_to if exact_round_to is None else exact_round_to,
     ).select("qid", "vec_id")
     ann = _ann_topk(
         embeddings, queries, dim, k, method, round_to, **ann_kwargs
