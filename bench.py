@@ -115,15 +115,45 @@ def main() -> None:
     # cold-JIT cost onto whichever runs first, distorting per-query
     # times vs prior rounds by up to 5x while total work is unchanged).
     # The base order keeps sibling groups adjacent and round-comparable.
+    # Noise policy (round 5, VERDICT r4 #4): every query is timed
+    # TWICE back-to-back and the MIN is reported — the same
+    # steal-burst bound the headline already used, extended per-query
+    # so ~1.3x host-stall drift (the r4 ANF family) can't masquerade
+    # as regression. Both attempts are logged to
+    # BENCH/runs/bench_attempts.jsonl for audit. Cross-round note:
+    # r1-r4 per-query values were single-shot; min-of-2 also absorbs
+    # first-run JIT on sibling-group leaders, so broad small drops vs
+    # r4 are the policy change, not an engine speedup claim.
     ordered = getattr(entry, "_base_queries", entry.queries)()
+    attempts_log = []
     for name, fn in ordered.items():
-        t0 = time.monotonic()
-        try:
-            force(fn(spark, sf_dir))
-            timings[name] = round(time.monotonic() - t0, 3)
-        except Exception as exc:  # keep the bench line emitting no matter what
-            timings[name] = -1.0
-            print(f"bench: {name} failed: {type(exc).__name__}: {exc}", file=sys.stderr)
+        runs = []
+        for _attempt in range(2):
+            t0 = time.monotonic()
+            try:
+                force(fn(spark, sf_dir))
+                runs.append(round(time.monotonic() - t0, 3))
+            except Exception as exc:  # keep the bench line emitting no matter what
+                runs.append(-1.0)
+                print(
+                    f"bench: {name} failed: {type(exc).__name__}: {exc}",
+                    file=sys.stderr,
+                )
+                break
+        ok = [r for r in runs if r >= 0]
+        timings[name] = min(ok) if ok else -1.0
+        attempts_log.append({"query": name, "attempts": runs})
+    try:
+        runs_dir = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH", "runs"
+        )
+        os.makedirs(runs_dir, exist_ok=True)
+        with open(os.path.join(runs_dir, "bench_attempts.jsonl"), "w") as f:
+            f.write(json.dumps({"sf": sf, "cpus": cpus, "policy": "min_of_2"}) + "\n")
+            for row in attempts_log:
+                f.write(json.dumps(row) + "\n")
+    except OSError:
+        pass
 
     out = {
         "metric": "pagerank_l1_1e-6_convergence_wall_sec",
@@ -139,6 +169,10 @@ def main() -> None:
         "edges_per_sec_per_superstep": round(edges_per_sec, 1),
         "total_sec": round(sum(v for v in timings.values() if v > 0), 3),
         "headline_runs": headline_runs,
+        "timing_policy": (
+            "per-query min-of-2, attempts in BENCH/runs/bench_attempts.jsonl"
+            " (changed in r5; r1-r4 per-query values were single-shot)"
+        ),
     }
     steal1, total1 = _steal_ticks()
     if total1 > total0:
