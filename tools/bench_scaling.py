@@ -71,6 +71,36 @@ def _run_once(cores: int, n: int, updates: int) -> dict:
     raise RuntimeError(f"no JSON from cores={cores}: {out.stdout[-500:]} {out.stderr[-500:]}")
 
 
+def _attempt_noise_ratio(r: dict) -> float:
+    return r.get("noise_ratio") or (
+        r["steady_median_step_sec"] / r["steady_p25_step_sec"]
+        if r.get("steady_p25_step_sec")
+        else 1.0
+    )
+
+
+def select_attempt(attempts: list[dict]) -> dict:
+    """Reported attempt per level (r5 policy, ADVICE r4): the MEDIAN of
+    the clean attempts (median/P25 <= NOISE_RATIO_MAX) rather than the
+    minimum of all — best-of-N selection biased throughput upward
+    relative to the single-shot earlier rounds. Falls back to the
+    lowest steady median only when no attempt is clean. In the common
+    case (first attempt clean, loop stops) there is exactly one clean
+    attempt and the policies coincide."""
+    clean = [a for a in attempts if _attempt_noise_ratio(a) <= NOISE_RATIO_MAX]
+    if clean:
+        clean = sorted(clean, key=lambda a: a["steady_median_step_sec"])
+        best = dict(clean[len(clean) // 2])
+    else:
+        best = dict(min(attempts, key=lambda a: a["steady_median_step_sec"]))
+    best["n_attempts"] = len(attempts)
+    best["attempt_noise_ratios"] = [
+        round(_attempt_noise_ratio(a), 3) for a in attempts
+    ]
+    best["selection_policy"] = "median_of_clean_attempts (r5; r4 was min_of_attempts)"
+    return best
+
+
 def run_level(cores: int, n: int, updates: int) -> dict:
     attempts = []
     log = REPO / "BENCH" / "runs" / "scaling_attempts.jsonl"
@@ -81,11 +111,7 @@ def run_level(cores: int, n: int, updates: int) -> dict:
         attempts.append(r)
         with log.open("a") as fh:
             fh.write(json.dumps(r) + "\n")
-        ratio = r.get("noise_ratio") or (
-            r["steady_median_step_sec"] / r["steady_p25_step_sec"]
-            if r.get("steady_p25_step_sec")
-            else 1.0
-        )
+        ratio = _attempt_noise_ratio(r)
         if ratio <= NOISE_RATIO_MAX:
             break
         print(
@@ -93,10 +119,7 @@ def run_level(cores: int, n: int, updates: int) -> dict:
             f"{NOISE_RATIO_MAX}); re-running ({attempt + 1}/{MAX_RERUNS})",
             file=sys.stderr,
         )
-    best = min(attempts, key=lambda a: a["steady_median_step_sec"])
-    best["n_attempts"] = len(attempts)
-    best["attempt_noise_ratios"] = [a.get("noise_ratio") for a in attempts]
-    return best
+    return select_attempt(attempts)
 
 
 def steady_step(r: dict) -> float:
@@ -144,10 +167,15 @@ def main() -> None:
     # runs keyed by (cores, n_vertices, updates); precomputed JSONL reused
     runs: dict[tuple, dict] = {}
     if args.precomputed:
+        # aggregate ALL logged attempts per level and apply the same
+        # selection policy as a fresh run (last-wins would silently
+        # re-introduce a different policy on regeneration)
+        pre: dict[tuple, list] = {}
         for line in Path(args.precomputed).read_text().splitlines():
             if line.strip().startswith("{"):
                 r = json.loads(line)
-                runs[(r["cores"], r["n_vertices"], r["updates"])] = r
+                pre.setdefault((r["cores"], r["n_vertices"], r["updates"]), []).append(r)
+        runs = {k: select_attempt(v) for k, v in pre.items()}
 
     def level(cores: int, n: int) -> dict:
         key = (cores, n, args.updates)
@@ -275,12 +303,81 @@ def main() -> None:
         f"Policy, applied identically at every level: a run whose steady median",
         f"exceeds its steady P25 by more than {NOISE_RATIO_MAX}x is deemed",
         f"stall-contaminated and automatically re-run (up to {MAX_RERUNS} retries);",
-        "the attempt with the lowest steady median is reported. Every attempt is",
+        "the MEDIAN of the clean attempts is reported (r5 policy — r4 reported the",
+        "minimum of all attempts, a best-of-N selection that biased throughput",
+        "upward vs the single-shot earlier rounds; with one clean attempt, the",
+        "common case, the two policies coincide). Every attempt is",
         "appended to BENCH/runs/scaling_attempts.jsonl for audit, and the table",
         "above reports BOTH the median-based and P25-based efficiencies — a clean",
         "trace has median ~= P25, so agreement between the two columns is itself",
         "the no-stall certificate.",
     ]
+
+    # Second workload: CC delta-plan ladder, regenerated from the
+    # committed raw runs so this section survives regeneration (ADVICE
+    # r4: an earlier regeneration silently dropped it).
+    cc_rows = []
+    try:
+        if str(REPO) not in sys.path:
+            sys.path.insert(0, str(REPO))
+        from tools.cc_scaling_summary import summarize as cc_summarize
+
+        for fname in ("cc_scaling_2_8_10M.jsonl", "cc_scaling_8_32.jsonl"):
+            fpath = bench_dir / "runs" / fname
+            if fpath.exists():
+                cc_rows += cc_summarize(str(fpath))
+    except (OSError, json.JSONDecodeError, AssertionError, ImportError, ValueError):
+        cc_rows = []
+    if cc_rows:
+        lines += [
+            "",
+            "## Second workload: connected components (delta plan) ladder",
+            "",
+            "PageRank above is the outer-plan workload (every vertex active every",
+            "superstep — uniform per-step work, so a steady-state median is the",
+            "right summary). Connected components is the engine's *other* execution",
+            "shape: the delta plan, where only changed vertices scatter, so the",
+            "frontier grows then collapses and per-superstep work varies by 10x",
+            "within one run. A single median would average unlike work; instead the",
+            "ladder pairs supersteps BY INDEX — superstep k performs the identical",
+            "frontier work at every parallelism level (each run asserts identical",
+            "superstep counts and label checksums) — and reports the median of the",
+            "per-index speedups, with the same 2-step JIT warmup exclusion.",
+            "`tools/_cc_scaling_run.py` runs one level; `tools/cc_scaling_summary.py`",
+            "computes the pairing; raw runs in `BENCH/runs/cc_scaling_*.jsonl`.",
+            "",
+            "| N | 4N | graph | supersteps | loop sec N | loop sec 4N |"
+            " median step speedup | scaling efficiency |",
+            "|---|---|---|---|---|---|---|---|",
+        ]
+        for row in cc_rows:
+            size = (
+                f"{row['n_vertices'] / 1e6:.0f}M v /"
+                f" {row['n_edges'] / 1e6:.0f}M e"
+            )
+            lines.append(
+                f"| {row['cores'][0]} | {row['cores'][1]} | {size} |"
+                f" {row['supersteps']} | {row['loop_sec'][0]} |"
+                f" {row['loop_sec'][1]} | {row['median_step_speedup']} |"
+                f" **{row['scaling_efficiency']}** |"
+            )
+        lines += [
+            "",
+            "Identical `label_sum` checksums (sum of component labels) at both",
+            "levels of each pair — the same labeling at every parallelism level.",
+            "Efficiency >1.0 for the same reason as the PageRank ladder: the larger",
+            "level's 4x aggregate heap cuts GC per superstep (fixed-per-core heap",
+            "model), exactly as a real N→4N executor scale-out would.",
+            "",
+            "Sizing matters for the delta plan even more than for PageRank: an",
+            "earlier 2→8 probe at 4M vertices (also committed,",
+            "`BENCH/runs/cc_scaling_2_8.jsonl`, efficiency 0.651) was input-starved —",
+            "the late collapsed-frontier supersteps run in under 2s at 2 cores",
+            "already, so 8 cores have no work to parallelize (and G1 on the tight",
+            "3 GB heap thrashed outright, `cc_scaling_2_8_g1.jsonl`). At 10M vertices",
+            "every paired superstep has real work at both levels and the ladder",
+            "clears the gate without excluding any post-warmup step.",
+        ]
 
     membw_path = bench_dir / "membw.json"
     if membw_path.exists():
