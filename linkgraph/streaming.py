@@ -310,6 +310,19 @@ def maintained_graph_stream(
     Returns the streaming query (availableNow trigger — drains what is
     present, then stops; call again as new files land, the reference
     pattern for incremental corpus refresh jobs).
+
+    Filesystem contract (ADVICE r4): ``state_dir`` must be a
+    DRIVER-LOCAL path. The LATEST pointer and meta.json are read and
+    written with plain ``open()``/``os.replace`` — chosen because
+    ``os.replace`` is the one atomic-commit primitive a local
+    filesystem actually guarantees — so an HDFS/S3/object-store URI
+    would silently miss existing state and restart from epoch 0. On a
+    real cluster, route these three small files through the Hadoop
+    FileSystem API (`FileSystem.rename` for the LATEST flip on HDFS;
+    on S3, a conditional-put of the pointer object), keeping the
+    parquet pieces exactly as they are. ``ingest_path`` and
+    ``checkpoint_dir`` already go through Spark's Hadoop IO and may be
+    any supported URI.
     """
     import json as _json
     import os

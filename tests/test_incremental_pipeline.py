@@ -193,6 +193,70 @@ class TestMaintainedStream:
         _, _, tri3, epoch3 = read_maintained_state(spark, state)
         assert (epoch3, tri3) == (epoch2, tri2)
 
+    def test_crash_between_fold_and_latest_flip(self, spark, tmp_path, monkeypatch):
+        """The torn-update claim, proven by fault injection: a crash
+        AFTER the v{k+1} state is written but BEFORE the LATEST pointer
+        flips must leave readers on the previous committed epoch, and a
+        plain re-run must recover to exactly the state the crashed fold
+        would have committed (the failed micro-batch's offsets were
+        never checkpointed, so it replays)."""
+        import os as _os
+
+        from linkgraph import connected_components
+        from linkgraph.streaming import (
+            maintained_graph_stream,
+            read_maintained_state,
+        )
+
+        ingest = tmp_path / "in"
+        ingest.mkdir()
+        state = str(tmp_path / "state")
+        ck = str(tmp_path / "ck")
+
+        batch1 = [(0, 1), (1, 2), (10, 11), (11, 12), (10, 12)]
+        spark.createDataFrame(batch1, "src LONG, dst LONG").coalesce(1).write.parquet(
+            str(ingest / "b1")
+        )
+        maintained_graph_stream(spark, str(ingest) + "/*", state, ck)
+        _, labels1, tri1, epoch1 = read_maintained_state(spark, state)
+        cc1 = _cc_map(labels1)
+        assert epoch1 == 0
+
+        # inject: the SECOND fold dies at the commit point (the LATEST
+        # os.replace), after v1/edges, v1/labels, v1/meta.json exist
+        spark.createDataFrame([(2, 10), (0, 2)], "src LONG, dst LONG").coalesce(
+            1
+        ).write.parquet(str(ingest / "b2"))
+        real_replace = _os.replace
+        fired = {}
+
+        def crashing_replace(srcp, dstp, *a, **kw):
+            if str(dstp).endswith("LATEST") and "done" not in fired:
+                fired["done"] = True
+                raise OSError("injected crash before LATEST flip")
+            return real_replace(srcp, dstp, *a, **kw)
+
+        monkeypatch.setattr("os.replace", crashing_replace)
+        import pytest as _pytest
+
+        with _pytest.raises(Exception):
+            maintained_graph_stream(spark, str(ingest) + "/*", state, ck)
+        assert fired.get("done"), "injection never fired"
+        # torn state exists on disk ... but readers still see epoch 0
+        assert _os.path.isdir(_os.path.join(state, "v1"))
+        _, labels_after, tri_after, epoch_after = read_maintained_state(spark, state)
+        assert epoch_after == 0 and tri_after == tri1
+        assert _cc_map(labels_after) == cc1
+
+        # recovery: a plain re-run replays the uncommitted batch and
+        # lands on the cold answer for the union graph
+        monkeypatch.undo()
+        maintained_graph_stream(spark, str(ingest) + "/*", state, ck)
+        edges2, labels2, tri2, epoch2 = read_maintained_state(spark, state)
+        assert epoch2 == 1 and tri2 == 2
+        cold, _ = connected_components(edges2, track_messages=False)
+        assert _cc_map(labels2) == _cc_map(cold)
+
 
 class TestNewVertices:
     def test_incremental_cc_with_brand_new_vertices(self, spark):
