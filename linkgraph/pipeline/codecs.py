@@ -237,3 +237,220 @@ def wav_decode(payload: bytes) -> tuple[np.ndarray, int]:
         raise ValueError("WAV data length not a whole number of frames")
     s = np.frombuffer(data, dtype="<i2").astype(np.int16).reshape(-1, ch)
     return (s[:, 0] if ch == 1 else s), rate
+
+
+# --- MP4 / ISO-BMFF metadata (VERDICT r4 #6) -------------------------
+#
+# Full video DECODE stays honestly out of scope (an H.264 stack needs
+# ffmpeg), but the CONTAINER is just a box tree — size-prefixed tagged
+# chunks, like RIFF with nesting — so the metadata a data pipeline
+# actually filters and routes on (duration, track count, handler
+# kinds, codec fourccs, visual dimensions) parses with stdlib struct
+# alone. Subset: ftyp + moov(mvhd, trak(tkhd, mdia(mdhd, hdlr,
+# minf/stbl/stsd))) with version-0 or version-1 full boxes and 32- or
+# 64-bit box sizes; unknown sibling boxes are skipped per the ISO
+# contract. Reference analogue: the metadata-projection half of the
+# reference's record readers (SURVEY §3.1) — read the header, not the
+# payload.
+
+MP4_BRAND = b"isom"
+
+_MP4_UNITY_MATRIX = struct.pack(
+    ">9I", 0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000
+)
+
+
+def _mp4_full(tag: bytes, version: int, flags: int, body: bytes) -> bytes:
+    return _mp4_box(tag, struct.pack(">B3x", version)[:1] + flags.to_bytes(3, "big") + body)
+
+
+def _mp4_box(tag: bytes, body: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(body)) + tag + body
+
+
+def mp4_encode_metadata(
+    tracks: list[dict],
+    movie_duration_ms: int,
+    timescale: int = 1000,
+    brand: bytes = MP4_BRAND,
+) -> bytes:
+    """Minimal valid ISO-BMFF container carrying ONLY metadata (the
+    hand-built box writer the round-trip tests and the closed-form
+    gate fixture use; mdat is an empty placeholder — no samples).
+
+    ``tracks``: dicts with ``handler`` (``"vide"``/``"soun"``),
+    ``codec`` (4-char fourcc), ``duration_ms``, and for video
+    ``width``/``height`` in pixels. Track ids are assigned 1..n.
+    """
+    def sample_entry(codec: bytes) -> bytes:
+        # size + fourcc + 6 reserved bytes + 2-byte data_ref_index
+        return _mp4_box(codec, b"\x00" * 6 + struct.pack(">H", 1))
+
+    traks = b""
+    for idx, tr in enumerate(tracks):
+        handler = tr["handler"].encode() if isinstance(tr["handler"], str) else tr["handler"]
+        codec = tr["codec"].encode() if isinstance(tr["codec"], str) else tr["codec"]
+        dur = (tr["duration_ms"] * timescale) // 1000
+        w, h = int(tr.get("width") or 0), int(tr.get("height") or 0)
+        tkhd = _mp4_full(
+            b"tkhd",
+            0,
+            7,  # enabled | in_movie | in_preview
+            struct.pack(">II", 0, 0)          # creation, modification
+            + struct.pack(">II", idx + 1, 0)  # track_id, reserved
+            + struct.pack(">I", dur)
+            + b"\x00" * 8                     # reserved
+            + struct.pack(">hhhh", 0, 0, 0 if handler == b"vide" else 0x0100, 0)
+            + _MP4_UNITY_MATRIX
+            + struct.pack(">II", w << 16, h << 16),  # 16.16 fixed
+        )
+        mdhd = _mp4_full(
+            b"mdhd",
+            0,
+            0,
+            struct.pack(">II", 0, 0)
+            + struct.pack(">II", timescale, dur)
+            + struct.pack(">HH", 0x55C4, 0),  # language "und"
+        )
+        hdlr = _mp4_full(
+            b"hdlr", 0, 0,
+            b"\x00" * 4 + handler + b"\x00" * 12 + b"linkgraph\x00",
+        )
+        stsd = _mp4_full(
+            b"stsd", 0, 0, struct.pack(">I", 1) + sample_entry(codec)
+        )
+        stbl = _mp4_box(b"stbl", stsd)
+        minf = _mp4_box(b"minf", stbl)
+        mdia = _mp4_box(b"mdia", mdhd + hdlr + minf)
+        traks += _mp4_box(b"trak", tkhd + mdia)
+
+    mvhd = _mp4_full(
+        b"mvhd",
+        0,
+        0,
+        struct.pack(">II", 0, 0)
+        + struct.pack(">II", timescale, (movie_duration_ms * timescale) // 1000)
+        + struct.pack(">I", 0x00010000)  # rate 1.0
+        + struct.pack(">H", 0x0100)      # volume 1.0
+        + b"\x00" * 10
+        + _MP4_UNITY_MATRIX
+        + b"\x00" * 24
+        + struct.pack(">I", len(tracks) + 1),  # next_track_id
+    )
+    ftyp = _mp4_box(b"ftyp", brand + struct.pack(">I", 0) + brand)
+    moov = _mp4_box(b"moov", mvhd + traks)
+    mdat = _mp4_box(b"mdat", b"")
+    return ftyp + moov + mdat
+
+
+def _mp4_walk(buf: bytes, start: int, end: int):
+    """Yield (tag, body_start, body_end) for each box in [start, end);
+    handles 32-bit sizes, 64-bit largesize (size == 1), and
+    to-end-of-enclosure (size == 0)."""
+    pos = start
+    while pos + 8 <= end:
+        (size,) = struct.unpack(">I", buf[pos : pos + 4])
+        tag = buf[pos + 4 : pos + 8]
+        body = pos + 8
+        if size == 1:
+            if pos + 16 > end:
+                raise ValueError("ISO-BMFF: truncated largesize box")
+            (size,) = struct.unpack(">Q", buf[pos + 8 : pos + 16])
+            body = pos + 16
+        elif size == 0:
+            size = end - pos
+        if size < (body - pos) or pos + size > end:
+            raise ValueError(f"ISO-BMFF: bad box size {size} for {tag!r}")
+        yield tag, body, pos + size
+        pos += size
+
+
+def _mp4_find(buf: bytes, start: int, end: int, tag: bytes):
+    for t, b, e in _mp4_walk(buf, start, end):
+        if t == tag:
+            return b, e
+    return None
+
+
+def _mp4_fullbox(buf: bytes, body: int) -> tuple[int, int]:
+    """(version, first-field offset) of a full box body."""
+    return buf[body], body + 4
+
+
+def mp4_metadata(payload: bytes) -> dict:
+    """ISO-BMFF box walk -> container metadata dict:
+    ``{"brand", "timescale", "duration_ms", "n_tracks", "tracks":
+    [{"track_id", "handler", "codec", "duration_ms", "width",
+    "height"}, ...]}``. Raises ValueError on anything that is not a
+    well-formed ftyp+moov container."""
+    if len(payload) < 12 or payload[4:8] != b"ftyp":
+        raise ValueError("not an ISO-BMFF payload (no ftyp)")
+    top = list(_mp4_walk(payload, 0, len(payload)))
+    brand = payload[8:12].decode("latin-1")
+    moov = next(((b, e) for t, b, e in top if t == b"moov"), None)
+    if moov is None:
+        raise ValueError("ISO-BMFF: no moov box")
+    mb, me = moov
+    mvhd = _mp4_find(payload, mb, me, b"mvhd")
+    if mvhd is None:
+        raise ValueError("ISO-BMFF: no mvhd box")
+    v, p = _mp4_fullbox(payload, mvhd[0])
+    if v == 1:
+        timescale, duration = struct.unpack(">IQ", payload[p + 16 : p + 28])
+    else:
+        timescale, duration = struct.unpack(">II", payload[p + 8 : p + 16])
+    if timescale == 0:
+        raise ValueError("ISO-BMFF: zero movie timescale")
+
+    tracks = []
+    for t, b, e in _mp4_walk(payload, mb, me):
+        if t != b"trak":
+            continue
+        tk = _mp4_find(payload, b, e, b"tkhd")
+        md = _mp4_find(payload, b, e, b"mdia")
+        if tk is None or md is None:
+            raise ValueError("ISO-BMFF: trak missing tkhd or mdia")
+        v, p = _mp4_fullbox(payload, tk[0])
+        if v == 1:
+            track_id = struct.unpack(">I", payload[p + 16 : p + 20])[0]
+            tdur = struct.unpack(">Q", payload[p + 24 : p + 32])[0]
+            geo = p + 32
+        else:
+            track_id = struct.unpack(">I", payload[p + 8 : p + 12])[0]
+            tdur = struct.unpack(">I", payload[p + 16 : p + 20])[0]
+            geo = p + 20
+        # reserved(8) + layer/alt/volume/reserved(8) + matrix(36)
+        w16, h16 = struct.unpack(">II", payload[geo + 52 : geo + 60])
+        mdhd = _mp4_find(payload, md[0], md[1], b"mdhd")
+        hdlr = _mp4_find(payload, md[0], md[1], b"hdlr")
+        if mdhd is None or hdlr is None:
+            raise ValueError("ISO-BMFF: mdia missing mdhd or hdlr")
+        handler = payload[hdlr[0] + 8 : hdlr[0] + 12].decode("latin-1")
+        codec = None
+        minf = _mp4_find(payload, md[0], md[1], b"minf")
+        if minf is not None:
+            stbl = _mp4_find(payload, minf[0], minf[1], b"stbl")
+            if stbl is not None:
+                stsd = _mp4_find(payload, stbl[0], stbl[1], b"stsd")
+                if stsd is not None:
+                    _, sp = _mp4_fullbox(payload, stsd[0])
+                    (n_entries,) = struct.unpack(">I", payload[sp : sp + 4])
+                    if n_entries >= 1:
+                        codec = payload[sp + 8 : sp + 12].decode("latin-1")
+        tracks.append(
+            {
+                "track_id": int(track_id),
+                "handler": handler,
+                "codec": codec,
+                "duration_ms": (int(tdur) * 1000) // timescale,
+                "width": int(w16 >> 16),
+                "height": int(h16 >> 16),
+            }
+        )
+    return {
+        "brand": brand,
+        "timescale": int(timescale),
+        "duration_ms": (int(duration) * 1000) // timescale,
+        "n_tracks": len(tracks),
+        "tracks": tracks,
+    }

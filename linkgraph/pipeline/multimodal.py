@@ -15,11 +15,15 @@ two tiers:
   stdlib zlib + numpy per-row unfilter for PNG, RIFF struct parse for
   WAV) — ``decode_stub="raw"`` sniffs the payload magic and dispatches
   RAWI/RAWA/PNG/WAV to the matching real decoder.
-- **Stub** for MP4 (a real ISO-BMFF/H.264 stack needs ffmpeg):
-  ``decode_stub="fake"`` produces a deterministic fake feature from the
-  bytes, ``decode_stub="raise"`` raises NotImplementedError where the
-  real codec would plug in, and an MP4 payload reaching the raw tier
-  raises NotImplementedError with the same marker.
+- **Metadata walk** for MP4 (round 5): the ISO-BMFF container parses
+  with stdlib struct alone (pipeline/codecs.py mp4_metadata — ftyp/
+  moov/mvhd/trak box tree), so an MP4 payload reaching the raw tier
+  yields its routing metadata (duration, tracks, handlers, codec
+  fourccs, dimensions) as an int64 invariant vector. FRAME decode
+  remains honestly out of scope (an H.264 stack needs ffmpeg):
+  ``decode_stub="fake"`` produces a deterministic fake feature from
+  the bytes and ``decode_stub="raise"`` raises NotImplementedError
+  where the real frame codec would plug in.
 """
 
 from __future__ import annotations
@@ -148,10 +152,16 @@ def decode_media(payload: bytes) -> tuple[str, np.ndarray, int | None]:
 
     Returns ``(modality, array, sample_rate)``: ``("image", uint8
     (H, W, C), None)`` for RAWI/PNG, ``("audio", int16 samples, rate)``
-    for RAWA/WAV. MP4 (ISO-BMFF ``ftyp``) raises NotImplementedError —
-    the one remaining honest stub; anything else is a ValueError.
+    for RAWA/WAV. MP4 (ISO-BMFF ``ftyp``) returns ``("video", meta,
+    None)`` where ``meta`` is the int64 metadata-invariant vector
+    ``[duration_ms, timescale, n_tracks, track_duration_ms_sum,
+    width_sum, height_sum, codec_fourcc_byte_sum]`` from the
+    stdlib box walk (:func:`~linkgraph.pipeline.codecs.mp4_metadata`)
+    — the container metadata a pipeline filters/routes on; FRAME
+    decode remains honestly out of scope (needs ffmpeg). Anything
+    else is a ValueError.
     """
-    from .codecs import PNG_MAGIC, png_decode, wav_decode
+    from .codecs import PNG_MAGIC, mp4_metadata, png_decode, wav_decode
 
     if payload[:4] == _RAWI_MAGIC:
         return "image", decode_raw_image(payload), None
@@ -166,9 +176,24 @@ def decode_media(payload: bytes) -> tuple[str, np.ndarray, int | None]:
             samples = samples[:, 0]
         return "audio", samples, rate
     if len(payload) >= 12 and payload[4:8] == b"ftyp":
-        raise NotImplementedError(
-            "MP4 decode requires ffmpeg — not available in this container"
+        meta = mp4_metadata(payload)
+        vec = np.array(
+            [
+                meta["duration_ms"],
+                meta["timescale"],
+                meta["n_tracks"],
+                sum(t["duration_ms"] for t in meta["tracks"]),
+                sum(t["width"] for t in meta["tracks"]),
+                sum(t["height"] for t in meta["tracks"]),
+                sum(
+                    sum(t["codec"].encode("latin-1"))
+                    for t in meta["tracks"]
+                    if t["codec"]
+                ),
+            ],
+            dtype=np.int64,
         )
+        return "video", vec, None
     raise ValueError("unrecognized media payload (no known magic)")
 
 
@@ -373,11 +398,12 @@ def decode_summary(media: DataFrame) -> DataFrame:
             for payload in pdf["payload"]:
                 modality, arr, _rate = decode_media(bytes(payload))
                 kinds.append(modality)
-                units.append(
-                    int(arr.shape[0] * arr.shape[1])
-                    if modality == "image"
-                    else int(arr.shape[0])
-                )
+                if modality == "image":
+                    units.append(int(arr.shape[0] * arr.shape[1]))
+                elif modality == "video":
+                    units.append(int(arr[2]))  # n_tracks
+                else:
+                    units.append(int(arr.shape[0]))
                 sums.append(int(arr.astype(np.int64).sum()))
             yield pd.DataFrame(
                 {
@@ -401,4 +427,103 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
         F.explode(
             F.expr(f"sequence(0L, duration_ms, CAST({every_ms} AS LONG))")
         ).alias("frame_ts_ms"),
+    )
+
+
+def synth_mp4_media(spark, n: int = 30, seed: int = 0) -> DataFrame:
+    """Deterministic MP4 table whose payloads are REAL ISO-BMFF
+    containers (pipeline/codecs.mp4_encode_metadata) with CLOSED-FORM
+    metadata, so a SQL oracle can verify the box walk:
+
+    - row i: ``n_tracks = 1 + i % 3``, movie duration
+      ``500 * (1 + i % 7)`` ms (timescale 1000);
+    - track t (0-based, id t+1): handler/codec alternate
+      ``vide``/``avc1`` (even t) and ``soun``/``mp4a`` (odd t); every
+      track spans the movie; video tracks are
+      ``16*(2 + (i + t) % 5)`` x ``16*(1 + (i + t) % 3)`` px.
+    """
+    from .codecs import mp4_encode_metadata
+
+    rows = []
+    for i in range(n):
+        dur = 500 * (1 + i % 7)
+        tracks = []
+        for t in range(1 + i % 3):
+            if t % 2 == 0:
+                tracks.append(
+                    {
+                        "handler": "vide",
+                        "codec": "avc1",
+                        "duration_ms": dur,
+                        "width": 16 * (2 + (i + t) % 5),
+                        "height": 16 * (1 + (i + t) % 3),
+                    }
+                )
+            else:
+                tracks.append(
+                    {"handler": "soun", "codec": "mp4a", "duration_ms": dur}
+                )
+        payload = mp4_encode_metadata(tracks, movie_duration_ms=dur)
+        w = tracks[0]["width"] if tracks else None
+        h = tracks[0]["height"] if tracks else None
+        rows.append(
+            (seed + i, "video", "video/mp4", w, h, dur, bytearray(payload))
+        )
+    n_slices = max(1, min(n // 16, spark.sparkContext.defaultParallelism))
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, n_slices), MEDIA_SCHEMA
+    )
+
+
+MP4_SUMMARY_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("brand", T.StringType(), False),
+        T.StructField("duration_ms", T.LongType(), False),
+        T.StructField("timescale", T.LongType(), False),
+        T.StructField("n_tracks", T.LongType(), False),
+        T.StructField("tracks_ms", T.LongType(), False),
+        T.StructField("width_sum", T.LongType(), False),
+        T.StructField("height_sum", T.LongType(), False),
+        T.StructField("codec_bytes", T.LongType(), False),
+    ]
+)
+
+
+def mp4_summary(media: DataFrame) -> DataFrame:
+    """Box-walk every MP4 payload (Arrow-batched mapInPandas, same
+    plumbing as decode_summary) and emit the container metadata as
+    exact-integer columns: movie duration/timescale, track count, the
+    per-track duration/dimension sums, and the byte-sum of the codec
+    fourccs — the routing projection a 100 TB video pipeline computes
+    WITHOUT touching sample data (the payload bytes it reads are the
+    few-hundred-byte moov header, not the mdat)."""
+    from .codecs import mp4_metadata
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k.name: [] for k in MP4_SUMMARY_SCHEMA.fields}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                m = mp4_metadata(bytes(payload))
+                out["media_id"].append(int(mid))
+                out["brand"].append(m["brand"])
+                out["duration_ms"].append(m["duration_ms"])
+                out["timescale"].append(m["timescale"])
+                out["n_tracks"].append(m["n_tracks"])
+                out["tracks_ms"].append(
+                    sum(t["duration_ms"] for t in m["tracks"])
+                )
+                out["width_sum"].append(sum(t["width"] for t in m["tracks"]))
+                out["height_sum"].append(sum(t["height"] for t in m["tracks"]))
+                out["codec_bytes"].append(
+                    sum(
+                        sum(t["codec"].encode("latin-1"))
+                        for t in m["tracks"]
+                        if t["codec"]
+                    )
+                )
+            yield pd.DataFrame(out)
+
+    return media.filter(F.col("kind") == "video").mapInPandas(
+        batches, MP4_SUMMARY_SCHEMA
     )

@@ -101,12 +101,115 @@ class TestDispatcher:
         with pytest.raises(ValueError, match="magic"):
             decode_media(b"\x00" * 32)
 
-    def test_mp4_honest_stub(self):
+    def test_mp4_metadata_vector(self):
+        """MP4 in the dispatcher yields the metadata-invariant vector
+        from the box walk (frame decode stays out of scope); a
+        degenerate ftyp-only container errors instead of producing a
+        wrong row."""
+        from linkgraph.pipeline.codecs import mp4_encode_metadata
         from linkgraph.pipeline.multimodal import decode_media
 
-        fake_mp4 = b"\x00\x00\x00\x18ftypisom" + b"\x00" * 16
-        with pytest.raises(NotImplementedError, match="ffmpeg"):
-            decode_media(fake_mp4)
+        p = mp4_encode_metadata(
+            [
+                {"handler": "vide", "codec": "avc1", "duration_ms": 4500,
+                 "width": 640, "height": 360},
+                {"handler": "soun", "codec": "mp4a", "duration_ms": 4500},
+            ],
+            movie_duration_ms=4500,
+        )
+        kind, vec, rate = decode_media(p)
+        assert kind == "video" and rate is None
+        assert vec.tolist() == [
+            4500, 1000, 2, 9000, 640, 360,
+            sum(b"avc1") + sum(b"mp4a"),
+        ]
+        with pytest.raises(ValueError, match="moov"):
+            decode_media(b"\x00\x00\x00\x18ftypisom" + b"\x00" * 16)
+
+
+class TestMP4:
+    def _payload(self):
+        from linkgraph.pipeline.codecs import mp4_encode_metadata
+
+        return mp4_encode_metadata(
+            [
+                {"handler": "vide", "codec": "avc1", "duration_ms": 2000,
+                 "width": 320, "height": 240},
+                {"handler": "soun", "codec": "mp4a", "duration_ms": 2000},
+                {"handler": "vide", "codec": "hvc1", "duration_ms": 1000,
+                 "width": 64, "height": 48},
+            ],
+            movie_duration_ms=2000,
+        )
+
+    def test_roundtrip_vs_hand_built_writer(self):
+        from linkgraph.pipeline.codecs import mp4_metadata
+
+        m = mp4_metadata(self._payload())
+        assert m["brand"] == "isom"
+        assert (m["timescale"], m["duration_ms"], m["n_tracks"]) == (1000, 2000, 3)
+        assert [t["track_id"] for t in m["tracks"]] == [1, 2, 3]
+        assert [t["handler"] for t in m["tracks"]] == ["vide", "soun", "vide"]
+        assert [t["codec"] for t in m["tracks"]] == ["avc1", "mp4a", "hvc1"]
+        assert [t["duration_ms"] for t in m["tracks"]] == [2000, 2000, 1000]
+        assert [(t["width"], t["height"]) for t in m["tracks"]] == [
+            (320, 240), (0, 0), (64, 48)
+        ]
+
+    def test_largesize_box(self):
+        """size == 1 + 64-bit largesize on the moov box parses
+        identically (the >4 GiB-container spelling)."""
+        import struct
+
+        from linkgraph.pipeline.codecs import mp4_metadata
+
+        p = self._payload()
+        base = mp4_metadata(p)
+        # locate moov (second top-level box, after the 24-byte ftyp)
+        (ftyp_size,) = struct.unpack(">I", p[:4])
+        (moov_size,) = struct.unpack(">I", p[ftyp_size : ftyp_size + 4])
+        moov_body = p[ftyp_size + 8 : ftyp_size + moov_size]
+        rebuilt = (
+            p[:ftyp_size]
+            + struct.pack(">I", 1)
+            + b"moov"
+            + struct.pack(">Q", 16 + len(moov_body))
+            + moov_body
+            + p[ftyp_size + moov_size :]
+        )
+        assert mp4_metadata(rebuilt) == base
+
+    def test_truncation_detected(self):
+        import pytest
+
+        from linkgraph.pipeline.codecs import mp4_metadata
+
+        p = self._payload()
+        with pytest.raises(ValueError, match="size"):
+            mp4_metadata(p[: len(p) - 20])
+
+    def test_spark_mp4_summary_closed_forms(self, spark):
+        """synth_mp4_media's closed forms survive the Arrow round trip
+        through mp4_summary."""
+        from linkgraph.pipeline.multimodal import mp4_summary, synth_mp4_media
+
+        rows = {
+            r["media_id"]: r
+            for r in mp4_summary(synth_mp4_media(spark, n=9)).collect()
+        }
+        assert len(rows) == 9
+        for i, r in rows.items():
+            n_tracks = 1 + i % 3
+            dur = 500 * (1 + i % 7)
+            assert (r["duration_ms"], r["n_tracks"]) == (dur, n_tracks)
+            assert r["tracks_ms"] == dur * n_tracks
+            vide = [t for t in range(n_tracks) if t % 2 == 0]
+            assert r["width_sum"] == sum(16 * (2 + (i + t) % 5) for t in vide)
+            assert r["height_sum"] == sum(16 * (1 + (i + t) % 3) for t in vide)
+            assert r["codec_bytes"] == sum(
+                sum(b"avc1") if t % 2 == 0 else sum(b"mp4a")
+                for t in range(n_tracks)
+            )
 
 
 class TestCodecMediaSpark:
