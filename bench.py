@@ -238,6 +238,23 @@ def main() -> None:
             out["heavy_capacity"]["detail"] = "BENCH/heavy_capacity.json"
         except (OSError, json.JSONDecodeError, AttributeError, TypeError):
             pass
+    rn_path = os.path.join(bench_dir, "renumber_shuffle.json")
+    if os.path.exists(rn_path):
+        try:
+            with open(rn_path) as f:
+                rn = json.load(f)
+            out["renumber_shuffle"] = {
+                "graph": rn.get("graph"),
+                "bytes_ratio_scrambled_over_renumbered": rn.get(
+                    "bytes_ratio_scrambled_over_renumbered"
+                ),
+                "records_ratio_scrambled_over_renumbered": rn.get(
+                    "records_ratio_scrambled_over_renumbered"
+                ),
+                "detail": "BENCH/renumber_shuffle.json",
+            }
+        except (OSError, json.JSONDecodeError, TypeError):
+            pass
     sgns_path = os.path.join(bench_dir, "sgns_capacity.json")
     if os.path.exists(sgns_path):
         try:

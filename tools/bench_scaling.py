@@ -436,6 +436,44 @@ def main() -> None:
                     "would.",
                 ]
 
+    rn_path = bench_dir / "renumber_shuffle.json"
+    if rn_path.exists():
+        rn = json.loads(rn_path.read_text())
+        g, pl = rn["graph"], rn["placements"]
+        lines += [
+            "",
+            "## Measured shuffle savings from locality renumbering (r4 verdict #7)",
+            "",
+            "`renumber_by_label` claims that community-aligned dense ids + range",
+            "placement turn community structure into real shuffle savings.",
+            f"`tools/renumber_probe.py` measures it: a planted-partition graph",
+            f"({g['n_vertices'] / 1e6:.0f}M vertices, {g['n_communities']:,}",
+            f"communities of {g['community_size']}, {g['n_edges'] / 1e6:.1f}M edges)",
+            "runs the superstep loop's one exchange — the per-destination message",
+            "combine over a range-placed edge relation — at two id assignments, and",
+            "the Spark listener's stage metrics report the combine exchange alone:",
+            "",
+            "| placement | shuffle write bytes | shuffle write records | checksum |",
+            "|---|---|---|---|",
+            f"| scrambled (hash-mixed ids) | {pl['scrambled']['combine_shuffle_write_bytes']:,} |"
+            f" {pl['scrambled']['combine_shuffle_write_records']:,} |"
+            f" {pl['scrambled']['checksum_msg_sum']:,} |",
+            f"| renumbered (renumber_by_label) | {pl['renumbered']['combine_shuffle_write_bytes']:,} |"
+            f" {pl['renumbered']['combine_shuffle_write_records']:,} |"
+            f" {pl['renumbered']['checksum_msg_sum']:,} |",
+            "",
+            f"**{rn['bytes_ratio_scrambled_over_renumbered']}x fewer shuffle bytes**",
+            f"({rn['records_ratio_scrambled_over_renumbered']}x fewer records) with",
+            "identical aggregates: scrambled, a vertex's in-neighbors scatter across",
+            "partitions so the map-side partial aggregate barely combines",
+            f"({pl['scrambled']['combine_shuffle_write_records'] / g['n_edges']:.0%} of raw edge messages survive it);",
+            "renumbered, each community is one contiguous block, the partial",
+            "aggregate collapses a destination's in-messages to ~one row per",
+            "partition, and the exchange carries ~one row per vertex. This is the",
+            "per-superstep network a 1000-executor PageRank stops paying after",
+            "renumbering. Raw metrics: BENCH/renumber_shuffle.json.",
+        ]
+
     hc_path = bench_dir / "heavy_capacity.json"
     if hc_path.exists():
         hc = json.loads(hc_path.read_text())
