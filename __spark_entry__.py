@@ -2908,6 +2908,16 @@ def _q_mp4_metadata(spark, sf):
     return mp4_summary(synth_mp4_media(spark, n=30))
 
 
+def _q_video_frame_plan(spark, sf):
+    """Video frame-sampling plan over the real MP4 table: one row per
+    planned frame timestamp (JVM-side sequence explode on the
+    container-walked duration) — the scheduling half of frame
+    extraction, with the grab itself out of scope (ffmpeg)."""
+    from linkgraph.pipeline.multimodal import frame_sample_plan, synth_mp4_media
+
+    return frame_sample_plan(synth_mp4_media(spark, n=30), every_ms=700)
+
+
 # Gate rotation (round 5): the driver's per-round CORRECTNESS gate
 # checks the FIRST ~50 entries of queries() in dict order.  Rounds 1-4
 # accumulated committed hash-match rows for 123 of 132 queries
@@ -2935,6 +2945,7 @@ _GATE_FRONT = [
     "ann_recall_pq",
     "maintained_stream_state",
     "mp4_metadata_walk",
+    "video_frame_plan",
     # already-gated backfill (window stays ~50 wide; re-verification)
     "unigram_lm_score",
     "seeded_label_propagation",
@@ -2969,7 +2980,6 @@ _GATE_FRONT = [
     "random_walks",
     "node2vec_walks",
     "maximal_independent_set",
-    "maximal_matching",
 ]
 
 
@@ -3095,6 +3105,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_raw_decode": _q_multimodal_raw,
         "multimodal_codec_decode": _q_multimodal_codec,
         "mp4_metadata_walk": _q_mp4_metadata,
+        "video_frame_plan": _q_video_frame_plan,
         "graph_sample": _q_graph_sample,
         "random_walks": _q_random_walks,
         "random_walks_weighted": _q_random_walks_weighted,
@@ -5912,6 +5923,12 @@ def oracle_sql() -> dict[str, str]:
         " SUM(CASE WHEN t % 2 = 0 THEN 363 ELSE 370 END)::BIGINT"
         "   AS codec_bytes"
         " FROM tr GROUP BY i"
+    )
+    sql["video_frame_plan"] = (
+        "SELECT i::BIGINT AS media_id,"
+        " unnest(generate_series(0, 500 * (1 + i % 7), 700))::BIGINT"
+        "  AS frame_ts_ms"
+        " FROM range(30) b(i)"
     )
     # the two CC engines share one contract (component = min id of the
     # undirected component) and therefore one oracle
