@@ -2750,6 +2750,24 @@ def _q_duplicate_spans(spark, sf):
     )
 
 
+def _q_dedup_cut_pipeline(spark, sf):
+    """The Lee-et-al two-stage dedup a training corpus actually runs,
+    as ONE dataflow: doc-granular near-dup dedup first (canonical_docs
+    keeps the best-quality survivor per MinHash-LSH cluster), then
+    span-granular substring dedup over the KEPT corpus
+    (cut_duplicate_spans removes the cross-doc boilerplate the doc
+    pass cannot see). Both stages are individually gated operators;
+    this gate checks the composition end to end."""
+    from linkgraph.pipeline.dedup import canonical_docs, cut_duplicate_spans
+
+    docs = load_documents(spark, sf)
+    surv = canonical_docs(docs, threshold=0.3, portable=True)
+    kept = docs.join(
+        surv.select(F.col("kept_doc_id").alias("doc_id")), "doc_id"
+    )
+    return cut_duplicate_spans(kept, n=DUPSPAN_N, min_docs=2, portable=True)
+
+
 def _q_maintained_stream(spark, sf):
     """Maintained-stream state gated in batch (VERDICT r4 #5): the
     document graph's edges land as a deterministic two-batch arrival
@@ -2946,6 +2964,7 @@ _GATE_FRONT = [
     "maintained_stream_state",
     "mp4_metadata_walk",
     "video_frame_plan",
+    "dedup_cut_pipeline",
     # already-gated backfill (window stays ~50 wide; re-verification)
     "unigram_lm_score",
     "seeded_label_propagation",
@@ -2979,7 +2998,6 @@ _GATE_FRONT = [
     "partition_report",
     "random_walks",
     "node2vec_walks",
-    "maximal_independent_set",
 ]
 
 
@@ -3098,6 +3116,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "component_renumber": _q_component_renumber,
         "duplicate_spans": _q_duplicate_spans,
         "cut_duplicate_spans": _q_cut_duplicate_spans,
+        "dedup_cut_pipeline": _q_dedup_cut_pipeline,
         "maintained_stream_state": _q_maintained_stream,
         "motif_time_chains": _q_motif_time_chains,
         "partition_report": _q_partition_report,
@@ -5955,34 +5974,54 @@ def oracle_sql() -> dict[str, str]:
         " FROM runs GROUP BY doc_id, grp"
     )
     # cut_duplicate_spans = the same span discovery, then each text
-    # rebuilt from the token positions no span covers
+    # rebuilt from the token positions no span covers; the chain is a
+    # builder so the dedup->cut composition can run it over the
+    # canonical survivors instead of the raw corpus
+    def _cut_spans_tail_sql(n: int) -> str:
+        """Span discovery + token-coverage rebuild over a ``src``
+        (doc_id, text) CTE the caller prepends."""
+        return (
+            " toks AS (SELECT doc_id, string_split(text, ' ') AS toks"
+            " FROM src),"
+            " sh AS (SELECT doc_id, pos,"
+            f"  array_to_string(toks[pos:pos+{n - 1}], ' ') AS s"
+            "  FROM (SELECT doc_id, toks,"
+            "   unnest(generate_series(1,"
+            f"    greatest(len(toks) - {n - 1}, 0))) AS pos FROM toks)),"
+            " dup AS (SELECT s FROM"
+            "  (SELECT s, COUNT(DISTINCT doc_id) AS df FROM sh GROUP BY s)"
+            "  WHERE df >= 2),"
+            " m AS (SELECT doc_id, pos FROM sh WHERE s IN (SELECT s FROM dup)),"
+            " runs AS (SELECT doc_id, pos, pos - ROW_NUMBER() OVER"
+            "  (PARTITION BY doc_id ORDER BY pos) AS grp FROM m),"
+            " spans AS (SELECT doc_id, MIN(pos) AS s,"
+            f"  MAX(pos) + {n - 1} AS e FROM runs GROUP BY doc_id, grp),"
+            " pos AS (SELECT doc_id, toks,"
+            "  unnest(generate_series(1, len(toks))) AS p FROM toks),"
+            " keep AS (SELECT pos.doc_id, pos.p, pos.toks[pos.p] AS tok"
+            "  FROM pos WHERE NOT EXISTS (SELECT 1 FROM spans sp"
+            "   WHERE sp.doc_id = pos.doc_id AND pos.p >= sp.s AND pos.p <= sp.e))"
+            " SELECT t.doc_id,"
+            "  COALESCE(string_agg(k.tok, ' ' ORDER BY k.p), '') AS text,"
+            "  len(t.toks)::BIGINT AS n_tokens,"
+            "  (len(t.toks) - COUNT(k.p))::BIGINT AS n_tokens_cut"
+            " FROM toks t LEFT JOIN keep k ON k.doc_id = t.doc_id"
+            " GROUP BY t.doc_id, t.toks"
+        )
+
     sql["cut_duplicate_spans"] = (
-        f"WITH toks AS (SELECT doc_id, string_split(text, ' ') AS toks"
-        " FROM documents),"
-        " sh AS (SELECT doc_id, pos,"
-        f"  array_to_string(toks[pos:pos+{DUPSPAN_N - 1}], ' ') AS s"
-        "  FROM (SELECT doc_id, toks,"
-        "   unnest(generate_series(1,"
-        f"    greatest(len(toks) - {DUPSPAN_N - 1}, 0))) AS pos FROM toks)),"
-        " dup AS (SELECT s FROM"
-        "  (SELECT s, COUNT(DISTINCT doc_id) AS df FROM sh GROUP BY s)"
-        "  WHERE df >= 2),"
-        " m AS (SELECT doc_id, pos FROM sh WHERE s IN (SELECT s FROM dup)),"
-        " runs AS (SELECT doc_id, pos, pos - ROW_NUMBER() OVER"
-        "  (PARTITION BY doc_id ORDER BY pos) AS grp FROM m),"
-        " spans AS (SELECT doc_id, MIN(pos) AS s,"
-        f"  MAX(pos) + {DUPSPAN_N - 1} AS e FROM runs GROUP BY doc_id, grp),"
-        " pos AS (SELECT doc_id, toks,"
-        "  unnest(generate_series(1, len(toks))) AS p FROM toks),"
-        " keep AS (SELECT pos.doc_id, pos.p, pos.toks[pos.p] AS tok"
-        "  FROM pos WHERE NOT EXISTS (SELECT 1 FROM spans sp"
-        "   WHERE sp.doc_id = pos.doc_id AND pos.p >= sp.s AND pos.p <= sp.e))"
-        " SELECT t.doc_id,"
-        "  COALESCE(string_agg(k.tok, ' ' ORDER BY k.p), '') AS text,"
-        "  len(t.toks)::BIGINT AS n_tokens,"
-        "  (len(t.toks) - COUNT(k.p))::BIGINT AS n_tokens_cut"
-        " FROM toks t LEFT JOIN keep k ON k.doc_id = t.doc_id"
-        " GROUP BY t.doc_id, t.toks"
+        "WITH src AS (SELECT doc_id, text FROM documents),"
+        + _cut_spans_tail_sql(DUPSPAN_N)
+    )
+    # dedup -> cut composition: canonical survivors (the full
+    # MinHash-LSH + closure + quality-argmax statement nested as a
+    # CTE), then span discovery + cut over the KEPT corpus only
+    sql["dedup_cut_pipeline"] = (
+        "WITH canon AS MATERIALIZED ("
+        + _canonical_docs_sql(64, 16, 3, 0.3, 42)
+        + "), src AS (SELECT d.doc_id, d.text FROM documents d"
+        " JOIN canon c ON d.doc_id = c.kept_doc_id),"
+        + _cut_spans_tail_sql(DUPSPAN_N)
     )
     sql["component_renumber"] = (
         "WITH RECURSIVE "
