@@ -239,6 +239,24 @@ def main() -> None:
             out["heavy_capacity"]["detail"] = "BENCH/heavy_capacity.json"
         except (OSError, json.JSONDecodeError, AttributeError, TypeError):
             pass
+    sp_path = os.path.join(bench_dir, "span_capacity.json")
+    if os.path.exists(sp_path):
+        try:
+            with open(sp_path) as f:
+                sp = json.load(f)
+            out["span_capacity"] = {
+                k: sp.get(k)
+                for k in (
+                    "n_docs",
+                    "span_discovery_sec",
+                    "cut_total_sec",
+                    "docs_per_sec_cut",
+                    "all_checksums_match",
+                )
+            }
+            out["span_capacity"]["detail"] = "BENCH/span_capacity.json"
+        except (OSError, json.JSONDecodeError, TypeError):
+            pass
     rn_path = os.path.join(bench_dir, "renumber_shuffle.json")
     if os.path.exists(rn_path):
         try:
