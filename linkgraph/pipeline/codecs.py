@@ -261,7 +261,7 @@ _MP4_UNITY_MATRIX = struct.pack(
 
 
 def _mp4_full(tag: bytes, version: int, flags: int, body: bytes) -> bytes:
-    return _mp4_box(tag, struct.pack(">B3x", version)[:1] + flags.to_bytes(3, "big") + body)
+    return _mp4_box(tag, bytes([version]) + flags.to_bytes(3, "big") + body)
 
 
 def _mp4_box(tag: bytes, body: bytes) -> bytes:

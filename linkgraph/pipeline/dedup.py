@@ -968,7 +968,9 @@ def cut_duplicate_spans(
             )
         ).alias("_spans")
     )
-    covered = lambda tok, i: F.when(F.col("_spans").isNull(), F.lit(True)).otherwise(
+    keep_token = lambda tok, i: F.when(
+        F.col("_spans").isNull(), F.lit(True)
+    ).otherwise(
         ~F.exists(
             "_spans", lambda sp: (i + 1 >= sp["s"]) & (i + 1 <= sp["e"])
         )
@@ -978,7 +980,7 @@ def cut_duplicate_spans(
     return (
         _tokenized(docs)
         .join(per_doc, "doc_id", "left")
-        .withColumn("_kept", F.filter("toks", covered))
+        .withColumn("_kept", F.filter("toks", keep_token))
         .select(
             "doc_id",
             F.concat_ws(" ", "_kept").alias("text"),
