@@ -245,16 +245,21 @@ def main() -> None:
             with open(sp_path) as f:
                 sp = json.load(f)
             out["span_capacity"] = {
-                k: sp.get(k)
-                for k in (
-                    "n_docs",
-                    "span_discovery_sec",
-                    "cut_total_sec",
-                    "docs_per_sec_cut",
-                    "all_checksums_match",
-                )
+                "levels": [
+                    {
+                        k: lv.get(k)
+                        for k in (
+                            "n_docs",
+                            "span_discovery_sec",
+                            "cut_total_sec",
+                            "docs_per_sec_cut",
+                            "all_checksums_match",
+                        )
+                    }
+                    for lv in sp.get("levels", [sp])
+                ],
+                "detail": "BENCH/span_capacity.json",
             }
-            out["span_capacity"]["detail"] = "BENCH/span_capacity.json"
         except (OSError, json.JSONDecodeError, TypeError):
             pass
     rn_path = os.path.join(bench_dir, "renumber_shuffle.json")

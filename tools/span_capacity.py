@@ -113,11 +113,7 @@ def main() -> None:
         "tokens_cut": int(crow["cut"]),
         "tokens_kept": int(crow["kept"]),
     }
-    out = {
-        "workload": (
-            "duplicate_spans + cut_duplicate_spans, production xxhash mode,"
-            " planted per-block boilerplate"
-        ),
+    level = {
         "n_docs": n_docs,
         "tokens_per_doc": TOKENS,
         "shingle_n": N,
@@ -130,9 +126,32 @@ def main() -> None:
         "got": got,
         "all_checksums_match": expect == got,
     }
-    (Path(__file__).resolve().parents[1] / "BENCH" / "span_capacity.json").write_text(
-        json.dumps(out, indent=2) + "\n"
+    # accumulate one entry per corpus size (two-size evidence of the
+    # linear shape) instead of overwriting
+    path = Path(__file__).resolve().parents[1] / "BENCH" / "span_capacity.json"
+    out = {
+        "workload": (
+            "duplicate_spans + cut_duplicate_spans, production xxhash mode,"
+            " planted per-block boilerplate"
+        ),
+        "levels": [],
+    }
+    if path.exists():
+        try:
+            prev = json.loads(path.read_text())
+            out["levels"] = [
+                lv
+                for lv in prev.get("levels", [prev] if "n_docs" in prev else [])
+                if lv.get("n_docs") != n_docs
+            ]
+        except (OSError, json.JSONDecodeError):
+            pass
+    out["levels"].append(level)
+    out["levels"].sort(key=lambda lv: lv["n_docs"])
+    out["all_checksums_match"] = all(
+        lv.get("all_checksums_match") for lv in out["levels"]
     )
+    path.write_text(json.dumps(out, indent=2) + "\n")
     print(json.dumps(out))
     assert expect == got, "checksum mismatch"
     spark.stop()
