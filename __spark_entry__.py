@@ -812,6 +812,21 @@ def _q_knn_accuracy_pq(spark, sf):
     )
 
 
+def _q_semantic_dedup(spark, sf):
+    """SemDeDup-style semantic dedup (similarity.semantic_dedup):
+    IMRU k-means clusters the embedding space, within-cluster pairs
+    with cosine >= tau drop the higher vec_id. The oracle reuses the
+    IVF gate's unrolled train+assign CTEs verbatim, then replays the
+    pair prune — so the whole cluster-then-prune chain is
+    value-checked."""
+    from linkgraph.pipeline import semantic_dedup
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    return semantic_dedup(
+        emb, n_clusters=8, tau=NEARDUP_TAU, kmeans_iterations=5
+    )
+
+
 def _q_ann_recall_ivf(spark, sf):
     """Per-query recall of the IVF top-k against the exact brute-force
     top-k — the index-quality report for the probe-join tier."""
@@ -2965,6 +2980,7 @@ _GATE_FRONT = [
     "mp4_metadata_walk",
     "video_frame_plan",
     "dedup_cut_pipeline",
+    "semantic_dedup",
     # already-gated backfill (window stays ~50 wide; re-verification)
     "unigram_lm_score",
     "seeded_label_propagation",
@@ -2997,7 +3013,6 @@ _GATE_FRONT = [
     "motif_time_chains",
     "partition_report",
     "random_walks",
-    "node2vec_walks",
 ]
 
 
@@ -3053,6 +3068,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_label_accuracy_pq": _q_knn_accuracy_pq,
         "ann_recall_ivf": _q_ann_recall_ivf,
         "ann_recall_pq": _q_ann_recall_pq,
+        "semantic_dedup": _q_semantic_dedup,
         "core_decomposition": _q_coreness,
         "reachability": _q_reachability,
         "exact_dedup": _q_exact_dedup,
@@ -3944,15 +3960,10 @@ def _kmeans_sql(k: int, iters: int) -> str:
     )
 
 
-def _ivf_sql(n_clusters: int, kmeans_iters: int, n_probe: int, n_queries: int, k: int) -> str:
-    """Unrolled IVF approximate top-k: centroids from the unrolled IMRU
-    k-means (_kmeans_ctes), every corpus vector assigned to its
-    max-cosine centroid (ties to the lowest cluster index, matching
-    numpy argmax), each query probing its ``n_probe`` best clusters
-    (stable descending sort — ties to the lowest index), and cosine
-    top-k computed only among the probed clusters' members. Mirrors
-    linkgraph.pipeline.similarity.ivf_cosine_topk step for step; final
-    sims ROUND(.., 4) like the engine."""
+def _ivf_assign_ctes(n_clusters: int, kmeans_iters: int) -> list[str]:
+    """Shared k-means train + max-cosine corpus assignment CTEs
+    (pts ... c{iters}, cent, asg) — the front half of _ivf_sql, reused
+    by the SemDeDup oracle (identical trainer + assign_udf rule)."""
     ctes = _kmeans_ctes(n_clusters, kmeans_iters)
     ctes += [
         # centroids with zero-guarded norms (assign_udf's cnorm)
@@ -3967,6 +3978,46 @@ def _ivf_sql(n_clusters: int, kmeans_iters: int, n_probe: int, n_queries: int, k
         " ORDER BY list_sum(list_transform(generate_series(1, len(p.v)),"
         "   j -> p.v[j]*c.center[j])) / c.cn DESC, c.cluster ASC"
         " LIMIT 1) AS cid FROM pts p)",
+    ]
+    return ctes
+
+
+def _semdedup_sql(n_clusters: int, kmeans_iters: int, tau: float) -> str:
+    """SemDeDup mirror (pipeline/similarity.semantic_dedup): the IVF
+    oracle's train+assign front half, then within-cluster pairs with
+    ROUND(cosine, 4) >= tau dropping the higher vec_id (keep-lowest-id
+    representative)."""
+    ctes = _ivf_assign_ctes(n_clusters, kmeans_iters)
+    ctes.append(
+        f"drp AS (SELECT DISTINCT b.vec_id AS v"
+        f" FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id"
+        f" JOIN pts pu ON pu.vec_id = a.vec_id"
+        f" JOIN pts pv ON pv.vec_id = b.vec_id"
+        f" WHERE ROUND(list_sum(list_transform(generate_series(1, len(pu.v)),"
+        f"   i -> pu.v[i]*pv.v[i]))"
+        f"  / (sqrt(list_sum(list_transform(pu.v, x -> x*x)))"
+        f"     * sqrt(list_sum(list_transform(pv.v, x -> x*x)))), 4) >= {tau})"
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + " SELECT a.vec_id, a.cid::BIGINT AS cluster,"
+        " CASE WHEN d.v IS NULL THEN 1 ELSE 0 END AS kept"
+        " FROM asg a LEFT JOIN drp d ON d.v = a.vec_id"
+    )
+
+
+def _ivf_sql(n_clusters: int, kmeans_iters: int, n_probe: int, n_queries: int, k: int) -> str:
+    """Unrolled IVF approximate top-k: centroids from the unrolled IMRU
+    k-means (_kmeans_ctes), every corpus vector assigned to its
+    max-cosine centroid (ties to the lowest cluster index, matching
+    numpy argmax), each query probing its ``n_probe`` best clusters
+    (stable descending sort — ties to the lowest index), and cosine
+    top-k computed only among the probed clusters' members. Mirrors
+    linkgraph.pipeline.similarity.ivf_cosine_topk step for step; final
+    sims ROUND(.., 4) like the engine."""
+    ctes = _ivf_assign_ctes(n_clusters, kmeans_iters)
+    ctes += [
         # query probes: top n_probe clusters by the same score
         f"probes AS (SELECT vec_id AS qid, cid FROM ("
         f" SELECT p.vec_id, c.cluster AS cid,"
@@ -5826,6 +5877,7 @@ def oracle_sql() -> dict[str, str]:
         N_QUERY_VECS,
         TOPK,
     )
+    sql["semantic_dedup"] = _semdedup_sql(8, 5, NEARDUP_TAU)
     # maintained_stream_state: the two-batch fold must land on the COLD
     # answer for the full edge union — CC seeded from edge endpoints
     # (the stream state labels only vertices that arrived on an edge)

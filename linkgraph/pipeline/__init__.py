@@ -45,6 +45,7 @@ from .similarity import (
     ivf_cosine_topk,
     lsh_cosine_topk,
     pq_topk,
+    semantic_dedup,
 )
 
 __all__ = [
@@ -56,6 +57,7 @@ __all__ = [
     "minhash_lsh_pairs",
     "minhash_verified_pairs",
     "dedup_clusters",
+    "semantic_dedup",
     "simhash64",
     "simhash_pairs",
     "token_count",

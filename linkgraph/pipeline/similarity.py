@@ -569,3 +569,85 @@ def embedding_neardup_pairs(
         .filter(F.col("sim") >= threshold)
         .select("vec_id_a", "vec_id_b", "sim")
     )
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    n_clusters: int = 16,
+    tau: float = 0.9,
+    kmeans_iterations: int = 5,
+    round_to: int = 4,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023):
+    cluster the embedding space with the IMRU k-means, then prune
+    near-duplicate pairs WITHIN each cluster — ``(vec_id, cluster,
+    kept)`` where a vector is dropped iff a LOWER-id member of its own
+    cluster has cosine >= ``tau`` with it (deterministic
+    keep-lowest-id representative rule; ``kept`` is 0/1).
+
+    This is the embedding-space counterpart of the text tiers: exact /
+    MinHash / SimHash / span dedup all need lexical overlap, while
+    semantic dedup collapses paraphrases. Clustering is what makes it
+    tractable — candidate pairs are confined to cluster-mates, the
+    SemDeDup trade of O(sum of cluster-size^2) comparisons for
+    global-pair completeness (a cross-cluster near-dup survives; at k
+    clusters of even size that is a k-fold reduction over the
+    quadratic scan).
+
+    100 TB shape: centroids broadcast (same IMRU trainer and
+    max-cosine assignment rule as :func:`ivf_cosine_topk`, so the
+    whole train->assign->prune chain unrolls into the SQL oracle);
+    the self-join keys on cluster id; skewed clusters want the same
+    bucket caps as the LSH tiers (raise ``n_clusters`` until the
+    largest cluster's quadratic term fits an executor).
+    """
+    from ..imru import kmeans
+
+    corpus = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("features")
+    )
+    res = kmeans(corpus, k=n_clusters, max_iterations=kmeans_iterations)
+    centroids = np.asarray(res.model, dtype=np.float64)
+    cnorm = np.linalg.norm(centroids, axis=1)
+    cnorm[cnorm == 0] = 1.0
+
+    @pandas_udf(T.IntegerType())
+    def assign_udf(embs: pd.Series) -> pd.Series:
+        m = np.stack([np.asarray(e, dtype=np.float64) for e in embs])
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        sims = (m / norms) @ (centroids / cnorm[:, None]).T
+        return pd.Series(sims.argmax(axis=1).astype("int32"))
+
+    assigned = embeddings.select(
+        "vec_id",
+        F.col("embedding").alias("emb"),
+        assign_udf("embedding").alias("cluster"),
+    )
+    lo = assigned.select(
+        F.col("cluster"), F.col("vec_id").alias("u"), F.col("emb").alias("u_emb")
+    )
+    hi = assigned.select(
+        F.col("cluster"), F.col("vec_id").alias("v"), F.col("emb").alias("v_emb")
+    )
+    dropped = (
+        lo.join(hi, "cluster")
+        .filter(F.col("u") < F.col("v"))
+        .withColumn(
+            "sim",
+            F.round(
+                _dot("u_emb", "v_emb") / (_norm("u_emb") * _norm("v_emb")),
+                round_to,
+            ),
+        )
+        .filter(F.col("sim") >= tau)
+        .select("v")
+        .distinct()
+    )
+    return assigned.join(
+        dropped, assigned["vec_id"] == dropped["v"], "left_outer"
+    ).select(
+        "vec_id",
+        F.col("cluster").cast("long"),
+        F.when(F.col("v").isNull(), F.lit(1)).otherwise(F.lit(0)).alias("kept"),
+    )

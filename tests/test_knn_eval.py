@@ -129,3 +129,68 @@ class TestAnnComposition:
             knn_label_accuracy_ann(
                 self._emb(spark), dim=8, method="annoy"
             ).collect()
+
+
+class TestSemanticDedup:
+    def test_planted_paraphrase_clusters(self, spark):
+        """Two tight direction-groups: within each, the near-identical
+        higher-id copies drop (keep-lowest-id), distinct directions
+        survive; every vector appears exactly once with its cluster."""
+        from linkgraph.pipeline import semantic_dedup
+
+        rows = [
+            # group around +x: 0 and 1 are near-copies, 2 is tilted away
+            (0, [10.0, 0.0, 0.0, 0.0]),
+            (1, [10.0, 0.1, 0.0, 0.0]),
+            (2, [3.0, 4.0, 0.0, 0.0]),
+            # group around +z: 3 and 4 near-copies, 5 tilted away
+            (3, [0.0, 0.0, 8.0, 0.0]),
+            (4, [0.0, 0.0, 8.0, 0.1]),
+            (5, [0.0, 0.0, 3.0, 4.0]),
+        ]
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>"
+        )
+        out = {
+            r["vec_id"]: (r["cluster"], r["kept"])
+            for r in semantic_dedup(
+                emb, n_clusters=2, tau=0.95, kmeans_iterations=4
+            ).collect()
+        }
+        assert len(out) == 6
+        # near-copies drop, lowest id of each pair survives
+        assert out[0][1] == 1 and out[1][1] == 0
+        assert out[3][1] == 1 and out[4][1] == 0
+        # tilted vectors are below tau vs their cluster-mates: kept
+        assert out[2][1] == 1 and out[5][1] == 1
+        # the two direction-groups land in different clusters
+        assert out[0][0] == out[1][0] == out[2][0]
+        assert out[3][0] == out[4][0] == out[5][0]
+        assert out[0][0] != out[3][0]
+
+    def test_cross_cluster_neardups_survive(self, spark):
+        """The SemDeDup trade, asserted: a near-dup pair split across
+        clusters is NOT pruned (candidates are cluster-local)."""
+        from linkgraph.pipeline import semantic_dedup
+
+        # k-means init = 2 lowest-id vectors -> 0 and 1 seed DIFFERENT
+        # clusters even though they are near-copies
+        rows = [
+            (0, [10.0, 0.0]),
+            (1, [10.0, 0.1]),
+            (2, [0.0, 10.0]),
+            (3, [0.1, 10.0]),
+        ]
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>"
+        )
+        out = {
+            r["vec_id"]: (r["cluster"], r["kept"])
+            for r in semantic_dedup(
+                emb, n_clusters=2, tau=0.95, kmeans_iterations=3
+            ).collect()
+        }
+        if out[0][0] != out[1][0]:
+            assert out[0][1] == 1 and out[1][1] == 1
+        else:  # if Lloyd merged them after all, the lower id survives
+            assert out[0][1] == 1 and out[1][1] == 0
