@@ -577,6 +577,7 @@ def semantic_dedup(
     tau: float = 0.9,
     kmeans_iterations: int = 5,
     round_to: int = 4,
+    max_cluster_size: int | None = 100_000,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023):
     cluster the embedding space with the IMRU k-means, then prune
@@ -597,9 +598,15 @@ def semantic_dedup(
     100 TB shape: centroids broadcast (same IMRU trainer and
     max-cosine assignment rule as :func:`ivf_cosine_topk`, so the
     whole train->assign->prune chain unrolls into the SQL oracle);
-    the self-join keys on cluster id; skewed clusters want the same
-    bucket caps as the LSH tiers (raise ``n_clusters`` until the
-    largest cluster's quadratic term fits an executor).
+    the self-join keys on cluster id, and ``max_cluster_size``
+    applies the SAME skew cap as the MinHash bucket join: a
+    pathological cluster (the near-origin catch-all a web-scale
+    embedding space always grows) makes pair generation quadratic in
+    one task while carrying little per-pair signal, so oversized
+    clusters skip pruning (their members are all KEPT, disclosed by
+    the cap) rather than stalling the job. Pass ``None`` to disable
+    (the exact small-scale gate does); raising ``n_clusters`` shrinks
+    clusters under the cap.
     """
     from ..imru import kmeans
 
@@ -624,10 +631,20 @@ def semantic_dedup(
         F.col("embedding").alias("emb"),
         assign_udf("embedding").alias("cluster"),
     )
-    lo = assigned.select(
+    if max_cluster_size is not None:
+        small = (
+            assigned.groupBy("cluster")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") <= max_cluster_size)
+            .select("cluster")
+        )
+        prunable = assigned.join(small, "cluster", "left_semi")
+    else:
+        prunable = assigned
+    lo = prunable.select(
         F.col("cluster"), F.col("vec_id").alias("u"), F.col("emb").alias("u_emb")
     )
-    hi = assigned.select(
+    hi = prunable.select(
         F.col("cluster"), F.col("vec_id").alias("v"), F.col("emb").alias("v_emb")
     )
     dropped = (

@@ -194,3 +194,24 @@ class TestSemanticDedup:
             assert out[0][1] == 1 and out[1][1] == 1
         else:  # if Lloyd merged them after all, the lower id survives
             assert out[0][1] == 1 and out[1][1] == 0
+
+    def test_max_cluster_size_cap_skips_pruning(self, spark):
+        """An oversized cluster skips pair generation entirely (all
+        members kept) instead of going quadratic — the MinHash bucket
+        cap's semantics on the embedding side."""
+        from linkgraph.pipeline import semantic_dedup
+
+        rows = [(i, [10.0, 0.01 * i]) for i in range(6)]
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>"
+        )
+        capped = semantic_dedup(
+            emb, n_clusters=1, tau=0.9, kmeans_iterations=2,
+            max_cluster_size=3,
+        )
+        assert all(r["kept"] == 1 for r in capped.collect())
+        uncapped = semantic_dedup(
+            emb, n_clusters=1, tau=0.9, kmeans_iterations=2,
+            max_cluster_size=None,
+        )
+        assert sum(1 for r in uncapped.collect() if r["kept"] == 0) == 5
