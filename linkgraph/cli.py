@@ -58,6 +58,7 @@ def _build_parser() -> argparse.ArgumentParser:
             "louvain", "katz", "eigenvector", "triads", "triads-full", "effdiam", "dupgrams", "sweep",
             "wl", "temporal", "motif", "louvain-ml", "partition-report",
             "inc-cc",
+            "spans", "cut-spans", "semdedup",
         ],
     )
     src = p.add_argument_group("input (exactly one)")
@@ -66,6 +67,11 @@ def _build_parser() -> argparse.ArgumentParser:
         "--documents",
         help="path/table of documents(doc_id BIGINT, text STRING) — input for "
         "the dedup / vocab pipeline algorithms",
+    )
+    src.add_argument(
+        "--embeddings",
+        help="path/table of embeddings(vec_id BIGINT, embedding ARRAY<FLOAT>)"
+        " — input for semdedup",
     )
     src.add_argument(
         "--code-table",
@@ -113,6 +119,16 @@ def _build_parser() -> argparse.ArgumentParser:
                    help="anf: FM bitmaps per vertex")
     p.add_argument("--max-h", type=int, default=8,
                    help="anf: maximum neighborhood depth")
+    p.add_argument("--span-n", type=int, default=8,
+                   help="spans/cut-spans: word n-gram width for duplicated-span detection")
+    p.add_argument("--min-docs", type=int, default=2,
+                   help="spans/cut-spans: minimum distinct documents per duplicated n-gram")
+    p.add_argument("--n-clusters", type=int, default=16,
+                   help="semdedup: k-means cluster count")
+    p.add_argument("--tau", type=float, default=0.9,
+                   help="semdedup: within-cluster cosine threshold for dropping")
+    p.add_argument("--max-cluster-size", type=int, default=100_000,
+                   help="semdedup: skip pruning in clusters larger than this (skew cap)")
     p.add_argument("--ngram-n", type=int, default=5,
                    help="dupgrams: token shingle width for the "
                    "duplicated-span audit")
@@ -232,8 +248,26 @@ def main(argv: list[str] | None = None) -> None:
 
         ckpt = CheckpointManager(spark, args.checkpoint, every=args.checkpoint_every)
 
+    if args.algorithm == "semdedup":
+        if not args.embeddings:
+            raise SystemExit("semdedup requires --embeddings")
+        from linkgraph.pipeline.similarity import semantic_dedup
+
+        emb = spark.read.load(args.embeddings).select(
+            F.col("vec_id").cast("long"), F.col("embedding")
+        )
+        out = semantic_dedup(
+            emb,
+            n_clusters=args.n_clusters,
+            tau=args.tau,
+            max_cluster_size=args.max_cluster_size,
+        )
+        out.write.format(args.format).mode("overwrite").save(args.output)
+        return
+
     if args.algorithm in ("dedup", "canonical", "vocab", "pii", "repetition",
-                          "cooccur", "bm25", "lm-score", "dupgrams", "chunk"):
+                          "cooccur", "bm25", "lm-score", "dupgrams", "chunk",
+                          "spans", "cut-spans"):
         if not args.documents:
             raise SystemExit(f"{args.algorithm} requires --documents")
         docs = spark.read.load(args.documents).select(
@@ -279,6 +313,20 @@ def main(argv: list[str] | None = None) -> None:
                 docs,
                 threshold=args.threshold,
                 seed=args.seed,
+                portable=args.portable_hash,
+            )
+        elif args.algorithm == "spans":
+            from linkgraph.pipeline.dedup import duplicate_spans
+
+            out = duplicate_spans(
+                docs, n=args.span_n, min_docs=args.min_docs,
+                portable=args.portable_hash,
+            )
+        elif args.algorithm == "cut-spans":
+            from linkgraph.pipeline.dedup import cut_duplicate_spans
+
+            out = cut_duplicate_spans(
+                docs, n=args.span_n, min_docs=args.min_docs,
                 portable=args.portable_hash,
             )
         elif args.algorithm == "chunk":
