@@ -35,6 +35,27 @@ pre-shuffle combine collapses them — the measured exchange carries
 renumbering; checksum equality proves both placements compute the same
 aggregate.
 
+Why the probe measures the exchange standalone rather than switching
+the engine's superstep loop to range placement: the loop's gather join
+(cached adjacency ⋈ rank state) stays exchange-free because BOTH sides
+hold the same hashpartitioning(id, p) — and that co-partitioning is
+the loop's dominant cost saving (it moves the E-sized adjacency zero
+times). A range-partitioned adjacency cannot keep that property in
+the DataFrame API: Spark's RangeShuffleSpec cannot be the target
+partitioning for the other join side (canCreatePartitioning = false),
+so EnsureRequirements would fall back to re-hashing BOTH sides —
+re-exchanging the cached E-row adjacency EVERY superstep to save a
+fraction of the (much smaller) combine exchange. Strictly worse. On a
+real deployment the range-placed combine saving composes with a
+co-located gather only via a storage-level mechanism (e.g. both sides
+bucketed/partitioned by the same explicit id-block function, or a
+custom ShuffleSpec) — which is exactly why renumber_by_label emits
+CONTIGUOUS dense ids: `id DIV block` is then a stable partition
+function both a writer layout and a reader can share. The probe
+therefore measures the combine exchange — the one piece renumbering
+changes — in isolation, on the same range placement at both id
+assignments.
+
 Writes BENCH/renumber_shuffle.json. Usage:
   python tools/renumber_probe.py [--n-comm 20000] [--comm-size 100]
 """
